@@ -1,0 +1,8 @@
+"""The topic-log core: WalrusLog (batch plane) + canonical log schema."""
+
+from walrus_spark.log.wal import (  # noqa: F401
+    LOG_SCHEMA,
+    FsyncSchedule,
+    ReadConsistency,
+    WalrusLog,
+)

@@ -1,0 +1,370 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Four families, each a pure distributed DataFrame transform:
+
+  exact           — hash group-by on a canonical fingerprint (1 shuffle)
+  n-gram Jaccard  — exact set-similarity via shingle token join
+  MinHash + LSH   — the 100 TB path: signature → band → bucket join →
+                    exact verify only on candidates
+  SimHash         — 64-bit sketch, byte-band candidates, Hamming verify
+  embedding cosine— near-dup by vector similarity
+
+The LSH/SimHash plans never materialize the O(n²) pair space: candidate
+generation is an equi-join on (band, hash-bucket), so shuffle volume is
+O(n · bands), and the expensive exact verification runs only on bucket
+collisions. That is the property that survives a 1000-executor scale-up;
+the plain shingle join (kept as the oracle-checkable exact baseline)
+does not, and says so in its docstring.
+
+Hash functions are Spark's xxhash64 (JVM, codegen) with fixed affine
+permutations — fully deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from walrus_spark.catalog import load_table
+from walrus_spark.operators.text import tokens
+from walrus_spark.queries.registry import register
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands × 4 rows; P(miss | j=0.9) ≈ 4e-8
+
+# Fixed universal-hash constants for MinHash: h_i(x) = (a·x + b) mod p
+# over the 32-bit-reduced shingle hash, p = 2^61-1 (Mersenne prime).
+# Bounded so ANSI long arithmetic never overflows (a < 2^30, x < 2^32
+# → a·x < 2^62; + b < 2^61 stays under 2^63). The mod-p step is what
+# makes the 64 functions behave as independent permutations (a plain
+# affine map is monotonic in x and would make every minimum pick the
+# same shingle).
+_MERSENNE_61 = (1 << 61) - 1
+_rng = random.Random(0xA1C3)
+_PERM = [
+    (2 * _rng.getrandbits(29) + 1, _rng.getrandbits(60)) for _ in range(N_PERM)
+]
+
+
+def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side HOFs)."""
+    ws = tokens(text_col)
+    k = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# Exact Jaccard over word-3-shingles, shared oracle for the exact and
+# LSH variants (they must agree — that's the point).
+_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM words
+  WHERE len(ws) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM pair p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dq19_near_dup_count",
+    oracle="SELECT count(*) AS cnt FROM (SELECT DISTINCT lower(text) FROM documents) t",
+)
+def dq19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.lower("text").alias("t"))
+        .distinct()
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, "
+    "count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY canonical_id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content fingerprint, keep min doc_id as the
+    canonical representative. One shuffle on a 128-bit key — the same
+    plan at 100 TB (fingerprint first so the shuffle never carries
+    document bodies)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle equi-join.
+
+    O(Σ bucket²) in shingle frequency — fine for the exact baseline and
+    as the verify stage on LSH candidates, but the standalone form does
+    NOT scale to 100 TB (hot shingles blow up the join); minhash_lsh_pairs
+    below is the scale path.
+    """
+    sh = _shingle_rows(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pair.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 64 minhash values over word-3-shingles.
+
+    h_i(s) = a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i — a fixed
+    deterministic affine family over the 32-bit-reduced hash (bounded so
+    ANSI arithmetic never overflows); min-aggregated per doc (partial
+    agg before the one shuffle on doc_id)."""
+    sh = _shingle_rows(docs)
+    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_61))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    signature → LSH_BANDS band hashes → self equi-join on
+    (band, band_hash) → distinct candidates → exact Jaccard verify via
+    array_intersect on the (distinct-shingle) arrays. Shuffle volume is
+    O(n·bands) for candidates + O(candidates) for the verify — no n²
+    stage anywhere.
+    """
+    sig = minhash_signatures(docs)
+    r = N_PERM // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[f"m{j * r + k}" for k in range(r)]).alias("bh"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    bucketed = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle = the exact-Jaccard SQL: LSH + verify must reproduce the
+    exact result (recall loss would fail the hash check)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 8 byte-chunks of a 64-bit SimHash over word frequencies.
+
+    Each bit b of the sketch is sign(Σ_w cnt(w) · (±1 per bit b of
+    xxhash64(w))). Kept as 8 uint8 chunks so candidate banding and
+    Hamming verification stay in plain long arithmetic."""
+    w = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = w.groupBy("doc_id").agg(*bit_sums)
+    chunks = [
+        sum(
+            (F.when(F.col(f"s{c * 8 + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+            for k in range(8)
+        ).alias(f"c{c}")
+        for c in range(8)
+    ]
+    return sums.select("doc_id", *chunks)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ 7.
+
+    Candidates = pairs sharing at least one of 8 byte-chunks (pigeonhole:
+    ≤7 differing bits leave ≥1 chunk identical → recall is exact, not
+    probabilistic). Hamming verified with bit_count(xor)."""
+    sig = simhash_signatures(docs)
+    chunked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
+                    for c in range(8)
+                ]
+            )
+        ).alias("ch"),
+        *[F.col(f"c{c}") for c in range(8)],
+    ).select("doc_id", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
+             *[f"c{c}" for c in range(8)])
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")).cast("long")
+        )
+        for c in range(8)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash")  # no SQL-expressible oracle: xxhash64 is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_EMB_PAIR_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_PAIR_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float
+    noise can't affect the hash). Exact pairwise at fixture scale; the
+    100 TB path reuses the LSH machinery (random-hyperplane buckets →
+    verify), same shape as minhash_lsh_pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    n = e.select(
+        "vec_id",
+        dbl.alias("e"),
+        F.sqrt(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.e", "b.e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All expressions are JVM-side built-ins (whole-stage codegen; no Python
+in the hot path): split/filter/transform higher-order functions for
+tokenization, regexp for character classes, md5 for fingerprints. At
+100 TB these are embarrassingly parallel scans — no shuffle except the
+final group-by/order in the reporting queries.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from walrus_spark.catalog import load_table
+from walrus_spark.queries.registry import register
+
+# Tiny per-language stopword inventories for the heuristic language-ID.
+# Deterministic and duplicated verbatim in the oracle SQL — the operator
+# contract is the heuristic itself, not agreement with the fixture's
+# random `lang` labels.
+_STOP = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _hits(ws: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda x: x.isin(*words)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/char/punctuation statistics columns (library API)."""
+    ws = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(ws))
+        .withColumn("n_chars_calc", F.length(text_col))
+        .withColumn(
+            "punct_chars",
+            F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")),
+        )
+    )
+
+
+@register(
+    "dq18_text_stats",
+    oracle="SELECT lang, count(*) AS docs, sum(n_chars) AS chars, "
+    "round(avg(n_chars), 4) AS avg_chars FROM documents "
+    "GROUP BY lang ORDER BY lang",
+)
+def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) "
+    "AS n_tokens FROM documents ORDER BY doc_id",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the cheap pre-BPE budget estimator of
+    a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x IN ('the','a','of','and','is','to','in')))
+                 * 1.0
+                 / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6)
+               AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, punctuation density,
+    stopword ratio) — the standard pre-training quality filters."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    n_tok = F.size(ws)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(_hits(ws, _STOP["en"]) / n_tok, 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_LANG_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','is','to','in'))) AS h_en,
+    len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) AS h_de,
+    len(list_filter(ws, x -> x IN ('el','la','de','que','y','es'))) AS h_es,
+    len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+       WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+       WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+       WHEN h_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language-ID heuristic. Fixed inventories and a
+    deterministic argmax tie-break (en > de > es > fr > und); mirrored
+    verbatim in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    h = {lang: _hits(ws, stops) for lang, stops in _STOP.items()}
+    pred = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"])
+            & (h["en"] > 0),
+            F.lit("en"),
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]) & (h["de"] > 0), F.lit("de"))
+        .when((h["es"] >= h["fr"]) & (h["es"] > 0), F.lit("es"))
+        .when(h["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (md5 of lowercased text) — the key
+    for exact dedup across shards; hex-identical in Spark and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("fp")
+    ).orderBy("doc_id")

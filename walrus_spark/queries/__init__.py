@@ -1,0 +1,16 @@
+"""Declared query surface (SURVEY.md §2.5) + extension operators.
+
+Importing this package populates the registry with every implemented
+query. ``QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLES[name] -> DuckDB SQL`` (absent for non-SQL-expressible ops).
+"""
+
+from walrus_spark.queries.registry import QUERIES, ORACLES, register  # noqa: F401
+
+# populate the registry
+import walrus_spark.queries.log_queries  # noqa: F401,E402
+import walrus_spark.queries.relational  # noqa: F401,E402
+import walrus_spark.operators.text  # noqa: F401,E402
+import walrus_spark.operators.dedup  # noqa: F401,E402
+import walrus_spark.operators.similarity  # noqa: F401,E402
+import walrus_spark.operators.multimodal  # noqa: F401,E402

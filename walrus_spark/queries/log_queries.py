@@ -1,0 +1,208 @@
+"""DQ1–DQ10: the reference's log semantics, encoded relationally.
+
+Model (SURVEY.md §2.5 / FIXTURES.md): the ``events`` fixture is a topic
+log — ``event_type`` is the topic (reference src/wal/block.rs:14-19
+``owned_by``), ``event_id`` the monotonic logical offset (the cluster
+layer's high_watermark notion, distributed-walrus/src/rpc.rs:17-20),
+``props`` the opaque payload (src/wal/block.rs:7-10).
+
+Every query is a single declarative DataFrame plan: filters reach the
+parquet scan as PushedFilters, aggregations are partial (map-side
+combine) before the shuffle, and the only wide exchanges are the
+hash-aggregations on ``event_type`` — a low-cardinality key, so at
+100 TB these reduce to one partial-agg pass over the data plus a tiny
+final shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from walrus_spark.catalog import load_table
+from walrus_spark.queries.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "dq01_topic_entry_count",
+    oracle="SELECT count(*) AS cnt FROM events "
+    "WHERE event_type = 'click' AND event_id >= 1000",
+)
+def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 get_topic_entry_count (walrus.rs:129-135): unconsumed entries
+    past a cursor. Both predicates push down to the parquet scan."""
+    return (
+        _events(spark, sf_dir)
+        .where((F.col("event_type") == "click") & (F.col("event_id") >= 1000))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "dq02_all_topic_counts",
+    oracle="SELECT event_type, count(*) AS cnt FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 get_topic_entry_counts (walrus.rs:137-142): per-topic counts."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq03_topic_size",
+    oracle="SELECT event_type, sum(length(props)) AS bytes FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 get_topic_size (walrus.rs:144-178): payload bytes per topic."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum(F.length("props")).alias("bytes"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq04_cursor_batch_read",
+    oracle="SELECT event_id, event_type, value FROM events "
+    "WHERE event_type='view' AND event_id > 500 "
+    "ORDER BY event_id LIMIT 100",
+)
+def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4/D3 cursored batch read (walrus_read.rs:368-1198): next N
+    entries of a topic past an offset. TakeOrderedAndProject — no full
+    sort materializes; each task keeps a 100-row heap."""
+    return (
+        _events(spark, sf_dir)
+        .where((F.col("event_type") == "view") & (F.col("event_id") > 500))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "dq05_topic_state",
+    oracle="SELECT event_type, min(event_id) AS first_off, "
+    "max(event_id) AS last_off, count(*) AS n FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def dq05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 STATE (controller/mod.rs:189-195): per-topic segment state."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.min("event_id").alias("first_off"),
+            F.max("event_id").alias("last_off"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq06_segment_rollover",
+    oracle="SELECT event_type, cast(floor((event_id - 1) / 1000) AS BIGINT) "
+    "AS segment, count(*) AS entries FROM events "
+    "GROUP BY 1,2 ORDER BY 1,2",
+)
+def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 segment rollover (monitor.rs:56-145): segment = floor(offset/N).
+    1000-entry segments stand in for the reference's 1M default at
+    fixture scale."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "segment", F.floor((F.col("event_id") - 1) / F.lit(1000)).cast("long")
+        )
+        .groupBy("event_type", "segment")
+        .agg(F.count("*").alias("entries"))
+        .orderBy("event_type", "segment")
+    )
+
+
+@register(
+    "dq07_high_watermark",
+    oracle="SELECT event_type, max(event_id) AS high_watermark FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def dq07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High watermark per topic (distributed-walrus/src/rpc.rs:17-20)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("high_watermark"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq08_tumbling_window",
+    oracle="SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n, "
+    "round(sum(value), 4) AS v FROM events GROUP BY 1,2 ORDER BY 1,2",
+)
+def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts — the batch-checkable shape of the
+    Structured Streaming windowed agg (walrus_spark.streaming mirrors
+    this with window()+watermark on the live log)."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("w", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
+        .groupBy("event_type", "w")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .orderBy("event_type", "w")
+    )
+
+
+@register(
+    "dq09_distinct_dedup",
+    oracle="SELECT count(*) AS distinct_events FROM "
+    "(SELECT DISTINCT user_id, event_type, ts FROM events) t",
+)
+def dq09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup count (north-star dedup baseline): hash-distinct is a
+    single shuffle on the composite key; at scale this is the partial-agg
+    + shuffle pattern, no driver state."""
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .distinct()
+        .agg(F.count("*").alias("distinct_events"))
+    )
+
+
+@register(
+    "dq10_latest_per_key",
+    oracle="SELECT user_id, event_type, value FROM "
+    "(SELECT user_id, event_type, value, "
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+    " FROM events) t WHERE rn = 1 ORDER BY user_id",
+)
+def dq10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key (stateful-upsert analog): row_number window with a
+    unique tiebreak (event_id). One shuffle on user_id; at 100 TB the
+    same plan holds (windowed rank is partition-local after the
+    exchange)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,179 @@
+"""DQ11–DQ17: the relational query layer over ingested logs.
+
+The reference has no relational surface at all (SURVEY.md §2.4) — this
+layer is the engine's declared extension: once topics are ingested into
+typed tables, stock Catalyst provides joins / aggregations / windows /
+set ops. Zero custom execution code; the value here is that every plan
+is shaped for scale:
+
+ - DQ11: filter + project only — both pushed into the parquet scan.
+ - DQ12: partial hash-agg before the 4-group shuffle.
+ - DQ13: customer is broadcast; orders⋈lineitem shuffles on o_orderkey.
+ - DQ14: both dims broadcast — zero shuffle until the final tiny agg.
+ - DQ15: left-anti broadcast-or-shuffle join picked by AQE.
+ - DQ16: single exchange on o_custkey, heap-bounded top-k output.
+ - DQ17: INTERSECT → distinct + semi-join, one shuffle each side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from walrus_spark.catalog import load_table
+from walrus_spark.queries.registry import register
+
+
+@register(
+    "dq11_filter_project",
+    oracle="SELECT l_orderkey, l_linenumber, "
+    "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 "
+    "ORDER BY l_orderkey, l_linenumber",
+)
+def dq11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "dq12_hash_agg_q1",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_price, "
+    "round(avg(l_discount), 6) AS avg_disc, "
+    "count(*) AS cnt FROM lineitem GROUP BY 1,2 ORDER BY 1,2",
+)
+def dq12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Map-side partial aggregation means the shuffle
+    carries ~(groups × partitions) rows, independent of data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "dq13_join_agg_q3",
+    oracle="SELECT o.o_orderkey, "
+    "round(sum(l.l_extendedprice*(1-l.l_discount)), 4) AS rev "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey=l.l_orderkey "
+    "JOIN customer c ON o.o_custkey=c.c_custkey "
+    "WHERE c.c_mktsegment='BUILDING' "
+    "GROUP BY 1 ORDER BY rev DESC, o.o_orderkey LIMIT 10",
+)
+def dq13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer (filtered on segment) broadcasts; the
+    fact-fact join shuffles once on orderkey. Filter applied before the
+    join so the broadcast build side is minimal."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "dq14_broadcast_chain",
+    oracle="SELECT r_name, n_name, count(*) AS cnt FROM customer c "
+    "JOIN nation n ON c.c_nationkey=n.n_nationkey "
+    "JOIN region r ON n.n_regionkey=r.r_regionkey "
+    "GROUP BY 1,2 ORDER BY 1,2",
+)
+def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: nation and region are tiny dims — both
+    broadcast, so the fact side is never shuffled for the joins."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "dq15_anti_join",
+    oracle="SELECT count(*) AS cnt FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join; Spark needs only o_custkey from
+    orders (column pruning), so the build side is one slim column."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "dq16_window_rank",
+    oracle="SELECT o_custkey, o_orderkey, rank() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+    "FROM orders ORDER BY o_custkey, rk LIMIT 1000",
+)
+def dq16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.rank().over(w).alias("rk"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "dq17_intersect",
+    oracle="SELECT o_custkey FROM "
+    "(SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t "
+    "ORDER BY o_custkey",
+)
+def dq17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.intersect(c).orderBy("o_custkey")

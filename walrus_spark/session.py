@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same settings we would ship on a 1000-executor cluster, modulo
+local-mode sizing: AQE on (skew-join + partition coalescing at runtime),
+broadcast threshold sized for the dimension tables, Arrow enabled for
+the pandas-UDF operators, UTC session time so results match the DuckDB
+oracle's naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and desired) to apply to an externally-created
+# session at runtime — e.g. the driver's verify session.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as LongType
+    # under this flag and walrus_spark.catalog converts to timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dimension tables (region/nation/customer/part/supplier at test SF,
+    # centroid/query-vector frames) should always broadcast
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # keep shuffle output files bounded; AQE coalesces small partitions
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static conf on this build — leave as-is
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkSession:
+    """Create (or get) a tuned local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions track the core count — on a real cluster this would be
+    2-3× total executor cores and AQE coalesces from there.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,10 @@
+"""Structured Streaming plane — the live half of the engine."""
+
+from walrus_spark.streaming.stream import (  # noqa: F401
+    consume_stream,
+    high_watermark_progress,
+    latest_per_key_stream,
+    read_topic_stream,
+    windowed_counts,
+    write_log_stream,
+)

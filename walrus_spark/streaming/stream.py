@@ -1,0 +1,142 @@
+"""Structured Streaming wrappers over the WalrusLog layout.
+
+The reference's streaming semantics (SURVEY.md §2.4) map onto built-in
+Structured Streaming machinery:
+
+  consume-once shared cursor (WalIndex)  → checkpointLocation offset/commit log
+  StrictlyAtOnce                          → exactly-once file sink / idempotent
+                                            foreachBatch (replay-safe)
+  AtLeastOnce{persist_every}              → replayable source, at-least-once
+                                            foreach sink
+  high_watermark (rpc.rs:17-20)           → per-batch max(offset) progress
+  segment rollover (monitor.rs)           → segment column assigned in-stream
+  no event-time in reference              → we ADD watermarks + windows
+                                            (DQ8's streaming form)
+
+A streaming read is `readStream` over the log's data directory with the
+fixed LOG_SCHEMA — new committed batch directories appear atomically
+(files are written before the manifest rename, and the file-stream
+source only sees completed files), so each micro-batch is an atomic
+visibility step exactly like the reference's publish of ``cur_offset``
+(src/wal/runtime/writer.rs:341).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from walrus_spark.log.wal import LOG_SCHEMA, WalrusLog
+
+
+def read_log_stream(spark: SparkSession, log: WalrusLog) -> DataFrame:
+    """Streaming view of a WalrusLog (all topics)."""
+    return (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(f"{log._data_dir}/*/")
+    )
+
+
+def read_topic_stream(
+    spark: SparkSession, log: WalrusLog, topic: str
+) -> DataFrame:
+    """Streaming view of one topic (predicate prunes at the source)."""
+    return read_log_stream(spark, log).where(F.col("topic") == topic)
+
+
+def write_log_stream(
+    df: DataFrame,
+    log: WalrusLog,
+    checkpoint_dir: str,
+    topic_col: str = "topic",
+    payload_col: str = "value",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-ingest into a WalrusLog: each micro-batch is one atomic
+    log commit (foreachBatch → WalrusLog.ingest), giving the reference's
+    batch-append atomicity (O2) with exactly-once via the checkpoint's
+    batch-id dedup."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        log.ingest(batch_df, topic_col=topic_col, payload_col=payload_col)
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def consume_stream(
+    spark: SparkSession,
+    log: WalrusLog,
+    checkpoint_dir: str,
+    sink: "callable",
+    topic: str | None = None,
+) -> StreamingQuery:
+    """Consume-once delivery: the checkpointLocation IS the shared
+    persistent cursor (WalIndex analog) — restarts resume after the last
+    committed micro-batch with no re-delivery (StrictlyAtOnce)."""
+    src = (
+        read_topic_stream(spark, log, topic)
+        if topic
+        else read_log_stream(spark, log)
+    )
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, batch_id)
+
+    return (
+        src.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "topic",
+) -> DataFrame:
+    """DQ8's streaming form: watermarked tumbling-window counts.
+    Late data beyond the watermark is dropped; state is bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def latest_per_key_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup / latest-per-key (DQ9/DQ10 live form) via
+    dropDuplicates with watermark — bounded state, no custom store."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        key_cols + [ts_col]
+    )
+
+
+def high_watermark_progress(query: StreamingQuery) -> dict:
+    """METRICS/high-watermark analog from lastProgress."""
+    p = query.lastProgress
+    if not p:
+        return {}
+    return {
+        "batchId": p.get("batchId"),
+        "numInputRows": p.get("numInputRows"),
+        "sources": [s.get("endOffset") for s in p.get("sources", [])],
+    }

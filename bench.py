@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are forced with a noop sink (full execution, no driver collect —
+the same way you'd measure on a cluster). An `ingest_events` entry
+measures WalrusLog bulk ingestion of the events table (BASELINE.md's
+ingest-throughput target).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from walrus_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("walrus-spark-bench")
+
+    from walrus_spark.catalog import load_table
+    from walrus_spark.log import WalrusLog
+    from walrus_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # JVM/codegen warmup (not measured)
+    load_table(spark, sf_dir, "region").count()
+
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # ingest throughput: events → canonical log table, one atomic commit
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("topic"),
+        F.encode(F.col("props"), "UTF-8").alias("value"),
+    )
+    n_events = ev.count()
+    root = tempfile.mkdtemp(prefix="wal_bench_")
+    try:
+        log = WalrusLog(spark, root)
+        t0 = time.perf_counter()
+        log.ingest(ev, "topic", "value")
+        dt = time.perf_counter() - t0
+        timings["ingest_events"] = round(dt, 4)
+        rows_per_sec = round(n_events / dt, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_rows_per_sec": rows_per_sec,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

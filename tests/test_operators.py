@@ -1,0 +1,77 @@
+"""Operator-level invariants beyond the oracle hash checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from walrus_spark.catalog import load_table
+from walrus_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from walrus_spark.operators.similarity import cosine_topk, ivf_topk
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_lsh_equals_exact(spark):
+    """LSH candidates + verify must reproduce the exact Jaccard pairs."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in exact_jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0  # fixture has injected near-dups
+
+
+def test_simhash_finds_near_identical(spark):
+    """Every Jaccard≈1 pair must be a SimHash pair (hamming small)."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    exact_high = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()
+    }
+    missed = exact_high - sim
+    assert not missed, f"simhash missed near-identical pairs: {missed}"
+
+
+def test_simhash_pairs_are_near_dups(spark):
+    """SimHash pairs must be genuinely similar (precision sanity):
+    every reported pair has word-shingle Jaccard above the noise floor."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    sim = simhash_pairs(docs)
+    exact_any = exact_jaccard_pairs(docs, threshold=0.3).select(
+        "doc_a", "doc_b"
+    )
+    bogus = sim.join(exact_any, ["doc_a", "doc_b"], "left_anti").count()
+    assert bogus == 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 4/16 probes must recover most of the exact top-10."""
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 1).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, 1).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 6, (exact, approx)
+    assert approx[0] == 1  # the query vector itself must rank first
+
+
+def test_shingles_short_doc(spark):
+    from walrus_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [("one two",), ("a b c d",), ("",)], "text string"
+    ).select(shingles(F.col("text")).alias("s"))
+    rows = [r["s"] for r in df.collect()]
+    assert rows[0] == []  # < n words → no shingles, not an error
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []

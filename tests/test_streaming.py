@@ -1,0 +1,115 @@
+"""Streaming-plane semantics: consume-once across restarts, stream
+ingest atomicity, windowed aggregates (SURVEY.md §5 test strategy #3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from walrus_spark.log import WalrusLog
+from walrus_spark.streaming import (
+    consume_stream,
+    latest_per_key_stream,
+    read_topic_stream,
+    windowed_counts,
+    write_log_stream,
+)
+
+
+def _mklog(spark, tmp_path, name="wal"):
+    return WalrusLog(spark, str(tmp_path / name))
+
+
+def test_consume_once_across_restart(spark, tmp_path):
+    log = _mklog(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(f"t{i % 2}", f"p{i}".encode()) for i in range(20)],
+        "topic string, value binary",
+    )
+    log.ingest(src, "topic", "value")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+    q = consume_stream(spark, log, ckpt, lambda b, _i: seen.append(b.count()))
+    q.awaitTermination(120)
+    assert sum(seen) == 20
+    # restart from the same checkpoint: nothing re-delivered
+    q2 = consume_stream(spark, log, ckpt, lambda b, _i: seen.append(b.count()))
+    q2.awaitTermination(120)
+    assert sum(seen) == 20
+    # new data after restart is delivered exactly once
+    log.batch_append("t0", [b"late"])
+    q3 = consume_stream(spark, log, ckpt, lambda b, _i: seen.append(b.count()))
+    q3.awaitTermination(120)
+    assert sum(seen) == 21
+
+
+def test_stream_ingest_into_log(spark, tmp_path):
+    src_log = _mklog(spark, tmp_path, "src")
+    dst_log = _mklog(spark, tmp_path, "dst")
+    src_log.batch_append("a", [b"1", b"2", b"3"])
+    stream = read_topic_stream(spark, src_log, "a")
+    q = write_log_stream(
+        stream.select("topic", "value"),
+        dst_log,
+        str(tmp_path / "ing_ckpt"),
+    )
+    q.awaitTermination(120)
+    dst = WalrusLog(spark, dst_log.root)  # re-hydrate metadata
+    assert dst.high_watermark("a") == 3
+    assert dst.batch_read("a") == [b"1", b"2", b"3"]
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming windowed agg over the events fixture == batch DQ8."""
+    from walrus_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("topic"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    log_dir = str(tmp_path / "evlog")
+    ev.write.parquet(log_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(log_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["topic"], r["w"]["start"], r["n"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r["topic"], r["w"], r["n"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "topic"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_latest_per_key_stream_dedups(spark, tmp_path):
+    rows = [(1, "a", "2024-01-01 00:00:00")] * 3 + [
+        (2, "b", "2024-01-01 01:00:00")
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, ts string").select(
+        "k", "v", F.col("ts").cast("timestamp").alias("ts")
+    )
+    path = str(tmp_path / "dupsrc")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        latest_per_key_stream(stream, ["k"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from dedup_out").collect()[0]["c"] == 2

@@ -1,0 +1,151 @@
+"""WalrusLog semantics — the Spark analogs of the reference's
+integration/batch_writes/configuration test suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from walrus_spark.log import ReadConsistency, WalrusLog
+from walrus_spark.log.wal import MAX_BATCH_ENTRIES
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return WalrusLog(spark, str(tmp_path / "wal"), max_segment_entries=5)
+
+
+def test_append_read_roundtrip(log):
+    log.append("t", b"hello")
+    log.batch_append("t", [b"a", b"", b"\x00\xffbin"])  # empty + binary legal
+    assert log.high_watermark("t") == 4
+    assert log.read_next("t") == b"hello"
+    assert log.read_next("t") == b"a"
+    assert log.read_next("t") == b""
+    assert log.read_next("t") == b"\x00\xffbin"
+    assert log.read_next("t") is None
+
+
+def test_multi_topic_isolation(log):
+    log.batch_append("a", [b"a1", b"a2"])
+    log.batch_append("b", [b"b1"])
+    assert log.read_next("a") == b"a1"
+    assert log.read_next("b") == b"b1"
+    assert log.topic_entry_counts() == {"a": 1, "b": 0}
+
+
+def test_peek_does_not_consume(log):
+    log.batch_append("t", [b"x", b"y"])
+    assert log.read_next("t", checkpoint=False) == b"x"
+    assert log.read_next("t", checkpoint=False) == b"x"
+    assert log.read_next("t", checkpoint=True) == b"x"
+    assert log.read_next("t") == b"y"
+
+
+def test_batch_limits(log):
+    with pytest.raises(ValueError):
+        log.batch_append("t", [b"x"] * (MAX_BATCH_ENTRIES + 1))
+    with pytest.raises(ValueError):
+        log.batch_append("t", [])
+
+
+def test_byte_budget_always_one(log):
+    log.batch_append("t", [b"0123456789", b"ab", b"cd"])
+    # budget smaller than first entry still delivers it
+    assert log.batch_read("t", max_bytes=1) == [b"0123456789"]
+    # budget covers exactly one more entry
+    assert log.batch_read("t", max_bytes=2) == [b"ab"]
+
+
+def test_stateless_start_offset(log):
+    log.batch_append("t", [b"a", b"b", b"c", b"d"])
+    assert log.batch_read("t", start_offset=2) == [b"c", b"d"]
+    # cursor untouched by stateless reads
+    assert log.read_next("t") == b"a"
+
+
+def test_segments_assigned(log):
+    log.batch_append("t", [b"x"] * 7)  # max_segment_entries=5
+    segs = {
+        (r["offset"], r["segment"]) for r in log.topic_df("t").collect()
+    }
+    assert segs == {(i, (i - 1) // 5) for i in range(1, 8)}
+    assert log.state("t")["current_segment"] == 1
+
+
+def test_crash_invisible_without_manifest(log, spark):
+    log.batch_append("t", [b"a"])
+    orphan = os.path.join(log._data_dir, "zzz_orphan")
+    spark.createDataFrame(
+        [("t", 0, 99, b"ghost", None)],
+        "topic string, segment long, offset long, value binary, ts timestamp",
+    ).write.mode("overwrite").parquet(orphan)
+    relog = WalrusLog(spark, log.root)
+    assert relog.high_watermark("t") == 1
+    assert relog.df().where("offset = 99").count() == 0
+
+
+def test_recovery_preserves_cursor_strictly_at_once(log, spark):
+    log.batch_append("t", [b"a", b"b"])
+    log.read_next("t")
+    relog = WalrusLog(spark, log.root)
+    assert relog.read_next("t") == b"b"
+
+
+def test_at_least_once_replays(spark, tmp_path):
+    root = str(tmp_path / "alo")
+    log = WalrusLog(spark, root, consistency=ReadConsistency.at_least_once(10))
+    log.batch_append("t", [b"a", b"b", b"c"])
+    assert log.read_next("t") == b"a"
+    assert log.read_next("t") == b"b"
+    # crash before persist_every threshold → bounded re-delivery
+    relog = WalrusLog(spark, root)
+    assert relog.read_next("t") == b"a"
+
+
+def test_multi_append_atomic_across_topics(log):
+    ranges = log.multi_append({"x": [b"1", b"2"], "y": [b"3"]})
+    assert ranges == {"x": (1, 2), "y": (1, 1)}
+    assert len(log._manifest_records()) == 1
+
+
+def test_vacuum_reclaims_consumed(log):
+    log.batch_append("a", [b"1"])
+    log.batch_append("b", [b"2"])
+    log.batch_read("a")  # consume topic a fully
+    assert log.vacuum() == 1
+    assert log.topic_df("b").count() == 1
+    assert log.high_watermark("a") == 1  # hw survives reclamation
+
+
+def test_compact_preserves_data(log):
+    log.batch_append("t", [b"a", b"b"])
+    log.batch_append("t", [b"c"])
+    log.compact()
+    assert len(log._manifest_records()) == 1
+    assert [
+        bytes(r["value"])
+        for r in log.topic_df("t").orderBy("offset").collect()
+    ] == [b"a", b"b", b"c"]
+
+
+def test_dirty_flags(log):
+    log.batch_append("t", [b"a"])
+    assert not log.topic_is_clean("t")  # appends auto-mark dirty
+    gen = log._dirty["t"]["gen"]
+    log.mark_topic_clean("t")
+    assert log.topic_is_clean("t")
+    assert log._dirty["t"]["gen"] == gen + 1
+
+
+def test_ingest_contiguous_offsets(log, spark):
+    df = spark.createDataFrame(
+        [(f"t{i % 3}", f"p{i}".encode()) for i in range(30)],
+        "topic string, value binary",
+    )
+    log.ingest(df, "topic", "value")
+    log.ingest(df, "topic", "value")  # second commit continues offsets
+    for t in ("t0", "t1", "t2"):
+        offs = [r["offset"] for r in log.topic_df(t).orderBy("offset").collect()]
+        assert offs == list(range(1, 21)), t

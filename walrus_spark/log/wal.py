@@ -336,7 +336,9 @@ class WalrusLog:
     def read_next(self, topic: str, checkpoint: bool = True) -> bytes | None:
         """Next entry at the shared cursor; consume or peek
         (walrus_read.rs:24-345)."""
-        out = self.batch_read(topic, max_bytes=1, checkpoint=checkpoint)
+        out = self.batch_read(
+            topic, max_bytes=1, checkpoint=checkpoint, max_entries=1
+        )
         return out[0] if out else None
 
     def batch_read(
@@ -345,6 +347,7 @@ class WalrusLog:
         max_bytes: int = MAX_BATCH_BYTES,
         checkpoint: bool = True,
         start_offset: int | None = None,
+        max_entries: int = MAX_BATCH_ENTRIES,
     ) -> list[bytes]:
         """Read ≤2000 entries within a payload-byte budget (always ≥1
         entry if available), from the shared cursor or a stateless
@@ -366,7 +369,7 @@ class WalrusLog:
             .where(F.col("offset") > cursor)
             .select("offset", "value")
             .orderBy("offset")
-            .limit(MAX_BATCH_ENTRIES)
+            .limit(min(max_entries, MAX_BATCH_ENTRIES))
             .withColumn("cum", F.sum(F.length("value")).over(w))
             .withColumn("rn", F.row_number().over(w))
             .where(

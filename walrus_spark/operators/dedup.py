@@ -35,6 +35,7 @@ SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
 N_PERM = 64
 LSH_BANDS = 16  # 16 bands × 4 rows; P(miss | j=0.9) ≈ 4e-8
+N_SIMHASH_CHUNKS = 16  # 16 × 4-bit nibbles of the 64-bit sketch
 
 # Fixed universal-hash constants for MinHash: h_i(x) = (a·x + b) mod p
 # over the 32-bit-reduced shingle hash, p = 2^61-1 (Mersenne prime).
@@ -128,10 +129,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition tiny-file inputs across all cores before CPU-heavy
+    per-row work. At production scale inputs arrive in many splits and
+    this is a no-op; on single-file fixtures it's the difference between
+    1 and N cores doing the tokenization."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    """(doc_id, s, sh64): distinct shingles with a 64-bit hash — joins
+    and minhash run on the long, never shuffling shingle strings."""
+    return _spread(docs).select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    )
+    ).withColumn("sh64", F.xxhash64("s"))
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
@@ -142,11 +156,15 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     NOT scale to 100 TB (hot shingles blow up the join); minhash_lsh_pairs
     below is the scale path.
     """
-    sh = _shingle_rows(docs)
+    sh = _shingle_rows(docs).select("doc_id", "sh64")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh64") == F.col("b.sh64"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -177,7 +195,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     ANSI arithmetic never overflows); min-aggregated per doc (partial
     agg before the one shuffle on doc_id)."""
     sh = _shingle_rows(docs)
-    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    h = F.col("sh64").bitwiseAND(F.lit(0xFFFFFFFF))
     mins = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_61))).alias(f"m{i}")
         for i, (a, b) in enumerate(_PERM)
@@ -223,7 +241,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sets = _spread(docs).select("doc_id", shingles(F.col("text")).alias("sh"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -245,13 +263,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → 8 byte-chunks of a 64-bit SimHash over word frequencies.
+    """doc_id → 16 nibble-chunks of a 64-bit SimHash over word-3-shingle
+    frequencies (shingles, not unigrams: unigram frequency profiles are
+    too similar across documents with a shared vocabulary, collapsing
+    Hamming distances).
 
-    Each bit b of the sketch is sign(Σ_w cnt(w) · (±1 per bit b of
-    xxhash64(w))). Kept as 8 uint8 chunks so candidate banding and
+    Each bit b of the sketch is sign(Σ_s cnt(s) · (±1 per bit b of
+    xxhash64(s))). Kept as nibble chunks so candidate banding and
     Hamming verification stay in plain long arithmetic."""
     w = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        _spread(docs)
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.xxhash64("w"))
@@ -266,20 +288,21 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     sums = w.groupBy("doc_id").agg(*bit_sums)
     chunks = [
         sum(
-            (F.when(F.col(f"s{c * 8 + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-            for k in range(8)
+            (F.when(F.col(f"s{c * 4 + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+            for k in range(4)
         ).alias(f"c{c}")
-        for c in range(8)
+        for c in range(N_SIMHASH_CHUNKS)
     ]
     return sums.select("doc_id", *chunks)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ 7.
+def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Candidates = pairs sharing at least one of 8 byte-chunks (pigeonhole:
-    ≤7 differing bits leave ≥1 chunk identical → recall is exact, not
-    probabilistic). Hamming verified with bit_count(xor)."""
+    Candidates = pairs sharing at least one of 16 nibble-chunks
+    (pigeonhole: ≤15 differing bits leave ≥1 of 16 chunks identical →
+    recall is exact for max_hamming ≤ 15, not probabilistic). Hamming
+    verified with bit_count(xor)."""
     sig = simhash_signatures(docs)
     chunked = sig.select(
         "doc_id",
@@ -287,19 +310,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
-                    for c in range(8)
+                    for c in range(N_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("ch"),
-        *[F.col(f"c{c}") for c in range(8)],
+        *[F.col(f"c{c}") for c in range(N_SIMHASH_CHUNKS)],
     ).select("doc_id", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
-             *[f"c{c}" for c in range(8)])
+             *[f"c{c}" for c in range(N_SIMHASH_CHUNKS)])
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = sum(
         F.bit_count(
             F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")).cast("long")
         )
-        for c in range(8)
+        for c in range(N_SIMHASH_CHUNKS)
     )
     return (
         a.join(
@@ -339,32 +362,57 @@ ORDER BY vec_a, vec_b
 """
 
 
-@register("dedup_embedding_cosine", oracle=_EMB_PAIR_ORACLE)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float
-    noise can't affect the hash). Exact pairwise at fixture scale; the
-    100 TB path reuses the LSH machinery (random-hyperplane buckets →
-    verify), same shape as minhash_lsh_pairs."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dbl = F.transform("embedding", lambda x: x.cast("double"))
-    n = e.select(
-        "vec_id",
-        dbl.alias("e"),
-        F.sqrt(
-            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("nrm"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.e", "b.e", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def embedding_cosine_pairs(
+    spark: SparkSession, emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via broadcast block-matmul.
+
+    The reference side (normalized matrix) is broadcast once; each Arrow
+    batch of the probe side does one numpy matmul against it — BLAS
+    speed, no O(n²) join rows ever materialized in the shuffle. This is
+    the standard block-nested-loop design: it scales with executors as
+    long as one side fits in a broadcast (~10M×64 ≈ 5 GB); beyond that
+    the LSH bucketing machinery (minhash_lsh_pairs shape, with
+    random-hyperplane bands) prunes candidate blocks first."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.T
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": b_ids[bi]}
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        emb.select("vec_id", "embedding")
+        .mapInPandas(block, out_schema)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_PAIR_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float noise
+    can't affect the hash)."""
+    return embedding_cosine_pairs(
+        spark, load_table(spark, sf_dir, "embeddings")
     )

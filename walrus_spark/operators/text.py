@@ -161,6 +161,64 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+# runs, punctuation runs, residual whitespace. Restricted to syntax that
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+# lookarounds, only \p{L}/\p{N} classes.
+_BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="SELECT doc_id, len(regexp_extract_all(text, "
+    "'''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) "
+    "AS n_bpe_tokens FROM documents ORDER BY doc_id",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: counts matches of a GPT-2-style
+    pre-tokenizer regex — the standard fast token-budget estimator when
+    the real BPE vocab isn't in the loop. Pure codegen'd regexp_count
+    scan, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+_WINNOW_ORACLE = """
+WITH p AS (
+  SELECT doc_id, lower(text) AS norm,
+         unnest(generate_series(1, greatest(1, length(text) - 7))) AS i
+  FROM documents
+)
+SELECT doc_id, min(md5(substr(norm, i, 8))) AS winnow_fp
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_winnow_fingerprint", oracle=_WINNOW_ORACLE)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): the minimum
+    hash over all character 8-grams of the lowercased text. Robust to
+    content reordering/insertion in a way whole-document hashes aren't —
+    the near-dup complement to `text_fingerprint` for shard-level
+    clustering. Explode positions → codegen'd substr+md5 → min per doc
+    (partial agg: the shuffle carries one 32-char hash per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("norm") - 7))
+    )
+    return (
+        d.select("doc_id", F.lower(F.col("text")).alias("norm"))
+        .select("doc_id", "norm", pos.alias("i"))
+        .select("doc_id", F.md5(F.encode(F.substr("norm", F.col("i"), F.lit(8)), "UTF-8")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("winnow_fp"))
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",

@@ -172,12 +172,20 @@ class WalrusLog:
                 self._hw[topic] = max(self._hw.get(topic, 0), int(rng["last"]))
 
     def _manifest_records(self) -> list[dict]:
+        """Committed batch records, minus any replaced by a compaction.
+
+        A compact record lists the batch ids it `replaces`; filtering
+        them here (rather than deleting their files before the compact
+        commit) makes compaction crash-safe: until the compact record's
+        atomic rename the old records serve reads, after it they are
+        dead regardless of whether their cleanup finished."""
         recs = []
         for name in sorted(os.listdir(self._manifest_dir)):
             if name.endswith(".json"):
                 with open(os.path.join(self._manifest_dir, name)) as f:
                     recs.append(json.load(f))
-        return recs
+        replaced = {b for r in recs for b in r.get("replaces", [])}
+        return [r for r in recs if r["batch"] not in replaced]
 
     def _flush_meta(self) -> None:
         _atomic_write_json(
@@ -493,17 +501,22 @@ class WalrusLog:
             .collect()
         }
         old = self._manifest_records()
+        batch_id = (
+            f"{len(os.listdir(self._manifest_dir)):012d}_compact_"
+            f"{uuid.uuid4().hex[:8]}"
+        )
+        # Commit point: after this rename the old records are dead (they
+        # are filtered via `replaces`), so the cleanup below is pure
+        # garbage collection — a crash anywhere leaves a correct log.
         _atomic_write_json(
-            os.path.join(
-                self._manifest_dir,
-                f"{len(os.listdir(self._manifest_dir)):012d}_compact.json",
-            ),
+            os.path.join(self._manifest_dir, f"{batch_id}.json"),
             {
-                "batch": "compact",
+                "batch": batch_id,
                 "path": out,
                 "topics": {
                     t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
                 },
+                "replaces": [rec["batch"] for rec in old],
             },
         )
         for rec in old:

@@ -292,29 +292,54 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     Bit b of the sketch is sign(Σ_s ±1 per bit b of xxhash64(s)) over
     the doc's distinct shingles. One explode + ONE partial-aggregated
-    groupBy(doc_id) computing 64 codegen'd conditional sums (the
-    shingle sets are already distinct, so no counting pre-shuffle is
-    needed); the sketch long is assembled from the sums in a
-    post-aggregation projection.
+    groupBy(doc_id), with the 64 per-bit counters PACKED four to a long
+    in 16-bit lanes: each input row projects 16 longs whose lanes hold
+    bits (4j..4j+3) of the hash, and 16 plain sums accumulate all 64
+    counters at once. Versus 64 separate conditional sums this shrinks
+    the aggregate buffer (and its generated update/merge code, whose
+    janino compile dominated cold-start) by 4×. With p_b the unpacked
+    lane count and n the row count, sign(2·p_b − n) gives bit b.
 
-    The long is assembled from two 32-bit halves with shift/OR so bit 63
-    never goes through ANSI `+` (which would overflow-error on the sign
-    bit); each shiftleft operand is cast to long first (int shiftleft
-    wraps at bit 31)."""
-    sh = _shingle_rows(docs)
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright("sh64", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(64)
+    Lane capacity bounds a doc at 32767 distinct shingles (the top lane
+    must stay clear of the long sign bit under ANSI sum); docs are
+    capped via slice() before counting, which only affects pathological
+    multi-megabyte single documents.
+
+    The sketch long is assembled from two 32-bit halves with shift/OR so
+    bit 63 never goes through ANSI `+` (which would overflow-error on
+    the sign bit); each shiftleft operand is a long (int shiftleft wraps
+    at bit 31)."""
+    sh = (
+        _shingle_sets(docs)
+        .select("doc_id", F.explode(F.slice("sh", 1, 32767)).alias("s"))
+        .withColumn("sh64", F.xxhash64("s"))
+    )
+    packed = [
+        sum(
+            F.shiftleft(
+                F.shiftrightunsigned("sh64", 4 * j + k)
+                .bitwiseAND(F.lit(1))
+                .cast("long"),
+                16 * k,
+            )
+            for k in range(4)
+        ).alias(f"p{j}")
+        for j in range(16)
     ]
-    sums = sh.groupBy("doc_id").agg(*bit_sums)
+    sums = (
+        sh.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"p{j}").alias(f"p{j}") for j in range(16)],
+        )
+    )
 
     def bit(b: int) -> Column:
-        return (
-            F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        j, k = b // 4, b % 4
+        p = F.shiftrightunsigned(f"p{j}", 16 * k).bitwiseAND(F.lit(0xFFFF))
+        return F.when(2 * p > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
         )
 
     lo = sum(F.shiftleft(bit(b), b) for b in range(32))

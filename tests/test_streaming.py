@@ -113,3 +113,48 @@ def test_latest_per_key_stream_dedups(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) c from dedup_out").collect()[0]["c"] == 2
+
+
+def test_stateful_topic_stats_across_restart(spark, tmp_path):
+    """Custom-state-store operator: running per-topic stats must fold
+    only new rows per batch and persist state across a checkpointed
+    restart (the WalIndex-analog semantics of SURVEY.md §7 stage 6)."""
+    from walrus_spark.streaming import topic_stats_stream
+    from walrus_spark.streaming.stream import read_log_stream
+
+    log = _mklog(spark, tmp_path, "stats")
+    log.batch_append("a", [b"xx", b"yyy"])
+    log.batch_append("b", [b"z"])
+    ckpt = str(tmp_path / "stats_ckpt")
+    latest: dict[str, tuple] = {}
+
+    def run():
+        stats = topic_stats_stream(read_log_stream(spark, log))
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _i: latest.update(
+                    {
+                        r["topic"]: (
+                            r["high_watermark"],
+                            r["entries"],
+                            r["bytes"],
+                        )
+                        for r in b.collect()
+                    }
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert latest["a"] == (2, 2, 5)
+    assert latest["b"] == (1, 1, 1)
+    # append more and restart from checkpoint: totals accumulate
+    log.batch_append("a", [b"wwww"])
+    run()
+    assert latest["a"] == (3, 3, 9)
+    assert latest["b"] == (1, 1, 1)

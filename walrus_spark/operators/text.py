@@ -102,19 +102,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (length, punctuation density,
     stopword ratio) — the standard pre-training quality filters."""
     d = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
+    ws = F.col("ws")
     n_tok = F.size(ws)
-    return d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
-        F.round(
-            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
-            / F.length("text"),
-            6,
-        ).alias("punct_ratio"),
-        F.round(_hits(ws, _STOP["en"]) / n_tok, 6).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    return (
+        # tokens materialized once: `ws` is a non-cheap alias referenced
+        # multiple times, so CollapseProject keeps the stage boundary and
+        # the regex split runs once per row instead of per sub-expression
+        # (HOFs are interpreted — no CSE).
+        d.select("doc_id", "text", tokens(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.length("text").alias("n_chars_calc"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+                / F.length("text"),
+                6,
+            ).alias("punct_ratio"),
+            F.round(_hits(ws, _STOP["en"]) / n_tok, 6).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _LANG_ORACLE = """
@@ -145,8 +153,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax tie-break (en > de > es > fr > und); mirrored
     verbatim in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
-    h = {lang: _hits(ws, stops) for lang, stops in _STOP.items()}
+    # Two-stage projection: tokens once, then the four interpreted-HOF
+    # hit counts once each; the argmax reads plain columns. Inlining
+    # everything would re-split and re-filter per `when` branch (no CSE
+    # in interpreted HOF evaluation).
+    hits = d.select("doc_id", tokens(F.col("text")).alias("ws")).select(
+        "doc_id",
+        *[
+            _hits(F.col("ws"), stops).alias(f"h_{lang}")
+            for lang, stops in _STOP.items()
+        ],
+    )
+    h = {lang: F.col(f"h_{lang}") for lang in _STOP}
     pred = (
         F.when(
             (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"])
@@ -158,7 +176,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
-    return d.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+    return hits.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
 
 
 # GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit

@@ -130,6 +130,56 @@ def latest_per_key_stream(
     )
 
 
+def topic_stats_stream(stream: DataFrame) -> DataFrame:
+    """Per-topic running (high_watermark, entries, bytes) with an
+    explicit custom state store — the live form of O9–O11 and the
+    WalIndex-style per-topic state the reference persists
+    (src/wal/runtime/index.rs:6-14, walrus.rs:129-178).
+
+    Implemented with `applyInPandasWithState`: state is keyed by topic,
+    stored in Spark's checkpointed state store (surviving restarts the
+    way WalIndex survives process crashes), and each micro-batch folds
+    only its new rows into the running totals — O(batch) work, O(topics)
+    state, no re-scan of history. This is the §7-stage-6 "custom state
+    store" pattern; extend the same shape for consume-once cursors or
+    streaming dedup keyed on content hashes."""
+    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "topic string, high_watermark long, entries long, bytes long"
+    )
+    state_schema = "hw long, entries long, bytes long"
+
+    def update(key, pdfs, state):
+        hw, n, b = (
+            tuple(state.get) if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            hw = max(hw, int(pdf["offset"].max()))
+            n += len(pdf)
+            b += int(pdf["value"].map(lambda v: len(v) if v is not None else 0).sum())
+        state.update((int(hw), int(n), int(b)))
+        yield pd.DataFrame(
+            {
+                "topic": [key[0]],
+                "high_watermark": [int(hw)],
+                "entries": [int(n)],
+                "bytes": [int(b)],
+            }
+        )
+
+    return stream.groupBy("topic").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def high_watermark_progress(query: StreamingQuery) -> dict:
     """METRICS/high-watermark analog from lastProgress."""
     p = query.lastProgress

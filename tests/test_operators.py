@@ -75,3 +75,26 @@ def test_shingles_short_doc(spark):
     assert rows[0] == []  # < n words → no shingles, not an error
     assert rows[1] == ["a b c", "b c d"]
     assert rows[2] == []
+
+
+def test_embedding_lsh_recall_and_precision(spark):
+    """Hyperplane-LSH pairs: perfect precision (exact verify stage) and
+    high recall vs the exact broadcast-matmul operator."""
+    from walrus_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_pairs(spark, emb).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_lsh_pairs(spark, emb).collect()
+    }
+    assert lsh <= exact  # verify stage guarantees precision
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"

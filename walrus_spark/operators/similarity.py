@@ -7,9 +7,11 @@ deterministic coarse quantizer bucketizes vectors once (write-time at
 100 TB), then queries probe only nprobe buckets — the scan shrinks by
 ~nlist/nprobe.
 
-All arithmetic is JVM-side (zip_with/aggregate fold over array<double>),
-whole-stage-codegen'd; summation order is the array order, matching the
-oracle's list fold exactly, so cosines are byte-identical doubles.
+All arithmetic is JVM-side (zip_with/aggregate fold over array<double>).
+Higher-order folds evaluate interpreted, but at 64 dims the per-row cost
+is trivial and the sequential fold order matches the oracle's list fold
+exactly, so cosines are byte-identical doubles (an explode+sum would be
+codegen'd but float-nondeterministic in summation order).
 """
 
 from __future__ import annotations

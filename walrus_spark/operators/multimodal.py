@@ -100,6 +100,81 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_STRIDE = 64
+FRAME_BYTES = 16
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+        StructField("frame_bytes", IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, stride: int = FRAME_STRIDE, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
+    """Frame sampling over video-like payloads: every `stride` bytes,
+    emit a `frame_bytes` slice — the one-to-many mapInPandas shape a
+    real frame decoder uses (one output row per sampled frame, batch
+    boundaries independent of per-payload frame counts). The byte-slice
+    stands in for the stubbed codec; the fan-out plumbing is real."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # frames are sliced in character space so the DuckDB
+                # oracle (whose substring is VARCHAR-only) can replicate
+                # the slices exactly; hashes run over the UTF-8 bytes
+                s = bytes(payload).decode("utf-8")
+                n_frames = (len(s) - 1) // stride + 1 if s else 1
+                for k in range(n_frames):
+                    fr = s[k * stride : k * stride + frame_bytes].encode(
+                        "utf-8"
+                    )
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    shas.append(hashlib.sha256(fr).hexdigest())
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+_FRAME_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(0, (n - 1) // 64))) AS k
+  FROM b
+)
+SELECT doc_id, k::INT AS frame_idx,
+       sha256(substring(text, (k * 64 + 1)::INT, 16)) AS frame_sha,
+       octet_length(encode(substring(text, (k * 64 + 1)::INT, 16)))::INT
+         AS frame_bytes
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling round-trip: documents → BINARY media → one row per
+    sampled frame, oracle-verified byte-for-byte via sha256."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(as_media(d)).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_features",
     oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

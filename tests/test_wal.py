@@ -170,3 +170,50 @@ def test_compact_crash_before_cleanup_is_safe(log, spark, monkeypatch):
     assert log2.high_watermark("t") == 3
     assert log2.df().count() == 3
     assert log2.batch_read("t", checkpoint=False) == [b"a", b"b", b"c"]
+
+
+def test_concurrent_appends_chaos(log):
+    """Chaos analog of the reference's concurrency suite
+    (tests/integration.rs concurrent writers): threads hammer disjoint
+    and overlapping topics; afterwards every topic must hold exactly its
+    entries, contiguous from offset 1."""
+    import threading
+
+    topics = [f"t{i}" for i in range(4)]
+    per_thread = 5
+
+    def writer(tid: int):
+        for j in range(per_thread):
+            t = topics[(tid + j) % len(topics)]
+            log.append(t, f"{tid}:{j}".encode())
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = 4 * per_thread
+    assert sum(log.high_watermark(t) for t in topics) == total
+    for t in topics:
+        hw = log.high_watermark(t)
+        offs = [
+            r["offset"]
+            for r in log.topic_df(t).select("offset").orderBy("offset").collect()
+        ]
+        assert offs == list(range(1, hw + 1)), f"gap in {t}"
+
+
+def test_namespace_isolation(spark, tmp_path):
+    """for_key namespaces (new_for_key analog): separate data, cursors,
+    metadata; hostile keys are sanitized into the base root."""
+    a = WalrusLog.for_key(spark, str(tmp_path), "tenant-a")
+    b = WalrusLog.for_key(spark, str(tmp_path), "../../etc/passwd")
+    a.append("t", b"a1")
+    b.append("t", b"b1")
+    assert a.read_next("t") == b"a1"
+    assert a.read_next("t") is None
+    assert b.read_next("t", checkpoint=False) == b"b1"
+    assert b.topic_entry_count("t") == 1
+    assert os.path.commonpath(
+        [str(tmp_path), os.path.abspath(b.root)]
+    ) == str(tmp_path)

@@ -49,7 +49,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -146,7 +148,23 @@ class WalrusLog:
         self._cursors: dict[str, int] = {}
         self._dirty: dict[str, dict] = {}
         self._unpersisted_reads: dict[str, int] = {}
+        # Serializes offset assignment + manifest commit across threads —
+        # the coarse-grained analog of the reference's per-key async
+        # mutex (distributed-walrus/src/bucket.rs:60-118). Reads are
+        # lock-free Spark scans.
+        self._write_lock = threading.Lock()
         self.recover()
+
+    @classmethod
+    def for_key(
+        cls, spark: SparkSession, base_root: str, key: str, **kwargs
+    ) -> "WalrusLog":
+        """Namespace-isolated instance (new_for_key /
+        WALRUS_INSTANCE_KEY analog, src/wal/paths.rs:11-36): the key is
+        sanitized to a filesystem-safe directory under base_root, so
+        tenants share nothing — not data, not cursors, not metadata."""
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", key) or "_"
+        return cls(spark, os.path.join(base_root, safe), **kwargs)
 
     # ------------------------------------------------------------------
     # recovery (startup_chore analog, walrus.rs:240-425)
@@ -221,7 +239,17 @@ class WalrusLog:
     def multi_append(
         self, batches: dict[str, list[bytes]]
     ) -> dict[str, tuple[int, int]]:
-        """Atomically append to several topics in ONE commit."""
+        """Atomically append to several topics in ONE commit.
+
+        Thread-safe: concurrent appenders serialize on the write lock,
+        so offsets stay per-topic contiguous (the single-writer-per-
+        segment invariant, TLA+ InvSeqOrder)."""
+        with self._write_lock:
+            return self._multi_append_locked(batches)
+
+    def _multi_append_locked(
+        self, batches: dict[str, list[bytes]]
+    ) -> dict[str, tuple[int, int]]:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         rows: list[Row] = []
         ranges: dict[str, tuple[int, int]] = {}
@@ -271,6 +299,12 @@ class WalrusLog:
         per-topic row_number on top of the persisted high watermark —
         one shuffle by topic, no driver data movement (SURVEY.md §7
         "monotonic offset assignment under parallelism")."""
+        with self._write_lock:
+            self._ingest_locked(df, topic_col, payload_col)
+
+    def _ingest_locked(
+        self, df: DataFrame, topic_col: str, payload_col: str
+    ) -> None:
         from pyspark.sql.window import Window
 
         hw_rows = [

@@ -65,6 +65,24 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings["ingest_events"] = round(dt, 4)
         rows_per_sec = round(n_events / dt, 1)
+
+        # streaming consume: availableNow over the just-ingested log —
+        # BASELINE.md's micro-batch latency target
+        from walrus_spark.streaming import consume_stream
+
+        ckpt = tempfile.mkdtemp(prefix="wal_bench_ckpt_")
+        consumed = [0]
+        t0 = time.perf_counter()
+        q = consume_stream(
+            spark, log, ckpt, lambda b, _i: consumed.__setitem__(
+                0, consumed[0] + b.count()
+            )
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        timings["stream_consume"] = round(dt, 4)
+        stream_rows_per_sec = round(consumed[0] / dt, 1)
+        shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -78,6 +96,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_rows_per_sec": rows_per_sec,
+                "stream_consume_rows_per_sec": stream_rows_per_sec,
                 "n_queries": len(timings),
             }
         )

@@ -177,3 +177,45 @@ def dq17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey")
     )
     return o.intersect(c).orderBy("o_custkey")
+
+
+@register(
+    "dq18b_rollup",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+)
+def dq18b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — grouping-sets are a single
+    Expand + one partial-aggregated shuffle in Spark (no extra scans
+    per grouping level)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "dq15b_semi_join",
+    oracle="SELECT count(*) AS cnt FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def dq15b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left-semi join) — the complement of DQ15's anti join;
+    one hash join (broadcast-or-shuffle by AQE), no row duplication
+    from the many-side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("cnt"))
+    )

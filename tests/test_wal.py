@@ -217,3 +217,42 @@ def test_namespace_isolation(spark, tmp_path):
     assert os.path.commonpath(
         [str(tmp_path), os.path.abspath(b.root)]
     ) == str(tmp_path)
+
+
+def test_property_roundtrip_random_batches(spark, tmp_path):
+    """Property-style round-trip (the reference's generated-pattern
+    integrity tests, tests/batch_writes.rs): arbitrary byte payloads in
+    arbitrary batch splits across topics come back exactly, in order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=64), min_size=1, max_size=8
+    )
+    batches = st.lists(
+        st.tuples(st.sampled_from(["t0", "t1", "t2"]), payloads),
+        min_size=1,
+        max_size=4,
+    )
+
+    case = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(batches=batches)
+    def run(batches):
+        case[0] += 1
+        log = WalrusLog(spark, str(tmp_path / f"prop{case[0]}"))
+        want: dict[str, list[bytes]] = {}
+        for topic, ps in batches:
+            log.batch_append(topic, ps)
+            want.setdefault(topic, []).extend(bytes(p) for p in ps)
+        for topic, exp in want.items():
+            got = log.batch_read(topic, checkpoint=False)
+            assert got == exp
+            assert log.high_watermark(topic) == len(exp)
+
+    run()

@@ -127,11 +127,15 @@ def ivf_topk(
     exact cosine inside them. At scale the assignment is precomputed and
     partitioned by cluster → the query scans nprobe/nlist of the data."""
     assigned = ivf_assign(emb, n_centroids)
-    q = assigned.where(F.col("vec_id") == query_vec_id).select(
+    e = emb.select("vec_id", _dbl("embedding").alias("e"))
+    q = e.where(F.col("vec_id") == query_vec_id).select(
         F.col("e").alias("q"), _norm("e").alias("nq")
     )
-    cents = assigned.where(F.col("vec_id") < n_centroids).select(
-        F.col("cluster").alias("pcluster"), F.col("e").alias("c")
+    # centroid list comes straight from the base table (a centroid's
+    # nearest centroid is itself, so routing through the assignment
+    # cross-join would only recompute it)
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("pcluster"), F.col("e").alias("c")
     )
     probe = broadcast(
         cents.crossJoin(broadcast(q))

@@ -98,3 +98,36 @@ def test_embedding_lsh_recall_and_precision(spark):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.7, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built edge cases: no preceding right row -> NULL; equal-ts
+    right row counts (at-or-before); ties on ts pick highest tiebreak;
+    keys never mix."""
+    from datetime import datetime
+
+    from walrus_spark.operators.asof import asof_join
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime(2024, 1, 1, 13, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t), (2, 20, t), (3, 10, t2)],
+        "lid long, k long, ts timestamp",
+    ).select("lid", F.col("k"), "ts")
+    right = spark.createDataFrame(
+        [
+            (100, 10, t),   # same ts as lid=1 -> counts (at-or-before)
+            (101, 10, t),   # tie on ts: higher id wins
+            (102, 10, t2),  # later; only visible to lid=3
+            (200, 20, t2),  # after lid=2's ts -> lid=2 gets NULL
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_tiebreak="rid", right_payload=["rid"],
+        ).collect()
+    }
+    assert out == {1: 101, 2: None, 3: 102}

@@ -1,0 +1,170 @@
+"""Scalar-function-library queries + the as-of join operator surface.
+
+The reference exposes no scalar functions at all (SURVEY.md §2.4:
+payloads are opaque bytes). Our engine's function surface is PySpark's
+built-in library — every expression here stays JVM-side inside
+whole-stage codegen; nothing drops to Python. Each query doubles as a
+DuckDB-parity check of the string / math / date / JSON function
+families, and dq22 exercises the custom `asof_join` operator
+(operators/asof.py) that Spark itself lacks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from walrus_spark.catalog import load_table
+from walrus_spark.operators.asof import asof_join
+from walrus_spark.queries.registry import register
+
+
+@register(
+    "dq17b_except",
+    oracle="SELECT c_custkey FROM (SELECT c_custkey FROM customer "
+    "EXCEPT SELECT o_custkey FROM orders) t ORDER BY c_custkey",
+)
+def dq17b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers who never ordered, as a set op;
+    complements DQ17's INTERSECT. One shuffle per side (distinct +
+    left-anti), both on a single slim key column."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.subtract(o).orderBy("c_custkey")
+
+
+@register(
+    "dq21_scalar_string_math",
+    oracle="SELECT p_partkey, upper(p_brand) AS brand_u, "
+    "substring(p_name, 1, 8) AS name8, "
+    "CAST(length(p_name) AS BIGINT) AS name_len, "
+    "CAST(p_size % 7 AS BIGINT) AS size_mod, "
+    "round(sqrt(p_retailprice), 4) AS price_sqrt, "
+    "concat(p_brand, ':', p_type) AS brand_type "
+    "FROM part ORDER BY p_partkey",
+)
+def dq21_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math function family over `part` — all built-in codegen
+    expressions, so the scan is the whole cost (no UDF boundary)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "dq21b_scalar_dates",
+    oracle="SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "CAST(month(o_orderdate) AS BIGINT) AS mo, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start, "
+    "CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) "
+    "AS days_since FROM orders ORDER BY o_orderkey",
+)
+def dq21b_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over `orders` (year/month extraction,
+    truncation, day arithmetic) — codegen expressions, scan-bound."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        )
+        .cast("long")
+        .alias("days_since"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "dq24_json_extract",
+    oracle="SELECT event_id, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events ORDER BY event_id",
+)
+def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode — the relational-layer step that turns the
+    reference's opaque byte payloads into typed columns (SURVEY.md §7
+    stage 4). `get_json_object` is a JVM expression; at scale prefer a
+    `from_json` with an explicit schema once the topic schema is known."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "dq25_supplier_stats",
+    oracle="SELECT n_name, round(sum(s_acctbal), 2) AS acctbal_sum, "
+    "count(*) AS suppliers FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "GROUP BY n_name ORDER BY n_name",
+)
+def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg over `supplier` (completes fixture-table
+    coverage). nation broadcasts; supplier is never shuffled pre-agg."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("acctbal_sum"),
+            F.count("*").alias("suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "dq22_asof_join",
+    oracle="WITH c AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type='click'), "
+    "v AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type='view'), "
+    "j AS (SELECT c.event_id AS click_id, v.event_id AS view_id, "
+    "row_number() OVER (PARTITION BY c.event_id "
+    "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+    "FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) "
+    "SELECT c.event_id AS click_id, j.view_id FROM c "
+    "LEFT JOIN (SELECT click_id, view_id FROM j WHERE rn = 1) j "
+    "ON j.click_id = c.event_id ORDER BY click_id",
+)
+def dq22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'click' event attributed to the same user's
+    latest 'view' at or before it (ties on ts → highest view id).
+
+    The oracle is the O(|clicks|·|views| per user) inequality-join
+    formulation; the Spark side is the union-window algorithm in
+    operators/asof.py — one shuffle, no row explosion, the plan a
+    100 TB attribution job needs."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", "ts")
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_tiebreak="view_id",
+        right_payload=["view_id"],
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"), "view_id"
+    ).orderBy("click_id")

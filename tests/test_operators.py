@@ -131,3 +131,27 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: 101, 2: None, 3: 102}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables must sort-merge join with zero
+    exchanges (the repeated fact-fact join scale path)."""
+    from walrus_spark.operators.bucketing import (
+        colocated_join,
+        materialize_bucketed,
+    )
+
+    o = load_table(spark, SF_DIR_ORACLE, "orders")
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    materialize_bucketed(o, "b_orders", str(tmp_path / "bo"), "o_orderkey")
+    materialize_bucketed(li, "b_lineitem", str(tmp_path / "bl"), "o_orderkey")
+    try:
+        j = colocated_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == load_table(spark, SF_DIR_ORACLE, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -39,12 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs → TIMESTAMP_NTZ (session TZ is UTC, so the wall-clock
-        # value is identical to DuckDB's naive timestamp)
+        # value is identical to DuckDB's naive timestamp). Integer `div`,
+        # not `/`: epoch-ns values exceed double's 2^53 exact range, so
+        # float division rounds the microsecond.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -168,3 +168,38 @@ def dq22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("event_id").alias("click_id"), "view_id"
     ).orderBy("click_id")
+
+
+@register(
+    "dq26_sessionization",
+    oracle="WITH x AS (SELECT user_id, ts, value, event_id, "
+    "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk "
+    "FROM events), "
+    "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+    "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+    "round(sum(value), 4) AS total_value FROM s GROUP BY user_id, sid "
+    "ORDER BY user_id, session_start",
+)
+def dq26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user activity sessions closed by a 5-minute
+    inactivity gap — Spark's built-in `session_window` (the same
+    operator runs streaming with a watermark, where sessions merge
+    incrementally in the state store). One shuffle on user_id; the
+    oracle is the batch gaps-and-islands formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -256,3 +256,23 @@ def test_property_roundtrip_random_batches(spark, tmp_path):
             assert log.high_watermark(topic) == len(exp)
 
     run()
+
+
+def test_typed_topic_view_roundtrip(spark, tmp_path):
+    """Ingest JSON payloads, register a typed view, and query it with
+    SQL — decoded aggregates must match the source; undecodable rows
+    survive as NULLs."""
+    import json
+
+    from walrus_spark.log.views import register_topic_view
+
+    log = WalrusLog(spark, str(tmp_path / "tv"))
+    payloads = [json.dumps({"k": i, "v": i * 1.5}).encode() for i in range(50)]
+    log.batch_append("m", payloads + [b"not json"])
+    name = register_topic_view(spark, log, "m", "k long, v double")
+    got = spark.sql(
+        f"SELECT count(k) AS n, sum(k) AS s FROM {name} WHERE k IS NOT NULL"
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (50, sum(range(50)))
+    bad = spark.sql(f"SELECT count(*) AS n FROM {name} WHERE k IS NULL").collect()[0]
+    assert bad["n"] == 1  # kept, not dropped

@@ -6,3 +6,7 @@ from walrus_spark.log.wal import (  # noqa: F401
     ReadConsistency,
     WalrusLog,
 )
+from walrus_spark.log.views import (  # noqa: F401
+    register_topic_view,
+    typed_topic_view,
+)

@@ -9,10 +9,13 @@ Layout:
   session    — tuned SparkSession factory
   catalog    — fixture table loading / view registration
   log        — WalrusLog: topic log with atomic batch append, cursors,
-               segments, metadata ops (the reference's core API)
-  queries    — declared query surface (DQ1–DQ20) as DataFrame builders
-               with DuckDB oracle SQL
-  operators  — dedup / similarity / text-analysis / multimodal operators
+               segments, metadata ops (the reference's core API), plus
+               typed views decoding payloads into queryable columns
+  queries    — declared query surface (DQ1–DQ26 + extensions) as
+               DataFrame builders with DuckDB oracle SQL
+  operators  — dedup / similarity / text-analysis / multimodal ops,
+               as-of join, bucketed co-located joins
+  functions  — UDAF/UDTF surface (grouped-agg pandas, Python UDTF)
   streaming  — Structured Streaming plane (sources, sinks, windowed aggs)
 """
 

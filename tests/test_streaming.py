@@ -58,6 +58,87 @@ def test_stream_ingest_into_log(spark, tmp_path):
     assert dst.batch_read("a") == [b"1", b"2", b"3"]
 
 
+def test_stream_skips_uncommitted_orphan(spark, tmp_path):
+    """A crashed write (data dir present, no manifest record) must be
+    invisible to streams, not just batch reads — streams list the
+    committed mirror, never raw data/."""
+    import os
+
+    log = _mklog(spark, tmp_path)
+    log.batch_append("t", [b"committed"])
+    orphan = os.path.join(log._data_dir, "zzz_orphan")
+    spark.createDataFrame(
+        [("t", 0, 99, b"ghost", None)],
+        "topic string, segment long, offset long, value binary, ts timestamp",
+    ).write.mode("overwrite").parquet(orphan)
+    seen: list[bytes] = []
+    q = consume_stream(
+        spark,
+        log,
+        str(tmp_path / "orph_ckpt"),
+        lambda b, _i: seen.extend(bytes(r["value"]) for r in b.collect()),
+    )
+    q.awaitTermination(120)
+    assert seen == [b"committed"]
+
+
+def test_stream_no_duplicates_after_compact(spark, tmp_path):
+    """Compaction re-packs already-delivered entries; its output is not
+    mirrored, so a live consumer checkpoint sees no double delivery —
+    only genuinely new appends."""
+    log = _mklog(spark, tmp_path)
+    log.batch_append("t", [b"a", b"b"])
+    ckpt = str(tmp_path / "cmp_ckpt")
+    seen: list[bytes] = []
+
+    def consume():
+        q = consume_stream(
+            spark,
+            log,
+            ckpt,
+            lambda b, _i: seen.extend(bytes(r["value"]) for r in b.collect()),
+        )
+        q.awaitTermination(120)
+
+    consume()
+    assert sorted(seen) == [b"a", b"b"]
+    log.compact()
+    consume()
+    assert sorted(seen) == [b"a", b"b"]  # nothing re-delivered
+    log.batch_append("t", [b"c"])
+    consume()
+    assert sorted(seen) == [b"a", b"b", b"c"]
+
+
+def test_stream_ingest_replayed_batch_commits_once(spark, tmp_path):
+    """foreachBatch is at-least-once; the manifest txn id makes the
+    commit idempotent. Simulate a replay by deleting the sink
+    checkpoint's commit log so the same micro-batch re-runs."""
+    import shutil
+
+    src_log = _mklog(spark, tmp_path, "src2")
+    dst_log = _mklog(spark, tmp_path, "dst2")
+    src_log.batch_append("a", [b"1", b"2"])
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    def run():
+        q = write_log_stream(
+            read_topic_stream(spark, src_log, "a").select("topic", "value"),
+            dst_log,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    # crash-before-sink-commit analog: source offsets survive, the
+    # commit marker does not → Spark replays micro-batch 0
+    shutil.rmtree(f"{ckpt}/commits")
+    run()
+    dst = WalrusLog(spark, dst_log.root)
+    assert dst.high_watermark("a") == 2
+    assert dst.batch_read("a") == [b"1", b"2"]
+
+
 def test_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
     """Streaming windowed agg over the events fixture == batch DQ8."""
     from walrus_spark.catalog import load_table

@@ -172,6 +172,55 @@ def test_compact_crash_before_cleanup_is_safe(log, spark, monkeypatch):
     assert log2.batch_read("t", checkpoint=False) == [b"a", b"b", b"c"]
 
 
+def test_ingest_txn_idempotent(log, spark):
+    """A replayed ingest with the same txn id must commit exactly once,
+    including after a restart (txn ids survive in the manifest)."""
+    df = spark.createDataFrame([("t", b"x"), ("t", b"y")], "topic string, value binary")
+    log.ingest(df, "topic", "value", txn="ckpt#0")
+    log.ingest(df, "topic", "value", txn="ckpt#0")  # replay → no-op
+    assert log.high_watermark("t") == 2
+    relog = WalrusLog(spark, log.root)
+    relog.ingest(df, "topic", "value", txn="ckpt#0")  # replay after crash
+    assert relog.high_watermark("t") == 2
+    relog.ingest(df, "topic", "value", txn="ckpt#1")  # new batch commits
+    assert relog.high_watermark("t") == 4
+
+
+def test_ingest_txn_survives_compaction(log, spark):
+    """Compaction carries committed txn ids forward — a replay arriving
+    after compact + restart is still deduplicated."""
+    df = spark.createDataFrame([("t", b"x")], "topic string, value binary")
+    log.ingest(df, "topic", "value", txn="ck#7")
+    log.compact()
+    relog = WalrusLog(spark, log.root)
+    relog.ingest(df, "topic", "value", txn="ck#7")
+    assert relog.high_watermark("t") == 1
+
+
+def test_compact_does_not_lose_concurrent_appends(log):
+    """Appends racing a compaction must never be dropped: both hold the
+    write lock, so every acknowledged entry is in the final log
+    (the ADVICE data-loss scenario, made into a chaos regression)."""
+    import threading
+
+    def appender():
+        for j in range(12):
+            log.append("hot", f"v{j}".encode())
+
+    t = threading.Thread(target=appender)
+    t.start()
+    for _ in range(4):
+        log.compact()
+    t.join()
+    log.compact()
+    vals = [
+        bytes(r["value"])
+        for r in log.topic_df("hot").orderBy("offset").collect()
+    ]
+    assert vals == [f"v{j}".encode() for j in range(12)]
+    assert log.high_watermark("hot") == 12
+
+
 def test_concurrent_appends_chaos(log):
     """Chaos analog of the reference's concurrency suite
     (tests/integration.rs concurrent writers): threads hammer disjoint

@@ -39,6 +39,21 @@ Architecture (Spark-first, NOT a port):
     bucket.rs:110-118). Reads are fully distributed Spark scans.
   * Cursors: tiny JSON sidecar written via tmp+atomic-rename, mirroring
     WalIndex's fsync+rename (src/wal/runtime/index.rs:70-83).
+  * Stream mirror: <root>/stream/ holds one hardlinked directory per
+    manifest-COMMITTED batch (created only after the manifest rename,
+    appearing atomically via dir rename). Structured Streaming sources
+    list this mirror, never data/ — so a crashed uncommitted write can
+    never be stream-delivered, and compaction output (which re-packs
+    already-delivered entries) is never mirrored, so live streams see
+    each entry exactly once. Hardlinks cost O(files) metadata, no data
+    copy; on an object store this role is played by a manifest-aware
+    source (Delta/Iceberg streaming) instead.
+
+Concurrency: appends/ingest/compact/vacuum all serialize on one write
+lock (the reference's per-key async mutex analog, distributed-walrus/
+src/bucket.rs:60-118); maintenance therefore can never race a commit —
+compact snapshots, `replaces` lists, and cleanup all observe one
+consistent manifest. Reads are lock-free Spark scans.
 
 Driver-side state is O(topics) metadata only — no data ever passes
 through the driver except the payloads handed to the embedded append API
@@ -138,16 +153,20 @@ class WalrusLog:
         self.max_segment_entries = max_segment_entries
         self._data_dir = os.path.join(root, "data")
         self._manifest_dir = os.path.join(root, "manifest")
+        self._stream_dir = os.path.join(root, "stream")
+        self._compact_dir = os.path.join(root, "compacted")
         self._meta_path = os.path.join(root, "meta.json")
         self._cursor_path = os.path.join(root, "cursors.json")
         os.makedirs(self._data_dir, exist_ok=True)
         os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(self._stream_dir, exist_ok=True)
         # volatile state hydrated from sidecars (WalIndex hydrate-once,
         # walrus_read.rs:62-92)
         self._hw: dict[str, int] = {}
         self._cursors: dict[str, int] = {}
         self._dirty: dict[str, dict] = {}
         self._unpersisted_reads: dict[str, int] = {}
+        self._txns: set[str] = set()
         # Serializes offset assignment + manifest commit across threads —
         # the coarse-grained analog of the reference's per-key async
         # mutex (distributed-walrus/src/bucket.rs:60-118). Reads are
@@ -185,9 +204,65 @@ class WalrusLog:
         # window), fold the committed batches' ranges back in — manifest
         # records carry (topic, first, last), so recovery is O(#batches)
         # metadata, never a data scan.
-        for rec in self._manifest_records():
+        recs = self._manifest_records()
+        for rec in recs:
             for topic, rng in rec["topics"].items():
                 self._hw[topic] = max(self._hw.get(topic, 0), int(rng["last"]))
+            if rec.get("txn"):
+                self._txns.add(rec["txn"])
+            self._txns.update(rec.get("txns", []))
+        self._reconcile(recs)
+
+    def _reconcile(self, recs: list[dict]) -> None:
+        """Finish any crashed maintenance and re-sync the stream mirror.
+
+        Everything here is idempotent garbage collection — the manifest
+        (post `replaces` filtering) is the sole source of truth, so a
+        crash at ANY point leaves a log this method restores to a clean
+        state: (a) records replaced by a committed compaction are dead →
+        delete them and their data dirs (compact's own cleanup may have
+        crashed midway, tests/rollback_recovery.rs semantics); (b) data
+        dirs referenced by no record are crashed uncommitted writes →
+        invisible either way, reclaim the space; (c) the stream mirror
+        must hold exactly the committed, stream-visible batches."""
+        live = {r["batch"] for r in recs}
+        # (a) dead records (filtered out of recs by `replaces`)
+        for name in os.listdir(self._manifest_dir):
+            if name.endswith(".json") and name[: -len(".json")] not in live:
+                with open(os.path.join(self._manifest_dir, name)) as f:
+                    dead = json.load(f)
+                shutil.rmtree(dead["path"], ignore_errors=True)
+                os.remove(os.path.join(self._manifest_dir, name))
+        # (b) orphan data dirs from crashed (never-committed) writes
+        referenced = {os.path.basename(r["path"]) for r in recs}
+        for name in os.listdir(self._data_dir):
+            if name not in referenced:
+                shutil.rmtree(
+                    os.path.join(self._data_dir, name), ignore_errors=True
+                )
+        # (c) stream mirror = committed ∩ stream-visible
+        self._sync_stream_mirror(recs)
+
+    def _sync_stream_mirror(self, recs: list[dict]) -> None:
+        want = {r["batch"]: r for r in recs if r.get("stream", True)}
+        have = set(os.listdir(self._stream_dir))
+        for b in have - set(want):
+            shutil.rmtree(os.path.join(self._stream_dir, b), ignore_errors=True)
+        for b, rec in want.items():
+            if b not in have:
+                self._link_stream(b, rec["path"])
+
+    def _link_stream(self, batch_id: str, path: str) -> None:
+        """Mirror a committed batch's parquet files into <root>/stream/
+        via hardlinks, appearing atomically through a directory rename so
+        the file-stream lister never sees a partial batch."""
+        final = os.path.join(self._stream_dir, batch_id)
+        tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(path, name), os.path.join(tmp, name))
+        os.rename(tmp, final)
 
     def _manifest_records(self) -> list[dict]:
         """Committed batch records, minus any replaced by a compaction.
@@ -286,76 +361,113 @@ class WalrusLog:
                 },
             },
         )
+        self._link_stream(batch_id, path)
         for topic, (_, last) in ranges.items():
             self._hw[topic] = last
             self.mark_topic_dirty(topic, flush=False)
         self._flush_meta()
         return ranges
 
-    def ingest(self, df: DataFrame, topic_col: str, payload_col: str) -> None:
+    def ingest(
+        self,
+        df: DataFrame,
+        topic_col: str,
+        payload_col: str,
+        txn: str | None = None,
+    ) -> None:
         """Bulk-ingest a DataFrame as log entries (one atomic commit).
 
-        The distributed ingestion path: offsets are assigned with a
-        per-topic row_number on top of the persisted high watermark —
-        one shuffle by topic, no driver data movement (SURVEY.md §7
-        "monotonic offset assignment under parallelism")."""
+        The distributed ingestion path: offsets are assigned from the
+        persisted high watermark without any driver data movement
+        (SURVEY.md §7 "monotonic offset assignment under parallelism").
+
+        ``txn`` makes the commit idempotent: a txn id already present in
+        the manifest is skipped, so a replayed streaming micro-batch
+        (foreachBatch is at-least-once) commits exactly once — the
+        Delta-style txn-version dedup in miniature."""
         with self._write_lock:
-            self._ingest_locked(df, topic_col, payload_col)
+            self._ingest_locked(df, topic_col, payload_col, txn)
 
     def _ingest_locked(
-        self, df: DataFrame, topic_col: str, payload_col: str
+        self,
+        df: DataFrame,
+        topic_col: str,
+        payload_col: str,
+        txn: str | None = None,
     ) -> None:
         from pyspark.sql.window import Window
 
-        hw_rows = [
-            Row(topic=t, _hw_base=h) for t, h in self._hw.items()
-        ] or None
-        w = Window.partitionBy(topic_col).orderBy(F.monotonically_increasing_id())
-        staged = (
-            df.select(
-                F.col(topic_col).alias("topic"),
-                F.col(payload_col).cast("binary").alias("value"),
-            )
-            .withColumn("_rn", F.row_number().over(w))
+        if txn is not None and txn in self._txns:
+            return  # replayed micro-batch: already committed
+        src = df.select(
+            F.col(topic_col).alias("topic"),
+            F.col(payload_col).cast("binary").alias("value"),
+        ).withColumn("_pid", F.spark_partition_id())
+        # Pass 1 (metadata-light): per-(source partition, topic) counts.
+        # Column pruning means this scans only the topic column, never
+        # payload bytes. From the counts the driver computes each
+        # (partition, topic) group's offset base — O(partitions×topics)
+        # metadata — so offset assignment below needs NO global
+        # per-topic window (which would serialize each topic through one
+        # task) and NO post-write re-read of the data (which would scan
+        # every ingested byte twice).
+        counts = (
+            src.groupBy("_pid", "topic").agg(F.count("*").alias("n")).collect()
         )
-        if hw_rows:
-            hw_df = F.broadcast(self.spark.createDataFrame(hw_rows))
-            staged = staged.join(hw_df, "topic", "left").withColumn(
-                "_hw_base", F.coalesce(F.col("_hw_base"), F.lit(0))
+        if not counts:
+            return
+        bases: list[Row] = []
+        next_off: dict[str, int] = {}
+        for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
+            t = r["topic"]
+            start = next_off.get(t, self._hw.get(t, 0))
+            bases.append(Row(_pid=r["_pid"], topic=t, _base=start))
+            next_off[t] = start + int(r["n"])
+        ranges = {
+            t: (self._hw.get(t, 0) + 1, last) for t, last in next_off.items()
+        }
+        # Pass 2: assign offsets and write. The row_number window is
+        # partitioned by (_pid, topic) — parallelism = source partitions
+        # × topics, not one task per topic. Requires the source's
+        # partition layout to be deterministic across the two passes
+        # (true for file sources and materialized micro-batches).
+        w = Window.partitionBy("_pid", "topic").orderBy(
+            F.monotonically_increasing_id()
+        )
+        base_df = F.broadcast(self.spark.createDataFrame(bases))
+        staged = (
+            src.withColumn("_rn", F.row_number().over(w))
+            .join(base_df, ["_pid", "topic"])
+            .select(
+                "topic",
+                ((F.col("_base") + F.col("_rn") - 1) / self.max_segment_entries)
+                .cast("long")
+                .alias("segment"),
+                (F.col("_base") + F.col("_rn")).alias("offset"),
+                "value",
+                F.current_timestamp().alias("ts"),
             )
-        else:
-            staged = staged.withColumn("_hw_base", F.lit(0))
-        staged = staged.select(
-            "topic",
-            ((F.col("_hw_base") + F.col("_rn") - 1) / self.max_segment_entries)
-            .cast("long")
-            .alias("segment"),
-            (F.col("_hw_base") + F.col("_rn")).alias("offset"),
-            "value",
-            F.current_timestamp().alias("ts"),
         )
         batch_id = f"{len(os.listdir(self._manifest_dir)):012d}_{uuid.uuid4().hex[:8]}"
         path = os.path.join(self._data_dir, batch_id)
         staged.sortWithinPartitions("topic", "offset").write.mode(
             "overwrite"
         ).parquet(path)
-        committed = self.spark.read.parquet(path)
-        ranges = {
-            r["topic"]: (int(r["first"]), int(r["last"]))
-            for r in committed.groupBy("topic")
-            .agg(F.min("offset").alias("first"), F.max("offset").alias("last"))
-            .collect()
-        }
-        _atomic_write_json(
-            os.path.join(self._manifest_dir, f"{batch_id}.json"),
-            {
-                "batch": batch_id,
-                "path": path,
-                "topics": {
-                    t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
-                },
+        rec = {
+            "batch": batch_id,
+            "path": path,
+            "topics": {
+                t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
             },
+        }
+        if txn is not None:
+            rec["txn"] = txn
+        _atomic_write_json(
+            os.path.join(self._manifest_dir, f"{batch_id}.json"), rec
         )
+        self._link_stream(batch_id, path)
+        if txn is not None:
+            self._txns.add(txn)
         for topic, (_, last) in ranges.items():
             self._hw[topic] = max(self._hw.get(topic, 0), last)
             self.mark_topic_dirty(topic, flush=False)
@@ -419,9 +531,13 @@ class WalrusLog:
                 | (F.col("rn") == 1)  # always deliver ≥1
             )
         )
-        rows = cand.collect()
+        # Explicit final sort: entry order (and the cursor advance) is a
+        # contract, not an artifact of the window's partitioning — a plan
+        # change must not be able to reorder delivery.
+        rows = cand.orderBy("offset").collect()
         if rows and checkpoint and start_offset is None:
-            self._checkpoint_read(topic, int(rows[-1]["offset"]), len(rows))
+            new_cursor = max(int(r["offset"]) for r in rows)
+            self._checkpoint_read(topic, new_cursor, len(rows))
         return [bytes(r["value"]) if r["value"] is not None else b"" for r in rows]
 
     def _checkpoint_read(self, topic: str, new_cursor: int, n_read: int) -> None:
@@ -499,62 +615,114 @@ class WalrusLog:
     def vacuum(self) -> int:
         """Delete batch dirs fully below every consumer cursor — the
         file-reclamation analog (allocator.rs:188-200): a batch is
-        removable when all its topics' last offsets are consumed."""
-        removed = 0
-        for rec in self._manifest_records():
-            if all(
-                int(rng["last"]) <= self._cursors.get(t, 0)
-                for t, rng in rec["topics"].items()
-            ):
-                shutil.rmtree(rec["path"], ignore_errors=True)
-                os.remove(
-                    os.path.join(self._manifest_dir, f"{rec['batch']}.json")
-                )
-                removed += 1
-        return removed
+        removable when all its topics' last offsets are consumed.
+
+        Serializes on the write lock so reclamation can never race a
+        commit's view of the manifest. Live streams that already listed
+        a reclaimed batch have long since processed it (it was fully
+        consumed); a NEW stream starts from the surviving tail — the
+        standard log-retention contract."""
+        with self._write_lock:
+            removed = 0
+            for rec in self._manifest_records():
+                if all(
+                    int(rng["last"]) <= self._cursors.get(t, 0)
+                    for t, rng in rec["topics"].items()
+                ):
+                    shutil.rmtree(rec["path"], ignore_errors=True)
+                    os.remove(
+                        os.path.join(self._manifest_dir, f"{rec['batch']}.json")
+                    )
+                    shutil.rmtree(
+                        os.path.join(self._stream_dir, rec["batch"]),
+                        ignore_errors=True,
+                    )
+                    removed += 1
+            return removed
 
     def compact(self, target_dir: str | None = None) -> None:
         """Rewrite committed batches into one partition-sorted layout —
         the segment-compaction analog of D6/OPTIMIZE. Produces one file
-        set partitioned by (topic, segment), sorted by offset."""
-        out = target_dir or os.path.join(
-            self._data_dir, f"compact_{uuid.uuid4().hex[:8]}"
-        )
-        df = self.df()
-        (
-            df.repartition("topic", "segment")
-            .sortWithinPartitions("topic", "offset")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        ranges = {
-            r["topic"]: (int(r["first"]), int(r["last"]))
-            for r in self.spark.read.parquet(out)
-            .groupBy("topic")
-            .agg(F.min("offset").alias("first"), F.max("offset").alias("last"))
-            .collect()
-        }
-        old = self._manifest_records()
-        batch_id = (
-            f"{len(os.listdir(self._manifest_dir)):012d}_compact_"
-            f"{uuid.uuid4().hex[:8]}"
-        )
-        # Commit point: after this rename the old records are dead (they
-        # are filtered via `replaces`), so the cleanup below is pure
-        # garbage collection — a crash anywhere leaves a correct log.
-        _atomic_write_json(
-            os.path.join(self._manifest_dir, f"{batch_id}.json"),
-            {
-                "batch": batch_id,
-                "path": out,
-                "topics": {
-                    t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
+        set partitioned by (topic, segment), sorted by offset.
+
+        Correctness properties (all load-bearing):
+          * Runs under the write lock — a concurrent append can neither
+            be missed by the snapshot nor swallowed by the `replaces`
+            list (its commit strictly precedes or follows the whole
+            compaction).
+          * The manifest record list is captured ONCE; the snapshot
+            read, the replaces list, and the cleanup all refer to that
+            same set.
+          * Output ranges come from the captured records' metadata —
+            no re-scan of the compacted output.
+          * Output lives under <root>/compacted/, outside both data/
+            and the stream mirror, and its record carries stream=False:
+            live streams already delivered these entries from the
+            original batch dirs and must not see them again.
+          * Committed txn ids are carried forward so idempotent ingest
+            survives compaction + restart.
+        Crash at any point is safe: before the record rename the old
+        records serve reads; after it they are dead (`replaces`) and
+        recover() finishes the cleanup."""
+        with self._write_lock:
+            old = self._manifest_records()
+            if not old:
+                return
+            out = target_dir or os.path.join(
+                self._compact_dir, f"compact_{uuid.uuid4().hex[:8]}"
+            )
+            snapshot = self.spark.read.schema(LOG_SCHEMA).parquet(
+                *[rec["path"] for rec in old]
+            )
+            (
+                snapshot.repartition("topic", "segment")
+                .sortWithinPartitions("topic", "offset")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            ranges: dict[str, tuple[int, int]] = {}
+            txns: set[str] = set()
+            for rec in old:
+                for t, rng in rec["topics"].items():
+                    f0, l0 = ranges.get(t, (int(rng["first"]), int(rng["last"])))
+                    ranges[t] = (
+                        min(f0, int(rng["first"])),
+                        max(l0, int(rng["last"])),
+                    )
+                if rec.get("txn"):
+                    txns.add(rec["txn"])
+                txns.update(rec.get("txns", []))
+            batch_id = (
+                f"{len(os.listdir(self._manifest_dir)):012d}_compact_"
+                f"{uuid.uuid4().hex[:8]}"
+            )
+            # Commit point: after this rename the old records are dead
+            # (filtered via `replaces`), so the cleanup below is pure
+            # garbage collection — a crash anywhere leaves a correct log.
+            _atomic_write_json(
+                os.path.join(self._manifest_dir, f"{batch_id}.json"),
+                {
+                    "batch": batch_id,
+                    "path": out,
+                    "stream": False,
+                    "topics": {
+                        t: {"first": r[0], "last": r[1]}
+                        for t, r in ranges.items()
+                    },
+                    "txns": sorted(txns),
+                    "replaces": [rec["batch"] for rec in old],
                 },
-                "replaces": [rec["batch"] for rec in old],
-            },
-        )
-        for rec in old:
-            p = os.path.join(self._manifest_dir, f"{rec['batch']}.json")
-            if os.path.exists(p):
-                os.remove(p)
-            shutil.rmtree(rec["path"], ignore_errors=True)
+            )
+            for rec in old:
+                p = os.path.join(self._manifest_dir, f"{rec['batch']}.json")
+                if os.path.exists(p):
+                    os.remove(p)
+                shutil.rmtree(rec["path"], ignore_errors=True)
+                # Streams started AFTER this point begin at the
+                # compaction boundary (log-retention contract); a stream
+                # that already listed these files has processed them —
+                # one mid-catch-up would fail loudly, never duplicate.
+                shutil.rmtree(
+                    os.path.join(self._stream_dir, rec["batch"]),
+                    ignore_errors=True,
+                )

@@ -51,7 +51,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "dq18_text_stats",
-    oracle="SELECT lang, count(*) AS docs, sum(n_chars) AS chars, "
+    oracle="SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
     "round(avg(n_chars), 4) AS avg_chars FROM documents "
     "GROUP BY lang ORDER BY lang",
 )

@@ -60,8 +60,8 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq03_topic_size",
-    oracle="SELECT event_type, sum(length(props)) AS bytes FROM events "
-    "GROUP BY event_type ORDER BY event_type",
+    oracle="SELECT event_type, CAST(sum(length(props)) AS BIGINT) AS bytes "
+    "FROM events GROUP BY event_type ORDER BY event_type",
 )
 def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 get_topic_size (walrus.rs:144-178): payload bytes per topic."""

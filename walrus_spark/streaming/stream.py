@@ -13,15 +13,24 @@ Structured Streaming machinery:
   no event-time in reference              → we ADD watermarks + windows
                                             (DQ8's streaming form)
 
-A streaming read is `readStream` over the log's data directory with the
-fixed LOG_SCHEMA — new committed batch directories appear atomically
-(files are written before the manifest rename, and the file-stream
-source only sees completed files), so each micro-batch is an atomic
-visibility step exactly like the reference's publish of ``cur_offset``
-(src/wal/runtime/writer.rs:341).
+A streaming read is `readStream` over the log's STREAM MIRROR
+(<root>/stream/): a hardlinked directory per batch, created only after
+the manifest commit and appearing atomically via directory rename. The
+mirror is what makes streaming reads honor the manifest protocol — a
+crashed uncommitted write never reaches data/'s mirror, and compaction
+output (a re-pack of already-delivered entries) is never mirrored, so
+each entry is stream-visible exactly once. Each micro-batch is thus an
+atomic visibility step exactly like the reference's publish of
+``cur_offset`` (src/wal/runtime/writer.rs:341).
+
+Maintenance interplay: vacuum/compact retire fully-processed mirror
+dirs; a stream that is mid-catch-up over files being reclaimed fails
+loudly rather than duplicating or dropping (the log-retention contract).
 """
 
 from __future__ import annotations
+
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -31,11 +40,12 @@ from walrus_spark.log.wal import LOG_SCHEMA, WalrusLog
 
 
 def read_log_stream(spark: SparkSession, log: WalrusLog) -> DataFrame:
-    """Streaming view of a WalrusLog (all topics)."""
+    """Streaming view of a WalrusLog (all topics): lists the manifest-
+    committed stream mirror, never raw data/ (see module docstring)."""
     return (
         spark.readStream.schema(LOG_SCHEMA)
         .option("maxFilesPerTrigger", 64)
-        .parquet(f"{log._data_dir}/*/")
+        .parquet(f"{log._stream_dir}/*/")
     )
 
 
@@ -56,13 +66,22 @@ def write_log_stream(
 ) -> StreamingQuery:
     """Stream-ingest into a WalrusLog: each micro-batch is one atomic
     log commit (foreachBatch → WalrusLog.ingest), giving the reference's
-    batch-append atomicity (O2) with exactly-once via the checkpoint's
-    batch-id dedup."""
+    batch-append atomicity (O2). Exactly-once is real, not assumed:
+    foreachBatch is at-least-once, so the (checkpoint, batch_id) txn id
+    is recorded in the manifest and a replayed micro-batch is skipped —
+    idempotent commit, the StrictlyAtOnce analog."""
+
+    txn_scope = os.path.abspath(checkpoint_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        log.ingest(batch_df, topic_col=topic_col, payload_col=payload_col)
+        log.ingest(
+            batch_df,
+            topic_col=topic_col,
+            payload_col=payload_col,
+            txn=f"{txn_scope}#{batch_id}",
+        )
 
     writer = (
         df.writeStream.foreachBatch(commit)

@@ -65,6 +65,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx[0] == 1  # the query vector itself must rank first
 
 
+def test_ivf_plan_has_no_exchange(spark):
+    """Centroid assignment + probe filter must be a pure projection +
+    pushed filter — zero Exchange nodes anywhere in the IVF plan (the
+    100 TB property: no shuffle of the embedding column, ever)."""
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    plan = (
+        ivf_topk(emb, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_embedding_cosine_reference_bound_enforced(spark):
+    """The broadcast side of the block-matmul is contractually bounded —
+    oversize must fail loudly, never OOM the driver silently."""
+    import pytest
+
+    from walrus_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="embedding_lsh_pairs"):
+        embedding_cosine_pairs(spark, emb, max_reference_rows=10).collect()
+
+
 def test_shingles_short_doc(spark):
     from walrus_spark.operators.dedup import shingles
 

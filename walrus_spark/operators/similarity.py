@@ -7,19 +7,34 @@ deterministic coarse quantizer bucketizes vectors once (write-time at
 100 TB), then queries probe only nprobe buckets — the scan shrinks by
 ~nlist/nprobe.
 
-All arithmetic is JVM-side (zip_with/aggregate fold over array<double>).
-Higher-order folds evaluate interpreted, but at 64 dims the per-row cost
-is trivial and the sequential fold order matches the oracle's list fold
-exactly, so cosines are byte-identical doubles (an explode+sum would be
-codegen'd but float-nondeterministic in summation order).
+Scale design of the IVF path: centroid assignment is a PER-ROW ARGMAX
+over the (tiny, driver-collected) centroid set embedded as literals —
+a single projection, ZERO exchanges. The old formulation (crossJoin ×
+n_centroids + row_number window) shuffled every embedding n_centroids
+times; at 100 TB that exchange was the entire cost of the operator.
+Probe selection likewise happens on the driver (n_centroids dot
+products), so the candidate filter is a pushed-down `cluster IN (...)`
+predicate, not a join.
+
+All vector arithmetic is JVM-side (zip_with/aggregate fold over
+array<double>). Higher-order folds evaluate interpreted, but the
+sequential fold order matches DuckDB's list fold exactly, so cosines —
+and therefore every argmax/rank decision — are byte-identical doubles.
+That is what makes the `sim_ann_ivf` oracle possible: DuckDB re-derives
+the same quantizer, the same probes, and the same candidate ranking from
+scratch (the IVF algorithm is fully deterministic), giving this
+*approximate* operator an exact hash-checked contract. Driver-side
+Python folds below (centroid norms, probe dots) iterate in the same
+ascending-index order for the same reason.
 """
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
-from pyspark.sql.window import Window
 
 from walrus_spark.catalog import load_table
 from walrus_spark.queries.registry import register
@@ -40,6 +55,27 @@ def _dot(a, b) -> Column:
 
 def _norm(a) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — same summation order as `_dot` and as
+    DuckDB's list_sum fold, so driver-side decisions (probe ranking)
+    agree bit-for-bit with both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norm_py(a: list[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in vec])
 
 
 def cosine_topk(
@@ -85,35 +121,56 @@ def dq20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=1)
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """Assign every vector to its nearest coarse centroid.
+def _centroids(emb: DataFrame, n_centroids: int) -> list[tuple[int, list[float], float]]:
+    """Deterministic coarse quantizer: the vectors with the n_centroids
+    smallest vec_ids (a fixed, reproducible "training" — at 100 TB this
+    would be a k-means fit persisted once; assignment is the same
+    literal-argmax either way). Collect is bounded by n_centroids rows —
+    driver metadata, like any literal plan constant."""
+    rows = (
+        emb.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", _dbl("embedding").alias("e"))
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: int(r["vec_id"])):
+        vec = [float(x) for x in r["e"]]
+        out.append((int(r["vec_id"]), vec, _norm_py(vec)))
+    return out
 
-    Deterministic quantizer: centroids are the vectors with the
-    n_centroids smallest vec_ids (a fixed, reproducible "training" —
-    at 100 TB this would be a k-means fit persisted once; assignment is
-    the same broadcast-argmin either way). Output: vec_id, cluster, e.
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid — one
+    projection, zero exchanges.
+
+    The argmax runs inside a single select: an array of
+    (cosine, -cluster) structs over the centroid literals, reduced with
+    array_max (struct ordering compares cosine first, then -cluster, so
+    ties break to the SMALLEST cluster id — the same rule the oracle's
+    `ORDER BY sim DESC, cluster` expresses). Output: vec_id, cluster, e.
     """
-    e = emb.select("vec_id", _dbl("embedding").alias("e"))
-    cents = broadcast(
-        e.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cluster"), F.col("e").alias("c")
-        )
+    cents = _centroids(emb, n_centroids)
+    # Two-stage projection: norm materialized once (HOFs evaluate
+    # interpreted — no CSE — and it is referenced once per centroid).
+    e = emb.select("vec_id", _dbl("embedding").alias("e")).select(
+        "vec_id", "e", _norm("e").alias("nrm")
     )
-    sim = _dot("e", "c") / (_norm("e") * _norm("c"))
-    ranked = (
-        e.crossJoin(cents)
-        .withColumn("sim", sim)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("sim").desc(), F.col("cluster")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (_dot("e", _lit_vec(vec)) / (F.col("nrm") * F.lit(cn))).alias(
+                        "sim"
+                    ),
+                    F.lit(-cid).alias("negc"),
                 )
-            ),
+                for cid, vec, cn in cents
+            ]
         )
-        .where(F.col("rn") == 1)
     )
-    return ranked.select("vec_id", "cluster", "e")
+    return e.select(
+        "vec_id", (-best["negc"]).cast("long").alias("cluster"), "e"
+    )
 
 
 def ivf_topk(
@@ -124,40 +181,86 @@ def ivf_topk(
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe clusters nearest the query,
-    exact cosine inside them. At scale the assignment is precomputed and
-    partitioned by cluster → the query scans nprobe/nlist of the data."""
-    assigned = ivf_assign(emb, n_centroids)
-    e = emb.select("vec_id", _dbl("embedding").alias("e"))
-    q = e.where(F.col("vec_id") == query_vec_id).select(
-        F.col("e").alias("q"), _norm("e").alias("nq")
+    exact cosine inside them.
+
+    Plan shape: scan → assign projection → `cluster IN (probes)` filter
+    → TakeOrdered(k). No Exchange anywhere (asserted in tests). At scale
+    the assignment is precomputed and partitioned by cluster, so the IN
+    filter becomes partition pruning and the query scans nprobe/nlist
+    of the data."""
+    cents = _centroids(emb, n_centroids)
+    qrows = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(_dbl("embedding").alias("e"))
+        .collect()
     )
-    # centroid list comes straight from the base table (a centroid's
-    # nearest centroid is itself, so routing through the assignment
-    # cross-join would only recompute it)
-    cents = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("pcluster"), F.col("e").alias("c")
+    if not qrows:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    q = [float(x) for x in qrows[0]["e"]]
+    nq = _norm_py(q)
+    # Probe selection on the driver: n_centroids dot products of
+    # fold-identical arithmetic → same ranking the oracle derives.
+    ranked = sorted(
+        ((_dot_py(vec, q) / (cn * nq), cid) for cid, vec, cn in cents),
+        key=lambda t: (-t[0], t[1]),
     )
-    probe = broadcast(
-        cents.crossJoin(broadcast(q))
-        .select(
-            "pcluster",
-            (_dot("c", "q") / (_norm("c") * F.col("nq"))).alias("csim"),
-        )
-        .orderBy(F.col("csim").desc(), "pcluster")
-        .limit(n_probe)
-        .select("pcluster")
-    )
-    cand = assigned.join(probe, assigned.cluster == probe.pcluster)
-    cos = _dot("e", "q") / (_norm("e") * F.col("nq"))
+    probes = [cid for _, cid in ranked[:n_probe]]
+    cand = ivf_assign(emb, n_centroids).where(F.col("cluster").isin(probes))
+    cos = _dot("e", _lit_vec(q)) / (_norm("e") * F.lit(nq))
     return (
-        cand.crossJoin(broadcast(q))
-        .select("vec_id", cos.alias("cos"))
+        cand.select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(k)
         .select("vec_id")
     )
 
 
-@register("sim_ann_ivf")  # approximate — no SQL oracle; rows-only check
+# The IVF algorithm re-derived in SQL: same quantizer (vec_id <
+# N_CENTROIDS), same assignment argmax (sim DESC, cluster), same probe
+# top-4, same candidate ranking. Because every cosine is a fold in the
+# same order on both engines, the approximate operator gets an EXACT
+# hash-checked oracle — no "no_oracle" weak spot.
+_IVF_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cluster, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+), q AS (
+  SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 1
+), asgn AS (
+  SELECT vec_id, cluster FROM (
+    SELECT n.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(n.v)),
+                               i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) DESC,
+                      c.cluster
+           ) AS rn
+    FROM n CROSS JOIN c
+  ) t WHERE rn = 1
+), probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           list_sum(list_transform(generate_series(1, len(c.cv)),
+                    i -> c.cv[i] * q.qv[i])) / (c.cnrm * q.qnrm) AS csim
+    FROM c CROSS JOIN q
+  ) t ORDER BY csim DESC, cluster LIMIT 4
+), s AS (
+  SELECT n.vec_id,
+         list_sum(list_transform(generate_series(1, len(n.v)),
+                  i -> n.v[i] * q.qv[i])) / (n.nrm * q.qnrm) AS cos
+  FROM n
+  JOIN asgn USING (vec_id)
+  JOIN probe ON asgn.cluster = probe.cluster
+  CROSS JOIN q
+)
+SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=1)

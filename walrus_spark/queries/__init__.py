@@ -11,6 +11,7 @@ from walrus_spark.queries.registry import QUERIES, ORACLES, register  # noqa: F4
 import walrus_spark.queries.log_queries  # noqa: F401,E402
 import walrus_spark.queries.relational  # noqa: F401,E402
 import walrus_spark.queries.functions_lib  # noqa: F401,E402
+import walrus_spark.queries.infra  # noqa: F401,E402
 import walrus_spark.operators.text  # noqa: F401,E402
 import walrus_spark.operators.dedup  # noqa: F401,E402
 import walrus_spark.operators.similarity  # noqa: F401,E402

@@ -1,0 +1,120 @@
+"""Infrastructure-proving queries: co-located bucketed joins and the
+log→relational typed-view bridge, surfaced as hash-checked entries so
+the correctness gate covers them end-to-end (not just pytest).
+
+dq27 proves the bucketing machinery (operators/bucketing.py): both
+fact sides are materialized bucketed by the join key, the join runs
+with zero exchanges, and the aggregate's values must match a plain
+DuckDB join — i.e. co-location changed the PLAN, not the ANSWER.
+
+dq28 proves the WalrusLog story end-to-end: real fixture rows are
+ingested as JSON payloads into a log (manifest commit, offset
+assignment), decoded back through a typed view (log/views.py), and
+aggregated — the result must match DuckDB computing directly on the
+source table, so any loss/duplication/corruption in ingest → commit →
+scan → decode fails the hash check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from walrus_spark.catalog import load_table
+from walrus_spark.operators.bucketing import colocated_join, materialize_bucketed
+from walrus_spark.queries.registry import register
+
+
+def _tag(sf_dir: str) -> str:
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+@register(
+    "dq27_colocated_join",
+    oracle="SELECT o.o_orderpriority, count(*) AS n_items, "
+    "round(sum(l.l_quantity), 2) AS total_qty "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def dq27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through bucketed tables: one bucketing shuffle at
+    write time buys a zero-Exchange sort-merge join for every subsequent
+    query on the key (the 100 TB repeated-join pattern). The oracle is
+    an ordinary join — co-location must be invisible in the values."""
+    tag = _tag(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"walrus_buckets_{tag}")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    materialize_bucketed(o, f"bk_orders_{tag}", f"{base}/orders", "o_orderkey")
+    materialize_bucketed(
+        li, f"bk_lineitem_{tag}", f"{base}/lineitem", "o_orderkey"
+    )
+    j = colocated_join(
+        spark, f"bk_orders_{tag}", f"bk_lineitem_{tag}", on="o_orderkey"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "dq28_topic_view_roundtrip",
+    oracle="SELECT event_type AS topic, count(*) AS n, "
+    "CAST(sum(user_id) AS BIGINT) AS sum_users, "
+    "round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
+def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON payloads → WalrusLog.ingest (manifest commit +
+    offset assignment) → typed view decode → aggregate. Hash-compared
+    against DuckDB on the ORIGINAL table: the whole log pipeline must be
+    lossless. A fresh log root per run keeps the check hermetic."""
+    from walrus_spark.log.views import typed_topic_view
+    from walrus_spark.log.wal import WalrusLog
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(), f"walrus_dq28_{_tag(sf_dir)}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = WalrusLog(spark, root)
+    log.ingest(
+        ev.select(
+            "event_type",
+            F.to_json(F.struct("event_id", "user_id", "value")).cast("binary").alias(
+                "payload"
+            ),
+        ),
+        topic_col="event_type",
+        payload_col="payload",
+    )
+    views = [
+        typed_topic_view(
+            log, t, "event_id long, user_id long, value double"
+        ).withColumn("topic", F.lit(t))
+        for t in log.topics()
+    ]
+    union = views[0]
+    for v in views[1:]:
+        union = union.unionByName(v)
+    return (
+        union.groupBy("topic")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("sum_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("topic")
+    )

@@ -126,6 +126,30 @@ def test_embedding_lsh_recall_and_precision(spark):
     assert recall >= 0.7, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_ppm_decode_roundtrip_and_errors():
+    """The pure-Python PPM decoder: full header grammar (comments,
+    arbitrary whitespace), exact raster recovery, loud failures on
+    malformed input."""
+    import numpy as np
+    import pytest
+
+    from walrus_spark.operators.multimodal import decode_image
+
+    raster = bytes(range(2 * 3 * 3))  # 2x3 image
+    ppm = b"P6 # a comment\n# another\n 2\t3 \n255\n" + raster
+    w, h, px = decode_image(ppm)
+    assert (w, h) == (2, 3)
+    assert px.shape == (3, 2, 3)
+    assert px.tobytes() == raster
+    assert px.dtype == np.uint8
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"P5\n2 3\n255\n" + raster)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n2 3\n255\n" + raster[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n2 3\n65535\n" + raster)
+
+
 def test_asof_join_semantics(spark):
     """Hand-built edge cases: no preceding right row -> NULL; equal-ts
     right row counts (at-or-before); ties on ts pick highest tiebreak;

@@ -174,6 +174,56 @@ def test_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time correctness: a row arriving after the watermark has
+    passed its window must be DROPPED (bounded state), while on-time
+    rows aggregate normally. Three availableNow sessions over one
+    checkpoint advance the watermark between arrivals."""
+    from datetime import datetime
+
+    src_dir = str(tmp_path / "wmsrc")
+    ckpt = str(tmp_path / "wmckpt")
+    schema = "topic string, ts timestamp"
+
+    def land(rows):
+        spark.createDataFrame(
+            [("t", datetime(2024, 1, 1, h, m)) for h, m in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    emitted: list[tuple] = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = windowed_counts(
+            stream, window="1 hour", watermark="30 minutes", key_col="topic"
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, _i: emitted.extend(
+                    (r["w"]["start"].hour, r["n"]) for r in b.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land([(8, 10), (8, 20), (10, 5)])
+    run()  # watermark after: 09:35
+    land([(8, 30), (10, 10), (11, 10)])  # 08:30 is late beyond watermark
+    run()  # emits hour-8 window; watermark after: 10:40
+    land([(12, 30)])
+    run()  # emits hour-10 window
+    counts = {}
+    for hour, n in emitted:
+        assert hour not in counts, f"window {hour} emitted twice: {emitted}"
+        counts[hour] = n
+    assert counts.get(8) == 2, (counts, emitted)  # late 08:30 dropped
+    assert counts.get(10) == 2, (counts, emitted)  # on-time rows kept
+
+
 def test_latest_per_key_stream_dedups(spark, tmp_path):
     rows = [(1, "a", "2024-01-01 00:00:00")] * 3 + [
         (2, "b", "2024-01-01 01:00:00")
@@ -194,6 +244,64 @@ def test_latest_per_key_stream_dedups(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) c from dedup_out").collect()[0]["c"] == 2
+
+
+def test_shared_cursor_persist_every_replay(spark, tmp_path):
+    """§7 stage 6: the streaming shared cursor must reproduce the
+    reference's AtLeastOnce duplicate-replay bound (walrus_read.rs:
+    347-366; tests/batch_read.rs:596): a crashed consumer session's
+    successor re-delivers exactly the entries since the last persisted
+    cursor — at most persist_every, never a gap, never more."""
+    from walrus_spark.log import ReadConsistency, WalrusLog
+    from walrus_spark.streaming import shared_cursor_stream
+
+    root = str(tmp_path / "scur")
+    log = WalrusLog(
+        spark, root, consistency=ReadConsistency.at_least_once(5)
+    )
+    # 4 commits × 2 entries; with maxFilesPerTrigger=1 each is its own
+    # micro-batch: pending 2,4 → persist at 6 → 2 unpersisted at end
+    for i in range(4):
+        log.batch_append("t", [f"e{2 * i + 1}".encode(), f"e{2 * i + 2}".encode()])
+    seen: list[int] = []
+    q = shared_cursor_stream(
+        spark,
+        log,
+        str(tmp_path / "sess1"),
+        lambda b, _i: seen.extend(int(r["offset"]) for r in b.collect()),
+        topic="t",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == list(range(1, 9))  # delivered once, in full
+    # crash: new engine instance (hydrates sidecar cursor=6) + fresh
+    # consumer session (fresh checkpoint) → replays ONLY 7,8
+    log2 = WalrusLog(spark, root)
+    replay: list[int] = []
+    q2 = shared_cursor_stream(
+        spark,
+        log2,
+        str(tmp_path / "sess2"),
+        lambda b, _i: replay.extend(int(r["offset"]) for r in b.collect()),
+        topic="t",
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert replay == [7, 8], replay  # bounded re-delivery, ≤ persist_every
+    # shared-cursor continuity WITHOUT a crash: a further consumer
+    # session on the live engine starts from the in-memory cursor (8) —
+    # consecutive sessions share one position, delivering only new data
+    log2.batch_append("t", [b"e9"])
+    tail: list[int] = []
+    q3 = shared_cursor_stream(
+        spark,
+        log2,
+        str(tmp_path / "sess3"),
+        lambda b, _i: tail.extend(int(r["offset"]) for r in b.collect()),
+        topic="t",
+    )
+    q3.awaitTermination(120)
+    assert tail == [9], tail
 
 
 def test_stateful_topic_stats_across_restart(spark, tmp_path):

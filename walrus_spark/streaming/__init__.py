@@ -5,6 +5,7 @@ from walrus_spark.streaming.stream import (  # noqa: F401
     high_watermark_progress,
     latest_per_key_stream,
     read_topic_stream,
+    shared_cursor_stream,
     topic_stats_stream,
     windowed_counts,
     write_log_stream,

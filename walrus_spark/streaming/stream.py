@@ -39,12 +39,16 @@ from pyspark.sql.streaming import StreamingQuery
 from walrus_spark.log.wal import LOG_SCHEMA, WalrusLog
 
 
-def read_log_stream(spark: SparkSession, log: WalrusLog) -> DataFrame:
+def read_log_stream(
+    spark: SparkSession, log: WalrusLog, max_files_per_trigger: int = 64
+) -> DataFrame:
     """Streaming view of a WalrusLog (all topics): lists the manifest-
-    committed stream mirror, never raw data/ (see module docstring)."""
+    committed stream mirror, never raw data/ (see module docstring).
+    `max_files_per_trigger` is the reference's byte/entry read-budget
+    backpressure knob (src/wal/config.rs:42-43) in file units."""
     return (
         spark.readStream.schema(LOG_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(f"{log._stream_dir}/*/")
     )
 
@@ -114,6 +118,96 @@ def consume_stream(
 
     return (
         src.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def shared_cursor_stream(
+    spark: SparkSession,
+    log: WalrusLog,
+    checkpoint_dir: str,
+    sink: "callable",
+    topic: str | None = None,
+    max_files_per_trigger: int = 64,
+) -> StreamingQuery:
+    """SURVEY.md §7 stage 6: consume-once delivery through the log's
+    SHARED persistent cursor, with the reference's AtLeastOnce
+    `persist_every` replay semantics (src/wal/runtime/walrus_read.rs:
+    347-366; duplicate-replay behavior of tests/batch_read.rs:596).
+
+    The cursor has three tiers, exactly mirroring the reference:
+
+      hydrate-once   — the sidecar cursor (WalIndex analog) is read ONCE
+                       when the query starts (walrus_read.rs:62-92) and
+                       seeds the streaming state;
+      in-run cursor  — lives in Spark's checkpointed state store, keyed
+                       by topic (applyInPandasWithState): each micro-
+                       batch delivers only offsets past it, in order;
+      persistence    — the sidecar is advanced through the log's
+                       `_checkpoint_read` every `persist_every`
+                       delivered entries (per the log's ReadConsistency)
+                       in foreachBatch on the driver — the same thread
+                       discipline as the reference's reader.
+
+    Crash contract: a "process crash" = this consumer session dies; the
+    successor (fresh WalrusLog instance + fresh checkpoint_dir) hydrates
+    from the sidecar and re-delivers AT MOST persist_every entries —
+    StrictlyAtOnce (persist_every=1) re-delivers none. Unlike
+    `consume_stream` (whose position is the per-consumer Spark
+    checkpoint), this cursor is ENGINE state: any number of consumer
+    sessions, sequentially, share one position — the reference's shared
+    per-topic cursor model."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    initial = dict(log._cursors)  # hydrate-once snapshot
+    src = read_log_stream(spark, log, max_files_per_trigger)
+    if topic:
+        src = src.where(F.col("topic") == topic)
+
+    def advance(key, pdfs, state):
+        cursor = (
+            int(state.get[0]) if state.exists else int(initial.get(key[0], 0))
+        )
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames)
+            pdf = pdf[pdf["offset"] > cursor].sort_values("offset")
+        else:
+            pdf = pd.DataFrame({"topic": [], "offset": [], "value": []})
+        if len(pdf):
+            state.update((int(pdf["offset"].max()),))
+            yield pdf[["topic", "offset", "value"]]
+        else:
+            state.update((cursor,))
+
+    delivered = src.groupBy("topic").applyInPandasWithState(
+        advance,
+        "topic string, offset long, value binary",
+        "cursor long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            stats = (
+                batch_df.groupBy("topic")
+                .agg(F.max("offset").alias("hi"), F.count("*").alias("n"))
+                .collect()
+            )
+            for r in stats:
+                # sidecar persistence per ReadConsistency.persist_every
+                log._checkpoint_read(r["topic"], int(r["hi"]), int(r["n"]))
+            sink(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        delivered.writeStream.foreachBatch(fb)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -154,65 +154,128 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition tiny-file inputs across all cores before CPU-heavy
     per-row work. At production scale inputs arrive in many splits and
     this is a no-op; on single-file fixtures it's the difference between
-    1 and N cores doing the tokenization."""
+    1 and N cores doing the tokenization. The check uses inputFiles()
+    (catalyst metadata only) rather than df.rdd.getNumPartitions(),
+    which would build the whole RDD-conversion plan just to ask."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 
 
+def _bucket_pairs(
+    bucketed: DataFrame,
+    keys: list[str],
+    item: Column,
+    pair_pred=None,
+) -> DataFrame:
+    """All i<j item pairs within each bucket — WITHOUT a self-join.
+
+    groupBy(keys) → sort_array(collect_list(item)) → nested transform/
+    slice higher-order functions enumerate each bucket's pairs in
+    place, optionally filtered by ``pair_pred(a, b)`` BEFORE any pair
+    row materializes. Output columns: ``a`` and ``b`` (item structs),
+    with a < b in the item's struct order (sort_array guarantees it).
+
+    Why not the classic self equi-join on the bucket key: Spark has no
+    DAG-level sharing of a repeated subtree, so a self-join evaluates
+    the (expensive) upstream pipeline once PER SIDE — and AQE's
+    broadcast conversion defeats ReusedExchange, the only physical
+    mechanism that could have deduplicated it (measured: the simhash
+    candidate join ran the whole signature pipeline twice). Grouping
+    computes the upstream once and shuffles each row once, keyed by
+    bucket — the shape that survives a 1000-executor scale-up.
+
+    Skew note: a bucket is one aggregation row, so a pathological hot
+    bucket builds its (filtered) pair array inside one task — the same
+    task that would own the hot side of the equi-join, but with O(pairs)
+    array memory. Callers with a cheap pair predicate (e.g. Hamming ≤ k)
+    pass it here so hot buckets shrink before the array exists; callers
+    without one must keep bucket entropy high (wide band hashes)."""
+    grouped = (
+        bucketed.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(item)).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
+
+    def per_i(x, i):
+        rest = F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs")))
+        if pair_pred is not None:
+            # filter BEFORE building pair structs: predicate failures
+            # cost one boolean eval, never an allocation
+            rest = F.filter(rest, lambda y: pair_pred(x, y))
+        return F.transform(rest, lambda y: F.struct(x.alias("a"), y.alias("b")))
+
+    pairs = F.flatten(F.transform(F.col("xs"), per_i))
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh: array<string>): per-doc distinct shingle sets.
+    """(doc_id, n, hs: array<bigint>): per-doc distinct shingle sets as
+    sorted 64-bit xxhash values, n = |set|.
+
+    Every dedup consumer (minhash/simhash signatures, Jaccard
+    intersection counting, LSH verify) needs only the HASH of each
+    shingle, so the strings are dropped at tokenize time — hashed sets
+    shuffle ~10× less than string arrays and, critically, cache
+    cheaply: materializing array<string> into the in-memory columnar
+    store measured 4.2 s at sf0.1 vs well under 1 s for array<bigint>,
+    which is what makes sharing one cached frame across a multi-pass
+    dedup query a win instead of a tax.
 
     Docs with < SHINGLE_N words are dropped: they have no set to
     sketch, and keeping them would put every tiny doc into the same
-    degenerate LSH bucket (a skew bomb at 100 TB)."""
+    degenerate LSH bucket (a skew bomb at 100 TB). Sets are capped at
+    32767 shingles (the simhash 16-bit lane bound; only pathological
+    multi-megabyte single documents hit it)."""
     return (
         _spread(docs)
-        .select("doc_id", shingles(F.col("text")).alias("sh"))
-        .where(F.size("sh") > 0)
-    )
-
-
-def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, s, sh64): distinct shingles with a 64-bit hash — joins
-    and minhash run on the long, never shuffling shingle strings."""
-    return (
-        _shingle_sets(docs)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .withColumn("sh64", F.xxhash64("s"))
-    )
-
-
-def exact_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact n-gram Jaccard pairs via shingle equi-join.
-
-    O(Σ bucket²) in shingle frequency — fine for the exact baseline and
-    as the verify stage on LSH candidates, but the standalone form does
-    NOT scale to 100 TB (hot shingles blow up the join); minhash_lsh_pairs
-    below is the scale path.
-    """
-    sh = _shingle_rows(docs).select("doc_id", "sh64")
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.sh64") == F.col("b.sh64"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(shingles(F.col("text")), 1, 32767)
+            ).alias("s"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+        .select("doc_id", F.xxhash64("s").alias("sh64"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh64")).alias("hs"))
+        .withColumn("n", F.size("hs"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs, single-pass.
+
+    Each doc's shingle-set SIZE rides through the explode next to the
+    shingle hash, so the per-shingle buckets already hold everything
+    Jaccard needs: group per shingle, enumerate in-bucket pairs
+    (_bucket_pairs — no self-join, tokenization runs ONCE), count each
+    pair's collisions = |intersection|, and |union| = na + nb − inter
+    falls out of the carried sizes. One tokenize scan + two shuffles
+    (by shingle, by pair); the old formulation tokenized three times
+    (join sides + size table) and joined four ways.
+
+    Still O(Σ bucket²) in shingle frequency — fine as the exact oracle
+    baseline and the verify stage on LSH candidates, but hot shingles
+    blow up at 100 TB; minhash_lsh_pairs below is the scale path."""
+    if sets is None:
+        sets = _shingle_sets(docs)
+    rows = sets.select("doc_id", "n", F.explode("hs").alias("sh64"))
+    pairs = _bucket_pairs(rows, ["sh64"], F.struct("doc_id", "n"))
+    agg = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n").alias("na"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count("*").alias("inter"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pair.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= threshold)
+        agg.where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -223,7 +286,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, sets: DataFrame | None = None
+) -> DataFrame:
     """doc_id → 64 minhash values over word-3-shingles.
 
     h_i(s) = (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i) mod (2^61-1) — a
@@ -234,8 +299,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     carries only 64 longs per doc. (An array_min/transform formulation
     would avoid even that shuffle, but Spark evaluates higher-order
     lambdas interpreted — measured ~7× slower than this codegen'd
-    aggregate.)"""
-    sh = _shingle_rows(docs)
+    aggregate.) Pass ``sets`` to derive from an existing (possibly
+    cached) shingle-set frame instead of re-tokenizing."""
+    if sets is None:
+        sets = _shingle_sets(docs)
+    sh = sets.select("doc_id", F.explode("hs").alias("sh64"))
     h = F.col("sh64").bitwiseAND(F.lit(0xFFFFFFFF))
     mins = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_61))).alias(f"m{i}")
@@ -249,13 +317,21 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
-    signature → LSH_BANDS band hashes → self equi-join on
-    (band, band_hash) → distinct candidates → exact Jaccard verify via
-    array_intersect on the (distinct-shingle) arrays. Shuffle volume is
-    O(n·bands) for candidates + O(candidates) for the verify — no n²
-    stage anywhere.
-    """
-    sig = minhash_signatures(docs)
+    signature → LSH_BANDS band hashes → per-(band, band_hash) bucket
+    grouping with in-bucket pair enumeration (_bucket_pairs — the
+    signature pipeline runs ONCE, not once per join side) → distinct
+    candidates → exact Jaccard verify via array_intersect on the
+    (distinct-shingle) arrays. Shuffle volume is O(n·bands) for
+    candidates + O(candidates) for the verify — no n² stage anywhere.
+
+    The shingle-set frame is marked for cache: signatures and both
+    verify sides all derive from it, so tokenization — the measured
+    dominant cost — happens one time per dataset. (Spark's cache
+    manager is plan-keyed, so repeated calls over the same input reuse
+    one entry; at 100 TB this cache is the materialized shingle-set
+    table any multi-pass dedup pipeline would persist explicitly.)"""
+    sets = _shingle_sets(docs).cache()
+    sig = minhash_signatures(docs, sets=sets)
     r = N_PERM // LSH_BANDS
     bands = F.array(
         *[
@@ -269,24 +345,17 @@ def minhash_lsh_pairs(
     bucketed = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(bucketed, ["band", "bh"], F.struct("doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sets = _shingle_sets(docs)
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -303,7 +372,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, sets: DataFrame | None = None
+) -> DataFrame:
     """doc_id → 64-bit SimHash sketch (one LONG) over word-3-shingle
     sets (shingles, not unigrams: unigram frequency profiles are too
     similar across documents with a shared vocabulary, collapsing
@@ -320,19 +391,17 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     lane count and n the row count, sign(2·p_b − n) gives bit b.
 
     Lane capacity bounds a doc at 32767 distinct shingles (the top lane
-    must stay clear of the long sign bit under ANSI sum); docs are
-    capped via slice() before counting, which only affects pathological
+    must stay clear of the long sign bit under ANSI sum); _shingle_sets
+    caps sets at exactly that bound, which only affects pathological
     multi-megabyte single documents.
 
     The sketch long is assembled from two 32-bit halves with shift/OR so
     bit 63 never goes through ANSI `+` (which would overflow-error on
     the sign bit); each shiftleft operand is a long (int shiftleft wraps
     at bit 31)."""
-    sh = (
-        _shingle_sets(docs)
-        .select("doc_id", F.explode(F.slice("sh", 1, 32767)).alias("s"))
-        .withColumn("sh64", F.xxhash64("s"))
-    )
+    if sets is None:
+        sets = _shingle_sets(docs)
+    sh = sets.select("doc_id", F.explode("hs").alias("sh64"))
     packed = [
         sum(
             F.shiftleft(
@@ -370,15 +439,23 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 12,
+    sets: DataFrame | None = None,
+) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
     Block-permuted candidate generation (Manku/Charikar): the 64-bit
     sketch is split into max_hamming+1 chunks; by pigeonhole, any pair
-    within the Hamming budget agrees exactly on ≥1 chunk, so an
-    equi-join on (chunk_index, chunk_value) has perfect recall — not
-    probabilistic. Hamming is then verified with one bit_count(xor) on
-    the sketch, so the join carries just (doc_id, sketch).
+    within the Hamming budget agrees exactly on ≥1 chunk, so grouping
+    on (chunk_index, chunk_value) has perfect recall — not
+    probabilistic. The signature pipeline runs ONCE (no candidate
+    self-join, which would evaluate it once per side); each chunk
+    bucket is verified in one vectorized pandas group — a row-blocked
+    byte-table popcount over the XOR matrix — so non-matching
+    candidates never materialize as rows and only (doc_id, sketch)
+    ever shuffles, once, keyed by bucket.
 
     Scale note: candidate-bucket entropy is 64/(k+1) bits. The default
     k=12 (5-bit chunks) suits the fixtures' tiny ~50-word docs, whose
@@ -388,7 +465,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     m = max_hamming + 1
     widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
     starts = [sum(widths[:i]) for i in range(m)]
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, sets=sets)
     chunked = sig.select(
         "doc_id",
         "sketch",
@@ -406,21 +483,49 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "sketch", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a.sketch").bitwiseXOR(F.col("b.sketch")))
+    import numpy as np
+    import pandas as pd
+
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                    "hamming": np.array([], dtype=np.int64),
+                }
+            )
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sk = pdf["sketch"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        # row-blocked pairwise Hamming: bounds scratch memory to
+        # O(block · k) so a hot bucket can't allocate k² byte-tables
+        for lo in range(0, len(ids) - 1, 1024):
+            blk = sk[lo : lo + 1024]
+            x = blk[:, None] ^ sk[None, :]
+            ham = pop[x.view(np.uint8)].reshape(*x.shape, 8).sum(
+                axis=2, dtype=np.int64
+            )
+            ai, bi = np.nonzero(ham <= max_hamming)
+            keep = lo + ai < bi  # strict upper triangle in global index
+            out_a.append(ids[lo + ai[keep]])
+            out_b.append(ids[bi[keep]])
+            out_h.append(ham[ai[keep], bi[keep]])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(ham <= max_hamming)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        chunked.groupBy("ci", "cv")
+        .applyInPandas(bucket_verify, "doc_a long, doc_b long, hamming long")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -436,15 +541,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget captures the exact pairs the flag is provably always-true —
     regression in sketch, banding, or verify flips it to false and the
     oracle hash check fails (the reference's exact-pattern integrity
-    style, tests/batch_writes.rs:18-1827)."""
+    style, tests/batch_writes.rs:18-1827).
+
+    The sketch side and the exact-Jaccard side share one cached
+    shingle-set frame, so the tokenize scan runs once for the whole
+    contract query (plan-keyed cache; see minhash_lsh_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
+    sets = _shingle_sets(docs).cache()
     found = (
-        simhash_pairs(docs)
+        simhash_pairs(docs, sets=sets)
         .select("doc_a", "doc_b")
         .withColumn("simhash_found", F.lit(True))
     )
     return (
-        exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        exact_jaccard_pairs(docs, JACCARD_THRESHOLD, sets=sets)
         .join(found, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
@@ -556,6 +666,7 @@ def embedding_lsh_pairs(
     threshold: float = 0.4,
     n_planes: int = N_HYPERPLANES,
     bands: int = EMB_LSH_BANDS,
+    verify: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs — the 100 TB path when no
     side fits in a broadcast (`embedding_cosine_pairs`' limit).
@@ -563,22 +674,39 @@ def embedding_lsh_pairs(
     Charikar sign-sketch: bit i = sign(v · r_i) for a fixed seeded
     hyperplane matrix (computed once per Arrow batch as a numpy matmul —
     vectorized, no JVM↔Python per-row cost). Candidates = pairs sharing
-    any of `bands` sketch bands (equi-join on (band, value): shuffle
-    O(n·bands), never O(n²)); exact cosine verification runs only on
-    bucket collisions, batch-vectorized with numpy einsum. Recall is
-    probabilistic (1-(1-p^r)^b with p = 1-θ/π), so this variant has no
-    hash oracle — the exact operators above are the correctness baseline
-    and the recall floor is tested against them.
+    any of `bands` sketch bands; recall is probabilistic
+    (1-(1-p^r)^b with p = 1-θ/π), so the registered query hashes a
+    containment CONTRACT against the exact operator, not raw recall.
 
-    Candor about thresholds: at the fixture's loose cos ≥ 0.4 (θ≈66°,
-    p≈0.64) sign-LSH prunes only ~⅓ of the pair space — the structure,
-    not the constant, is what scales. At production near-dup thresholds
-    (cos ≥ 0.8, p≈0.8+) the same banding prunes >99%."""
+    Two verification strategies — the choice is a shuffle-volume
+    trade-off, pick per workload:
+
+      verify="bucket" (default): group rows by (band, value) and run
+        the exact cosine check INSIDE each bucket as one BLAS matmul
+        (applyInPandas). Candidate pairs never exist as rows. Shuffle =
+        O(n·bands·dim) — proportional to the INPUT, independent of how
+        loose the threshold is. The right choice at permissive
+        thresholds, where candidate volume explodes (measured 8× faster
+        at the fixture's cos ≥ 0.4, where sign-LSH prunes only ~⅓ of
+        the pair space).
+
+      verify="join": enumerate candidate ids per bucket (_bucket_pairs
+        — the Python sketch stage runs ONCE, not once per self-join
+        side), distinct, then join embeddings back and verify with
+        numpy einsum. Shuffle = O(n·bands) ids + O(candidates·dim).
+        The right choice at production near-dup thresholds (cos ≥ 0.8,
+        p ≈ 0.8+), where banding prunes >99% and candidates·dim ≪
+        n·bands·dim.
+
+    Skew note (bucket mode): one bucket = one pandas group; bucket size
+    is bounded by band entropy (r planes → 2^r values). Hot buckets at
+    loose thresholds cap at O(k²) BLAS flops, not O(k²) shuffled rows."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     r = n_planes // bands
+    carry_embedding = verify == "bucket"
 
     def sketch(batches):
         planes = None
@@ -589,6 +717,8 @@ def embedding_lsh_pairs(
                 planes = rng.standard_normal((mat.shape[1], n_planes))
             bits = (mat @ planes) > 0  # (n, n_planes)
             out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            if carry_embedding:
+                out["embedding"] = pdf["embedding"]
             for j in range(bands):
                 band_bits = bits[:, j * r : (j + 1) * r]
                 out[f"b{j}"] = band_bits @ (1 << np.arange(r, dtype=np.int64))
@@ -596,30 +726,56 @@ def embedding_lsh_pairs(
 
     sk_schema = StructType(
         [StructField("vec_id", LongType())]
+        + ([emb.schema["embedding"]] if carry_embedding else [])
         + [StructField(f"b{j}", LongType()) for j in range(bands)]
     )
     sk = emb.select("vec_id", "embedding").mapInPandas(sketch, sk_schema)
-    bucketed = sk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), F.col(f"b{j}").alias("bv")
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    band_arr = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("bv"))
+                for j in range(bands)
+            ]
         )
+    ).alias("b")
+
+    if carry_embedding:
+        bucketed = sk.select("vec_id", "embedding", band_arr).select(
+            "vec_id",
+            "embedding",
+            F.col("b.band").alias("band"),
+            F.col("b.bv").alias("bv"),
+        )
+
+        def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {
+                        "vec_a": np.array([], dtype=np.int64),
+                        "vec_b": np.array([], dtype=np.int64),
+                    }
+                )
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            hit = np.triu(mat @ mat.T >= threshold, k=1)
+            ai, bi = np.nonzero(hit)
+            return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+
+        return (
+            bucketed.groupBy("band", "bv")
+            .applyInPandas(bucket_verify, "vec_a long, vec_b long")
+            .distinct()
+            .orderBy("vec_a", "vec_b")
+        )
+
+    bucketed = sk.select("vec_id", band_arr).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    cand = (
+        _bucket_pairs(bucketed, ["band", "bv"], F.struct("vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
@@ -632,7 +788,7 @@ def embedding_lsh_pairs(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b")
     )
 
-    def verify(batches):
+    def pair_verify(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -656,7 +812,7 @@ def embedding_lsh_pairs(
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", "e_a", "e_b")
-        .mapInPandas(verify, out_schema)
+        .mapInPandas(pair_verify, out_schema)
         .orderBy("vec_a", "vec_b")
     )
 

@@ -8,5 +8,6 @@ from walrus_spark.log.wal import (  # noqa: F401
 )
 from walrus_spark.log.views import (  # noqa: F401
     register_topic_view,
+    typed_log_view,
     typed_topic_view,
 )

@@ -49,6 +49,31 @@ def typed_topic_view(
     )
 
 
+def typed_log_view(
+    log: WalrusLog,
+    schema: StructType | str,
+    topics: list[str] | None = None,
+) -> DataFrame:
+    """Decode MANY topics in one pass — one scan of the log, not one
+    scan per topic. A per-topic `typed_topic_view` union re-reads the
+    same files once per topic (Spark cannot merge N filtered subplans
+    over one source); when every topic shares a payload schema — the
+    common case for a homogeneous event log — this is the operator to
+    use. Output = `topic` + log spine + decoded columns; an optional
+    topic list becomes a pushed-down IN filter (partition/row-group
+    pruning at scale)."""
+    df = log.df()
+    if topics is not None:
+        df = df.where(F.col("topic").isin(list(topics)))
+    return df.select(
+        "topic",
+        "segment",
+        "offset",
+        "ts",
+        F.from_json(F.col("value").cast("string"), schema).alias("__decoded"),
+    ).select("topic", "segment", "offset", "ts", "__decoded.*")
+
+
 def register_topic_view(
     spark: SparkSession,
     log: WalrusLog,

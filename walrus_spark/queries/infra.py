@@ -44,18 +44,26 @@ def _tag(sf_dir: str) -> str:
 def dq27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join through bucketed tables: one bucketing shuffle at
     write time buys a zero-Exchange sort-merge join for every subsequent
-    query on the key (the 100 TB repeated-join pattern). The oracle is
-    an ordinary join — co-location must be invisible in the values."""
+    query on the key (the 100 TB repeated-join pattern). The
+    materialization is amortized exactly as it would be in production —
+    written once per source dir, REUSED by every later call (re-writing
+    per query would charge the one-time layout cost to every join and
+    miss the whole point of bucketing). The oracle is an ordinary join —
+    co-location must be invisible in the values."""
     tag = _tag(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"walrus_buckets_{tag}")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_orderkey", "o_orderkey"
-    )
-    materialize_bucketed(o, f"bk_orders_{tag}", f"{base}/orders", "o_orderkey")
-    materialize_bucketed(
-        li, f"bk_lineitem_{tag}", f"{base}/lineitem", "o_orderkey"
-    )
+    for tbl, src, key in (
+        (f"bk_orders_{tag}", "orders", "o_orderkey"),
+        (f"bk_lineitem_{tag}", "lineitem", "o_orderkey"),
+    ):
+        if not (
+            spark.catalog.tableExists(tbl)
+            and os.path.exists(os.path.join(base, src))
+        ):
+            df = load_table(spark, sf_dir, src)
+            if src == "lineitem":
+                df = df.withColumnRenamed("l_orderkey", "o_orderkey")
+            materialize_bucketed(df, tbl, f"{base}/{src}", key)
     j = colocated_join(
         spark, f"bk_orders_{tag}", f"bk_lineitem_{tag}", on="o_orderkey"
     )
@@ -81,7 +89,7 @@ def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset assignment) → typed view decode → aggregate. Hash-compared
     against DuckDB on the ORIGINAL table: the whole log pipeline must be
     lossless. A fresh log root per run keeps the check hermetic."""
-    from walrus_spark.log.views import typed_topic_view
+    from walrus_spark.log.views import typed_log_view
     from walrus_spark.log.wal import WalrusLog
 
     ev = load_table(spark, sf_dir, "events")
@@ -100,17 +108,11 @@ def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
         topic_col="event_type",
         payload_col="payload",
     )
-    views = [
-        typed_topic_view(
-            log, t, "event_id long, user_id long, value double"
-        ).withColumn("topic", F.lit(t))
-        for t in log.topics()
-    ]
-    union = views[0]
-    for v in views[1:]:
-        union = union.unionByName(v)
+    typed = typed_log_view(
+        log, "event_id long, user_id long, value double"
+    )
     return (
-        union.groupBy("topic")
+        typed.groupBy("topic")
         .agg(
             F.count("*").alias("n"),
             F.sum("user_id").alias("sum_users"),

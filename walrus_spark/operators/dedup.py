@@ -488,20 +488,10 @@ def simhash_pairs(
 
     pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": np.array([], dtype=np.int64),
-                    "doc_b": np.array([], dtype=np.int64),
-                    "hamming": np.array([], dtype=np.int64),
-                }
-            )
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    def _bucket(ids, sk, out_a, out_b, out_h):
         order = np.argsort(ids)
         ids = ids[order]
-        sk = pdf["sketch"].to_numpy(dtype=np.int64)[order].view(np.uint64)
-        out_a, out_b, out_h = [], [], []
+        sk = sk[order]
         # row-blocked pairwise Hamming: bounds scratch memory to
         # O(block · k) so a hot bucket can't allocate k² byte-tables
         for lo in range(0, len(ids) - 1, 1024):
@@ -515,7 +505,38 @@ def simhash_pairs(
             out_a.append(ids[lo + ai[keep]])
             out_b.append(ids[bi[keep]])
             out_h.append(ham[ai[keep], bi[keep]])
-        return pd.DataFrame(
+
+    # Partition-at-a-time, not group-at-a-time: groupBy().applyInPandas
+    # pays per-GROUP Arrow/pandas overhead (~3 ms × hundreds of small
+    # buckets ≈ seconds); repartitioning on the bucket key gives the
+    # same co-location with ONE Python call per partition, and the
+    # in-process pandas groupby costs microseconds per bucket.
+    def part_verify(batches) -> "pd.DataFrame":
+        frames = [p for p in batches if len(p)]
+        empty = {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "hamming": np.array([], dtype=np.int64),
+        }
+        if not frames:
+            yield pd.DataFrame(empty)
+            return
+        pdf = pd.concat(frames)
+        out_a, out_b, out_h = [], [], []
+        for _, g in pdf.groupby(["ci", "cv"], sort=False):
+            if len(g) < 2:
+                continue
+            _bucket(
+                g["doc_id"].to_numpy(dtype=np.int64),
+                g["sketch"].to_numpy(dtype=np.int64).view(np.uint64),
+                out_a,
+                out_b,
+                out_h,
+            )
+        if not out_a:
+            yield pd.DataFrame(empty)
+            return
+        yield pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),
                 "doc_b": np.concatenate(out_b),
@@ -524,8 +545,8 @@ def simhash_pairs(
         )
 
     return (
-        chunked.groupBy("ci", "cv")
-        .applyInPandas(bucket_verify, "doc_a long, doc_b long, hamming long")
+        chunked.repartition("ci", "cv")
+        .mapInPandas(part_verify, "doc_a long, doc_b long, hamming long")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -747,26 +768,44 @@ def embedding_lsh_pairs(
             F.col("b.bv").alias("bv"),
         )
 
-        def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {
-                        "vec_a": np.array([], dtype=np.int64),
-                        "vec_b": np.array([], dtype=np.int64),
-                    }
-                )
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            hit = np.triu(mat @ mat.T >= threshold, k=1)
-            ai, bi = np.nonzero(hit)
-            return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+        # Partition-at-a-time (see simhash_pairs): one Python call per
+        # partition, pandas groupby inside — not per-bucket Arrow round
+        # trips.
+        def part_verify(batches):
+            frames = [p for p in batches if len(p)]
+            empty = {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+            }
+            if not frames:
+                yield pd.DataFrame(empty)
+                return
+            pdf = pd.concat(frames)
+            out_a, out_b = [], []
+            for _, g in pdf.groupby(["band", "bv"], sort=False):
+                if len(g) < 2:
+                    continue
+                ids = g["vec_id"].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                mat = np.array(list(g["embedding"]), dtype=np.float64)[order]
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                ai, bi = np.nonzero(np.triu(mat @ mat.T >= threshold, k=1))
+                out_a.append(ids[ai])
+                out_b.append(ids[bi])
+            if not out_a:
+                yield pd.DataFrame(empty)
+                return
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                }
+            )
 
         return (
-            bucketed.groupBy("band", "bv")
-            .applyInPandas(bucket_verify, "vec_a long, vec_b long")
+            bucketed.repartition("band", "bv")
+            .mapInPandas(part_verify, "vec_a long, vec_b long")
             .distinct()
             .orderBy("vec_a", "vec_b")
         )

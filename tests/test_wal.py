@@ -325,3 +325,49 @@ def test_typed_topic_view_roundtrip(spark, tmp_path):
     assert (got["n"], got["s"]) == (50, sum(range(50)))
     bad = spark.sql(f"SELECT count(*) AS n FROM {name} WHERE k IS NULL").collect()[0]
     assert bad["n"] == 1  # kept, not dropped
+
+
+def test_fsync_schedule_modes(spark, tmp_path):
+    """O7: the sidecar durability schedule (src/wal/config.rs:29-34;
+    background worker src/wal/runtime/background.rs:22-199).
+    sync_each fsyncs per cursor persist; no_fsync never issues one yet
+    stays rename-visible to a successor instance; milliseconds(n)
+    batches fsyncs on the background worker."""
+    import time
+
+    from walrus_spark.log import FsyncSchedule
+
+    # sync_each: every consumed read that persists the cursor fsyncs
+    se = WalrusLog(
+        spark, str(tmp_path / "se"), fsync=FsyncSchedule.sync_each()
+    )
+    se.batch_append("t", [b"a", b"b"])
+    base = se.fsync_count
+    se.batch_read("t")  # StrictlyAtOnce default: persist + fsync
+    assert se.fsync_count > base
+
+    # no_fsync: zero fsyncs, but the rename still makes the cursor
+    # visible to a fresh instance (process-crash durability)
+    nf = WalrusLog(
+        spark, str(tmp_path / "nf"), fsync=FsyncSchedule.no_fsync()
+    )
+    nf.batch_append("t", [b"a", b"b"])
+    nf.batch_read("t")
+    assert nf.fsync_count == 0
+    assert WalrusLog(spark, str(tmp_path / "nf")).topic_entry_count("t") == 0
+
+    # milliseconds(n): write is immediately visible, the physical fsync
+    # lands on the worker's next sweep, batched across persists
+    ms = WalrusLog(
+        spark, str(tmp_path / "ms"), fsync=FsyncSchedule(milliseconds=100)
+    )
+    ms.batch_append("t", [b"a", b"b", b"c"])
+    ms.batch_read("t", max_entries=1)
+    ms.batch_read("t", max_entries=1)
+    assert WalrusLog(spark, str(tmp_path / "ms")).topic_entry_count("t") == 1
+    deadline = time.time() + 5
+    while ms.fsync_count == 0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert ms.fsync_count >= 1  # batched: sweeps, not per-persist
+    ms.close()
+    assert ms.fsync_count <= 4  # far fewer fsyncs than persists+appends

@@ -115,9 +115,25 @@ class ReadConsistency:
 
 @dataclass(frozen=True)
 class FsyncSchedule:
-    """Durability knob analog (src/wal/config.rs:29-34). With a
-    manifest-commit protocol every commit is already durable at rename;
-    kept for API parity and for tuning sidecar flush frequency."""
+    """O7 durability schedule (src/wal/config.rs:29-34; the dedicated
+    background fsync worker, src/wal/runtime/background.rs:22-199).
+
+    Data commits (parquet + manifest rename) are ALWAYS fsync'd — the
+    commit protocol is non-negotiable. The schedule governs the CURSOR
+    sidecar, this design's high-frequency small write (the reference
+    batches data-file fsyncs; our data path has no such write to batch):
+
+      sync_each()       — fsync on every cursor persist: a crash loses
+                          no cursor advance (one fsync per read batch).
+      milliseconds(n)   — default, mirroring the reference's 200 ms
+                          worker: persists are rename-visible
+                          immediately, but a background thread batches
+                          the physical fsync every n ms. A power loss
+                          may lose the last n ms of cursor advances →
+                          bounded EXTRA re-delivery, never data loss.
+      no_fsync()        — rename-only (page cache): survives process
+                          crash, not power loss.
+    """
 
     milliseconds: int = 200
 
@@ -125,13 +141,18 @@ class FsyncSchedule:
     def sync_each(cls) -> "FsyncSchedule":
         return cls(0)
 
+    @classmethod
+    def no_fsync(cls) -> "FsyncSchedule":
+        return cls(-1)
 
-def _atomic_write_json(path: str, obj) -> None:
+
+def _atomic_write_json(path: str, obj, durable: bool = True) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(obj, f)
         f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
@@ -172,6 +193,15 @@ class WalrusLog:
         # mutex (distributed-walrus/src/bucket.rs:60-118). Reads are
         # lock-free Spark scans.
         self._write_lock = threading.Lock()
+        # O7 background fsync worker state (background.rs:22-199):
+        # sidecar fsyncs are counted (observable in tests/metrics),
+        # dirty paths are swept by a lazily-started daemon thread when
+        # the schedule is Milliseconds(n)
+        self.fsync_count = 0
+        self._fsync_dirty: set[str] = set()
+        self._fsync_lock = threading.Lock()
+        self._fsync_stop = threading.Event()
+        self._fsync_thread: threading.Thread | None = None
         self.recover()
 
     @classmethod
@@ -281,12 +311,67 @@ class WalrusLog:
         return [r for r in recs if r["batch"] not in replaced]
 
     def _flush_meta(self) -> None:
-        _atomic_write_json(
+        self._write_sidecar(
             self._meta_path, {"hw": self._hw, "dirty": self._dirty}
         )
 
     def _flush_cursors(self) -> None:
-        _atomic_write_json(self._cursor_path, self._cursors)
+        self._write_sidecar(self._cursor_path, self._cursors)
+
+    # -- O7: scheduled sidecar durability --------------------------------
+    def _write_sidecar(self, path: str, obj) -> None:
+        """Write a sidecar per the FsyncSchedule: always rename-visible
+        immediately (a fresh instance hydrates the latest state); the
+        physical fsync is immediate (sync_each), deferred to the
+        background worker (milliseconds), or skipped (no_fsync)."""
+        ms = self.fsync.milliseconds
+        if ms == 0:
+            _atomic_write_json(path, obj, durable=True)
+            self.fsync_count += 1
+            return
+        _atomic_write_json(path, obj, durable=False)
+        if ms > 0:
+            with self._fsync_lock:
+                self._fsync_dirty.add(path)
+                if self._fsync_thread is None:
+                    self._fsync_thread = threading.Thread(
+                        target=self._fsync_worker, daemon=True
+                    )
+                    self._fsync_thread.start()
+
+    def _fsync_worker(self) -> None:
+        """Dedicated flush thread: one pass every `milliseconds` fsyncs
+        every dirty sidecar (file + parent dir) in one sweep — the
+        batched-fsync behavior of the reference's worker."""
+        while not self._fsync_stop.wait(self.fsync.milliseconds / 1000.0):
+            self._fsync_sweep()
+
+    def _fsync_sweep(self) -> None:
+        with self._fsync_lock:
+            dirty, self._fsync_dirty = self._fsync_dirty, set()
+        for path in sorted(dirty):
+            try:
+                fd = os.open(path, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+                self.fsync_count += 1
+            except FileNotFoundError:
+                pass  # replaced mid-sweep; next sweep syncs the successor
+
+    def close(self) -> None:
+        """Stop the background worker after a final durable sweep."""
+        self._fsync_stop.set()
+        if self._fsync_thread is not None:
+            self._fsync_thread.join(timeout=5)
+            self._fsync_thread = None
+        self._fsync_sweep()
 
     # ------------------------------------------------------------------
     # write path (O1/O2)

@@ -12,6 +12,7 @@ import walrus_spark.queries.log_queries  # noqa: F401,E402
 import walrus_spark.queries.relational  # noqa: F401,E402
 import walrus_spark.queries.functions_lib  # noqa: F401,E402
 import walrus_spark.queries.infra  # noqa: F401,E402
+import walrus_spark.queries.streaming_queries  # noqa: F401,E402
 import walrus_spark.operators.text  # noqa: F401,E402
 import walrus_spark.operators.dedup  # noqa: F401,E402
 import walrus_spark.operators.similarity  # noqa: F401,E402

@@ -205,3 +205,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_connected_components_multi_round(spark):
+    """A 4-chain (diameter 3) forces multiple propagation rounds; an
+    isolated pair and the chain must not merge."""
+    from walrus_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_seq_packing_bucket_stitching(spark):
+    """Hand-computed packing with a tiny context window and a bucket
+    span that forces multiple prefix-sum buckets — the per-bucket bases
+    must stitch into one exact global running sum."""
+    from walrus_spark.operators.pipeline import seq_packing
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 2, 5, 1, 6])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["start_tok"], r["first_window"], r["last_window"])
+        for r in seq_packing(docs, context_window=5, bucket_span=2).collect()
+    }
+    # cumulative starts: 0,3,7,9,14,15 ; windows of 5 tokens
+    assert out == {
+        0: (0, 0, 0),
+        1: (3, 0, 1),   # tokens 3-6 straddle windows 0 and 1
+        2: (7, 1, 1),
+        3: (9, 1, 2),
+        4: (14, 2, 2),
+        5: (15, 3, 4),  # tokens 15-20 straddle windows 3 and 4
+    }, out

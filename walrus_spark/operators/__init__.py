@@ -1,12 +1,17 @@
 """LLM-data-pipeline operators (north star, BASELINE.json).
 
-dedup       — exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+dedup       — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+              embedding-cosine, connected-component clustering
 similarity  — brute-force cosine top-k, IVF approximate variant
 text        — token stats, quality scoring, language-ID, fingerprinting
 multimodal  — opaque-binary columns + Arrow-batched feature extraction
+pipeline    — sequence packing (distributed prefix sum), deterministic
+              train/val splitting
 
 Every operator is a pure DataFrame→DataFrame transform: no driver-side
-loops, no collect() in the data path (the single query-vector lookup in
-similarity search is the one intentional 1-row exception), so each one
-scales with the cluster by construction.
+loops over data, no unbounded collect() (the bounded exceptions are
+metadata by construction: the 1-row query-vector lookup, the
+n_centroids quantizer fit, seq_packing's per-bucket sums, and the
+count()-gated convergence checks of the connected-components loop),
+so each one scales with the cluster by construction.
 """

@@ -898,3 +898,103 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (id, component),
+    component = the smallest id reachable from each vertex. This is the
+    step that turns PAIRS into dedup CLUSTERS, from which one canonical
+    representative per cluster survives.
+
+    Iterative min-label propagation: each round every vertex adopts the
+    minimum label in its closed neighborhood; converges in O(diameter)
+    rounds. Near-dup graphs are overwhelmingly tiny cliques (diameter
+    1-2), so the loop exits after 2-3 rounds — the driver loop is
+    `count()`-gated per round exactly like GraphX/GraphFrames' Pregel
+    loop, with localCheckpoint truncating the lineage so the plan does
+    not grow exponentially with iterations. At web scale the same loop
+    runs with edges/labels pre-partitioned on vertex id so every round
+    is a co-partitioned join (and the alternating large-star/small-star
+    formulation [Kiveris et al.] halves round count; the propagation
+    contract is identical).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("component"))
+
+
+_CLUSTER_ORACLE = _JACCARD_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, jpair AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pair p
+  JOIN sz sa ON sa.doc_id = p.doc_a
+  JOIN sz sb ON sb.doc_id = p.doc_b
+  WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpair
+  UNION SELECT doc_b, doc_a FROM jpair
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS component
+FROM (SELECT src AS id, dst FROM reach) t
+GROUP BY id ORDER BY id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact Jaccard ≥ 0.5) → connected components →
+    (doc_id, component): the canonical-representative assignment of a
+    dedup pipeline. Oracle: DuckDB transitive closure via WITH
+    RECURSIVE — the iterative Spark propagation must reach the exact
+    same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return (
+        connected_components(pairs)
+        .select(F.col("id"), F.col("component"))
+        .orderBy("id")
+    )

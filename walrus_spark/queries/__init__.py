@@ -17,4 +17,5 @@ import walrus_spark.operators.text  # noqa: F401,E402
 import walrus_spark.operators.dedup  # noqa: F401,E402
 import walrus_spark.operators.similarity  # noqa: F401,E402
 import walrus_spark.operators.multimodal  # noqa: F401,E402
+import walrus_spark.operators.pipeline  # noqa: F401,E402
 import walrus_spark.functions.udx  # noqa: F401,E402

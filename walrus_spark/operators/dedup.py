@@ -926,9 +926,16 @@ def connected_components(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE: every iteration joins against edges, and
+        # without this the (possibly expensive) pair-producing pipeline
+        # would re-execute per round per join side
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -941,24 +948,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        # old and new label meet in this one join, so the convergence
+        # flag rides along and the change count reads materialized data
+        stepped = (
             labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-                ).alias("lab"),
+                ).alias("new_lab"),
+                (F.coalesce(F.col("nlab"), F.col("lab")) < F.col("lab")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", F.col("new_lab").alias("lab"))
+        if stepped.where("chg").count() == 0:
             break
     return labels.select("id", F.col("lab").alias("component"))
 

@@ -45,15 +45,18 @@ def main() -> None:
     load_table(spark, sf_dir, "region").count()
 
     # Steady-state measurement: one unmeasured warmup execution per
-    # query first (janino codegen compile of the larger dedup plans
-    # costs ~3 s once per plan shape and is irrelevant to sustained
-    # throughput on a long-running cluster). BENCH_COLD=1 skips the
-    # warmup to measure first-execution latency instead.
-    if os.environ.get("BENCH_COLD", "0") != "1":
-        for name in sorted(QUERIES):
-            _force(QUERIES[name](spark, sf_dir))
-
+    # query IMMEDIATELY before its measured execution (janino codegen
+    # compile of the larger dedup plans costs ~3 s once per plan shape
+    # and is irrelevant to sustained throughput on a long-running
+    # cluster). The warmup must be adjacent to the measurement: Spark's
+    # generated-class cache holds ~100 entries, so a warmup pass over
+    # the WHOLE suite evicts earlier queries' compiled classes before
+    # their measured run, silently re-measuring compile latency.
+    # BENCH_COLD=1 skips warmups to measure first-execution latency.
+    warm = os.environ.get("BENCH_COLD", "0") != "1"
     for name in sorted(QUERIES):
+        if warm:
+            _force(QUERIES[name](spark, sf_dir))
         t0 = time.perf_counter()
         _force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -243,3 +243,26 @@ def test_seq_packing_bucket_stitching(spark):
         4: (14, 2, 2),
         5: (15, 3, 4),  # tokens 15-20 straddle windows 3 and 4
     }, out
+
+
+def test_partition_invariance(spark):
+    """Results must be identical regardless of input partitioning — the
+    property that makes every operator safe to run on any cluster
+    layout. Exercises the dedup + knn paths whose candidate generation
+    depends on physical partitioning (repartition + mapInPandas)."""
+    from walrus_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from walrus_spark.operators.similarity import knn_join
+    from walrus_spark.catalog import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    for op, src in (
+        (lambda d: minhash_lsh_pairs(d), docs),
+        (lambda d: simhash_pairs(d), docs),
+        (lambda d: knn_join(spark, d), emb),
+    ):
+        base = sorted(map(tuple, op(src).collect()))
+        skewed = sorted(map(tuple, op(src.repartition(3)).collect()))
+        one = sorted(map(tuple, op(src.coalesce(1)).collect()))
+        assert base == skewed == one and len(base) > 0

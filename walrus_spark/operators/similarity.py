@@ -302,3 +302,136 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_id=1,
         model_key=sf_dir,
     )
+
+
+KNN_K = 5
+MAX_KNN_REFERENCE_ROWS = 2_000_000  # same broadcast ceiling as dedup
+
+
+def knn_join(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = KNN_K,
+    reference: DataFrame | None = None,
+    max_reference_rows: int = MAX_KNN_REFERENCE_ROWS,
+) -> DataFrame:
+    """Top-k nearest neighbors for EVERY probe vector — the similarity
+    JOIN (vs cosine_topk's single-query lookup): dedup clustering seeds,
+    retrieval-augmentation candidates, embedding QA all start here.
+
+    Block-nested-loop with a bounded broadcast reference (collected
+    once, loud error past the ceiling — the embedding_cosine_pairs
+    contract): each Arrow batch of probes does ONE BLAS matmul against
+    the reference and a vectorized argpartition top-k; no pair ever
+    exists as a shuffle row, output is exactly n·k rows. For the
+    both-sides-huge case, route through the LSH buckets
+    (embedding_lsh_pairs) and take per-bucket top-k instead.
+
+    Determinism contract with the oracle: cosines are ROUNDED to 6
+    decimals before ranking (numpy's SIMD summation and DuckDB's
+    sequential list fold differ in ULPs; rounding collapses both to the
+    same key), ties broken by neighbor id ascending. Self-matches are
+    excluded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ref = emb if reference is None else reference
+    rows = (
+        ref.select("vec_id", "embedding")
+        .limit(max_reference_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_reference_rows:
+        raise ValueError(
+            f"reference side exceeds {max_reference_rows} rows; "
+            "use LSH-bucketed top-k for unbounded knn"
+        )
+    r_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(r_ids)
+    r_ids = r_ids[order]
+    r_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)[order]
+    r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((r_ids, r_mat))
+
+    def topk(batches):
+        ids_r, mat_r = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ mat_r.T, 6)
+            sims[a_ids[:, None] == ids_r[None, :]] = -np.inf  # no self
+            kk = min(k, sims.shape[1] - 1)
+            # partial top-k then exact ordering of the k survivors:
+            # argpartition is O(n_ref), the final sort only touches k
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {"vec_id": [], "rank": [], "neighbor": [], "cos": []}
+            for i in range(len(a_ids)):
+                cand = part[i]
+                # order by (-cos, neighbor id): ids_r is sorted so a
+                # stable argsort on -cos breaks ties by id ascending
+                cand = cand[np.argsort(-sims[i, cand], kind="stable")]
+                out["vec_id"].extend([a_ids[i]] * kk)
+                out["rank"].extend(range(1, kk + 1))
+                out["neighbor"].extend(ids_r[cand])
+                out["cos"].extend(sims[i, cand])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+                    "rank": pd.Series(out["rank"], dtype="int64"),
+                    "neighbor": pd.Series(out["neighbor"], dtype="int64"),
+                    "cos": pd.Series(out["cos"], dtype="float64"),
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("rank", LongType()),
+            StructField("neighbor", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(topk, out_schema)
+        .orderBy("vec_id", "rank")
+    )
+
+
+_KNN_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+         round(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, neighbor, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor) AS rank
+  FROM p
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor, cos
+FROM r WHERE rank <= {KNN_K} ORDER BY vec_id, rank
+"""
+
+
+@register("sim_knn_join", oracle=_KNN_ORACLE)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join over the embeddings table, hash-checked against the
+    DuckDB all-pairs window formulation."""
+    return knn_join(spark, load_table(spark, sf_dir, "embeddings"))

@@ -329,3 +329,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("fp")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_vocab",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 100
+    """,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the
+    tokenizer-training / stopword-derivation precursor. One explode +
+    one two-level aggregate: tf is a plain partial-agg count; df is
+    count(DISTINCT doc_id), which Spark executes as the expand +
+    two-shuffle distinct-aggregate rewrite — both map-side combined, so
+    the shuffle carries (word, doc_id) pairs once and word partials
+    once, never raw text. Top-100 by (tf desc, word) is a deterministic
+    TakeOrdered — no global sort materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "word")
+        .limit(100)
+    )

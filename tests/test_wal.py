@@ -371,3 +371,84 @@ def test_fsync_schedule_modes(spark, tmp_path):
     assert ms.fsync_count >= 1  # batched: sweeps, not per-persist
     ms.close()
     assert ms.fsync_count <= 4  # far fewer fsyncs than persists+appends
+
+
+def test_property_cursor_model(spark, tmp_path):
+    """Model-checked delivery semantics (the reference's core contract,
+    src/wal/runtime/walrus_read.rs + tests/batch_read.rs): a Python
+    model of {entries, in-memory cursor, PERSISTED cursor, unpersisted
+    count} must agree with the engine under arbitrary interleavings of
+    append / consume / peek / restart with AtLeastOnce(persist_every=3).
+    Mirrors the implementation detail that a cursor flush persists ALL
+    topics' cursors (extra persistence is allowed — the contract is a
+    replay BOUND, never a gap)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    topics = ["a", "b"]
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"), st.sampled_from(topics), st.integers(1, 5)
+            ),
+            st.tuples(
+                st.just("consume"), st.sampled_from(topics), st.integers(1, 4)
+            ),
+            st.tuples(st.just("peek"), st.sampled_from(topics), st.just(0)),
+            st.tuples(st.just("restart"), st.just("a"), st.just(0)),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+    case = [0]
+    PE = 3
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(ops=ops)
+    def run(ops):
+        case[0] += 1
+        root = str(tmp_path / f"model{case[0]}")
+        log = WalrusLog(
+            spark, root, consistency=ReadConsistency.at_least_once(PE)
+        )
+        entries = {t: [] for t in topics}
+        mem = {t: 0 for t in topics}      # in-memory cursor
+        filec = {t: 0 for t in topics}    # persisted cursor
+        pend = {t: 0 for t in topics}     # unpersisted reads
+        seq = [0]
+        for op, t, k in ops:
+            if op == "append":
+                ps = [f"{t}{seq[0] + i}".encode() for i in range(k)]
+                seq[0] += k
+                log.batch_append(t, ps)
+                entries[t].extend(ps)
+            elif op == "consume":
+                want = entries[t][mem[t] : mem[t] + k]
+                got = log.batch_read(t, max_entries=k)
+                assert got == want, (op, t, k, got, want)
+                if want:
+                    mem[t] += len(want)
+                    pend[t] += len(want)
+                    if pend[t] >= PE:
+                        # flush persists EVERY topic's current cursor
+                        for x in topics:
+                            filec[x] = mem[x]
+                        pend[t] = 0
+            elif op == "peek":
+                want = entries[t][mem[t] : mem[t] + 2]
+                got = log.batch_read(t, checkpoint=False, max_entries=2)
+                assert got == want, (op, t, got, want)
+            else:  # restart: successor hydrates the persisted cursor
+                log = WalrusLog(
+                    spark, root, consistency=ReadConsistency.at_least_once(PE)
+                )
+                for x in topics:
+                    mem[x] = filec[x]
+                    pend[x] = 0
+        for t in topics:
+            assert log.topic_entry_count(t) == len(entries[t]) - mem[t]
+            assert log.high_watermark(t) == len(entries[t])
+
+    run()

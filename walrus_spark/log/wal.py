@@ -67,6 +67,7 @@ import os
 import re
 import shutil
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -93,6 +94,9 @@ LOG_SCHEMA = StructType(
 )
 
 MAX_BATCH_ENTRIES = 2000  # src/wal/config.rs:42
+# Orphan dirs younger than this are presumed to be another live
+# instance's in-flight write and are left alone (see _reconcile)
+ORPHAN_GRACE_SECONDS = 300
 MAX_BATCH_BYTES = 10 * 1024**3  # src/wal/config.rs:43
 ENTRY_HEADER_BYTES = 256  # PREFIX_META_SIZE, src/wal/config.rs:40
 DEFAULT_MAX_SEGMENT_ENTRIES = 1_000_000  # monitor.rs:16
@@ -225,6 +229,7 @@ class WalrusLog:
                 meta = json.load(f)
         self._hw = {k: int(v) for k, v in meta.get("hw", {}).items()}
         self._dirty = meta.get("dirty", {})
+        self._txns.update(meta.get("txns", []))
         if os.path.exists(self._cursor_path):
             with open(self._cursor_path) as f:
                 self._cursors = {k: int(v) for k, v in json.load(f).items()}
@@ -263,19 +268,48 @@ class WalrusLog:
                     dead = json.load(f)
                 shutil.rmtree(dead["path"], ignore_errors=True)
                 os.remove(os.path.join(self._manifest_dir, name))
-        # (b) orphan data dirs from crashed (never-committed) writes
-        referenced = {os.path.basename(r["path"]) for r in recs}
-        for name in os.listdir(self._data_dir):
-            if name not in referenced:
-                shutil.rmtree(
-                    os.path.join(self._data_dir, name), ignore_errors=True
-                )
+        # (b) orphan data/compacted dirs from crashed (never-committed)
+        # writes. A GRACE PERIOD protects a concurrent instance's
+        # in-flight write on the same root (files exist, manifest rename
+        # pending): only orphans older than ORPHAN_GRACE_SECONDS are
+        # reclaimed — a crashed write is eventually collected, a live
+        # one is never. The compacted/ dir is swept too: a compaction
+        # that crashed between its (log-sized) output write and the
+        # record rename must not leak that copy forever.
+        referenced = {os.path.abspath(r["path"]) for r in recs}
+        now = time.time()
+        for base in (self._data_dir, self._compact_dir):
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                full = os.path.join(base, name)
+                if os.path.abspath(full) in referenced:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age > ORPHAN_GRACE_SECONDS:
+                    shutil.rmtree(full, ignore_errors=True)
         # (c) stream mirror = committed ∩ stream-visible
         self._sync_stream_mirror(recs)
 
     def _sync_stream_mirror(self, recs: list[dict]) -> None:
         want = {r["batch"]: r for r in recs if r.get("stream", True)}
-        have = set(os.listdir(self._stream_dir))
+        have = set()
+        for name in os.listdir(self._stream_dir):
+            if name.startswith("_"):
+                # crashed _link_stream staging dir (hidden to Spark's
+                # listers, but still disk) — reclaim with the same grace
+                # period as other orphans
+                full = os.path.join(self._stream_dir, name)
+                try:
+                    if time.time() - os.path.getmtime(full) > ORPHAN_GRACE_SECONDS:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    pass
+            else:
+                have.add(name)
         for b in have - set(want):
             shutil.rmtree(os.path.join(self._stream_dir, b), ignore_errors=True)
         for b, rec in want.items():
@@ -285,9 +319,16 @@ class WalrusLog:
     def _link_stream(self, batch_id: str, path: str) -> None:
         """Mirror a committed batch's parquet files into <root>/stream/
         via hardlinks, appearing atomically through a directory rename so
-        the file-stream lister never sees a partial batch."""
+        the file-stream lister never sees a partial batch. The staging
+        dir carries a leading underscore: Spark's file listers treat
+        `_`/`.`-prefixed paths as hidden, so a stream that races the
+        rename cannot observe the half-built directory under the
+        `stream/*/` glob (it would otherwise double-deliver the batch
+        under two paths)."""
         final = os.path.join(self._stream_dir, batch_id)
-        tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(
+            self._stream_dir, f"_tmp.{batch_id}.{uuid.uuid4().hex[:8]}"
+        )
         os.makedirs(tmp)
         for name in os.listdir(path):
             if name.endswith(".parquet"):
@@ -311,8 +352,18 @@ class WalrusLog:
         return [r for r in recs if r["batch"] not in replaced]
 
     def _flush_meta(self) -> None:
+        # txn ids ride in meta as well as in manifest records: vacuum
+        # deletes fully-consumed records, and without this a replayed
+        # streaming micro-batch whose record was vacuumed would commit
+        # a second time after restart (ids are tiny strings; prune with
+        # retention if a deployment ever accumulates millions)
         self._write_sidecar(
-            self._meta_path, {"hw": self._hw, "dirty": self._dirty}
+            self._meta_path,
+            {
+                "hw": self._hw,
+                "dirty": self._dirty,
+                "txns": sorted(self._txns),
+            },
         )
 
     def _flush_cursors(self) -> None:
@@ -488,6 +539,17 @@ class WalrusLog:
             F.col(topic_col).alias("topic"),
             F.col(payload_col).cast("binary").alias("value"),
         ).withColumn("_pid", F.spark_partition_id())
+        # Pin the partition layout: the two passes below (count, then
+        # assign+write) MUST see identical (_pid, row) placement, which
+        # an arbitrary caller plan (round-robin repartition, upstream
+        # shuffle, task retry between the jobs) does not guarantee.
+        # localCheckpoint materializes the batch once and truncates the
+        # lineage, so divergence is impossible — and an executor loss
+        # mid-ingest fails the job loudly instead of committing corrupt
+        # offsets. (One materialization of the ingest batch is the cost
+        # of exactly-once offset assignment without a per-topic global
+        # window or a post-write re-read.)
+        src = src.localCheckpoint(eager=True)
         # Pass 1 (metadata-light): per-(source partition, topic) counts.
         # Column pruning means this scans only the topic column, never
         # payload bytes. From the counts the driver computes each
@@ -513,9 +575,8 @@ class WalrusLog:
         }
         # Pass 2: assign offsets and write. The row_number window is
         # partitioned by (_pid, topic) — parallelism = source partitions
-        # × topics, not one task per topic. Requires the source's
-        # partition layout to be deterministic across the two passes
-        # (true for file sources and materialized micro-batches).
+        # × topics, not one task per topic. The localCheckpoint above
+        # guarantees both passes read the same materialized layout.
         w = Window.partitionBy("_pid", "topic").orderBy(
             F.monotonically_increasing_id()
         )

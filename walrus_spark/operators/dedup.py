@@ -154,12 +154,16 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition tiny-file inputs across all cores before CPU-heavy
     per-row work. At production scale inputs arrive in many splits and
     this is a no-op; on single-file fixtures it's the difference between
-    1 and N cores doing the tokenization. The check uses inputFiles()
-    (catalyst metadata only) rather than df.rdd.getNumPartitions(),
-    which would build the whole RDD-conversion plan just to ask."""
+    1 and N cores doing the tokenization. File sources are checked via
+    inputFiles() (catalyst metadata only); non-file frames
+    (createDataFrame, micro-batch, post-shuffle) fall back to
+    rdd.getNumPartitions() — that builds the RDD-conversion plan, but
+    only on the rare non-scan path, and silently skipping the spread
+    there would serialize the tokenize stage onto one core."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) < target:
+    n = len(files) if files else df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

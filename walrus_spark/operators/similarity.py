@@ -322,8 +322,9 @@ def knn_join(
     Block-nested-loop with a bounded broadcast reference (collected
     once, loud error past the ceiling — the embedding_cosine_pairs
     contract): each Arrow batch of probes does ONE BLAS matmul against
-    the reference and a vectorized argpartition top-k; no pair ever
-    exists as a shuffle row, output is exactly n·k rows. For the
+    the reference and an exact per-row (-cos, id) ordering; no pair
+    ever exists as a shuffle row, output is at most n·k rows (fewer
+    only when the non-self reference pool is smaller than k). For the
     both-sides-huge case, route through the LSH buckets
     (embedding_lsh_pairs) and take per-bucket top-k instead.
 
@@ -369,20 +370,23 @@ def knn_join(
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             sims = np.round(a @ mat_r.T, 6)
             sims[a_ids[:, None] == ids_r[None, :]] = -np.inf  # no self
-            kk = min(k, sims.shape[1] - 1)
-            # partial top-k then exact ordering of the k survivors:
-            # argpartition is O(n_ref), the final sort only touches k
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            idx = np.arange(sims.shape[1])
             out = {"vec_id": [], "rank": [], "neighbor": [], "cos": []}
             for i in range(len(a_ids)):
-                cand = part[i]
-                # order by (-cos, neighbor id): ids_r is sorted so a
-                # stable argsort on -cos breaks ties by id ascending
-                cand = cand[np.argsort(-sims[i, cand], kind="stable")]
+                row = sims[i]
+                # exact (-cos, neighbor-id) order: lexsort's primary key
+                # is the LAST tuple element, ties fall to reference
+                # index = id ascending (ids_r is sorted). An
+                # argpartition prefilter would be faster for huge
+                # references but places boundary ties arbitrarily,
+                # breaking the oracle's deterministic ranking.
+                order = np.lexsort((idx, -row))
+                order = order[np.isfinite(row[order])][:k]
+                kk = len(order)  # < k only when the valid pool is small
                 out["vec_id"].extend([a_ids[i]] * kk)
                 out["rank"].extend(range(1, kk + 1))
-                out["neighbor"].extend(ids_r[cand])
-                out["cos"].extend(sims[i, cand])
+                out["neighbor"].extend(ids_r[order])
+                out["cos"].extend(row[order])
             yield pd.DataFrame(
                 {
                     "vec_id": pd.Series(out["vec_id"], dtype="int64"),

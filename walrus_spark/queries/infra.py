@@ -108,6 +108,8 @@ def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
         topic_col="event_type",
         payload_col="payload",
     )
+    log.close()  # stop the background fsync worker; the returned view
+    # reads the committed parquet files, not the instance
     typed = typed_log_view(
         log, "event_id long, user_id long, value double"
     )

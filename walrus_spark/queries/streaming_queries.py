@@ -120,6 +120,7 @@ def stream_consume_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, log, os.path.join(base, "ckpt"), sink
         )
         q.awaitTermination()
+        log.close()  # stop the background fsync worker with the tmpdir
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return (

@@ -199,10 +199,15 @@ def shared_cursor_stream(
                 .agg(F.max("offset").alias("hi"), F.count("*").alias("n"))
                 .collect()
             )
+            # Order is the at-least-once contract: the sink must SEE a
+            # batch before the shared cursor records it as consumed. A
+            # crash after sink but before checkpoint → bounded
+            # re-delivery; the reverse order would let a sink failure
+            # skip entries forever (a gap, which the contract forbids).
+            sink(batch_df, batch_id)
             for r in stats:
                 # sidecar persistence per ReadConsistency.persist_every
                 log._checkpoint_read(r["topic"], int(r["hi"]), int(r["n"]))
-            sink(batch_df, batch_id)
         finally:
             batch_df.unpersist()
 

@@ -266,3 +266,102 @@ def test_partition_invariance(spark):
         skewed = sorted(map(tuple, op(src.repartition(3)).collect()))
         one = sorted(map(tuple, op(src.coalesce(1)).collect()))
         assert base == skewed == one and len(base) > 0
+
+
+def test_range_join_is_equi_join(spark):
+    """range_join must plan as a hash/sort-merge EQUI-join on
+    (key, bucket) — never BroadcastNestedLoopJoin, the scale-killer
+    Spark picks for raw inequality joins."""
+    from walrus_spark.operators.asof import range_join
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    l = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = range_join(
+        l, r, on="user_id", left_ts="ts", right_ts="ts",
+        lower_us=-86_400_000_000, upper_us=0, right_payload=["click_id"],
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_range_join_window_edges(spark):
+    """Inclusive lower / exclusive upper bounds, including partners that
+    sit exactly on a bucket boundary (the case the 2-bucket probe
+    explode exists for)."""
+    from walrus_spark.operators.asof import range_join
+
+    def mk(rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    # window [t-10s, t): partner at exactly t-10s matches, at t doesn't
+    l = mk([(1, "2024-01-01 00:00:20")], "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = mk(
+        [
+            (100, "2024-01-01 00:00:10.000000"),  # == lower bound: in
+            (101, "2024-01-01 00:00:19.999999"),  # just inside: in
+            (102, "2024-01-01 00:00:20"),  # == upper bound: out
+            (103, "2024-01-01 00:00:09.999999"),  # below lower: out
+        ],
+        "rid long, ts string",
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"), F.lit(1).alias("id"))
+    # same key for all rows
+    l = l.withColumn("k", F.lit(1))
+    r = r.withColumn("k", F.lit(1))
+    out = range_join(
+        l, r, on="k", left_ts="ts", right_ts="ts",
+        lower_us=-10_000_000, upper_us=0, right_payload=["rid"],
+    )
+    assert sorted(x["rid"] for x in out.collect()) == [100, 101]
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    """Exactly n per stratum (or the whole stratum when smaller), and
+    the pre-filter + window plan agrees with the full-stratum ranking
+    run twice (determinism)."""
+    from walrus_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    a = stratified_sample(docs, n_per_stratum=7)
+    b = stratified_sample(docs, n_per_stratum=7)
+    rows_a = [(r["doc_id"], r["lang"], r["rn"]) for r in a.collect()]
+    rows_b = [(r["doc_id"], r["lang"], r["rn"]) for r in b.collect()]
+    assert rows_a == rows_b
+    from collections import Counter
+
+    per = Counter(lang for _, lang, _ in rows_a)
+    totals = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    for lang, total in totals.items():
+        assert per[lang] == min(7, total)
+
+
+def test_decontaminate_flags_verbatim_copy(spark):
+    """A train doc that IS an eval doc must come out 100% contaminated;
+    an unrelated doc must be 0%."""
+    from walrus_spark.operators.pipeline import decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # verbatim copy
+            (11, "one two three four five six"),  # disjoint
+            (12, "zz"),  # too short for any shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(tr, ev).collect()}
+    assert out[10]["overlap_frac"] == 1.0 and out[10]["contaminated"]
+    assert out[11]["n_overlap"] == 0 and not out[11]["contaminated"]
+    assert out[12]["n_shingles"] == 0 and out[12]["contaminated"] is None

@@ -87,3 +87,76 @@ def asof_join(
             for c in [right_tiebreak, *payload]
         ],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    right_payload: list[str],
+) -> DataFrame:
+    """Interval (range) join: pair every left row with the right rows of
+    the same key whose timestamp falls in
+    ``[left_ts + lower_us, left_ts + upper_us)`` microseconds.
+
+    Spark plans a raw non-equi join as BroadcastNestedLoopJoin — a
+    per-key O(|L|*|R|) scan that dies at scale. This operator makes it
+    an EQUI-join on (key, time_bucket): bucket width W = the window
+    span, the right side lands in bucket ``ts div W``, each left row
+    probes the 2 buckets its window can touch (a tiny ``sequence``
+    explode of bucket IDS — never of data rows), and the exact bounds
+    are a post-join filter. Shuffle volume is O(2|L| + |R|) slim rows,
+    hash-partitioned on (key, bucket), so sort-merge, broadcast, and
+    AQE skew splitting all apply; no cross product beyond rows sharing
+    a bucket ever exists.
+
+    Integer ``div`` (not float division: epoch-us values are near
+    double\'s exact-integer limit) truncates while bucketing needs
+    floor — identical for the non-negative epoch values this operates
+    on (pre-1970 timestamps would need a floordiv).
+
+    Output: left columns + ``right_payload`` (inner semantics — a left
+    row with no in-range partner emits nothing; left-join the output
+    back to keep empties)."""
+    w = upper_us - lower_us
+    if w <= 0:
+        raise ValueError("upper_us must exceed lower_us")
+    l_cols = left.columns
+    lhs = left.withColumn(
+        "__lt", F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"(__lt + ({lower_us})) div {w}"),
+                F.expr(f"(__lt + ({upper_us})) div {w}"),
+            )
+        ),
+    )
+    rhs = (
+        right.withColumn(
+            "__rt", F.unix_micros(F.col(right_ts).cast("timestamp"))
+        )
+        .withColumn("__bkt", F.expr(f"__rt div {w}"))
+        .select(
+            F.col(on).alias("__rk"),
+            "__rt",
+            "__bkt",
+            *[F.col(c) for c in right_payload],
+        )
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col(on) == F.col("__rk")) & (lhs["__bkt"] == rhs["__bkt"]),
+        )
+        .where(
+            (F.col("__rt") >= F.col("__lt") + F.lit(lower_us))
+            & (F.col("__rt") < F.col("__lt") + F.lit(upper_us))
+        )
+        .select(*l_cols, *right_payload)
+    )

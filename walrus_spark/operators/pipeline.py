@@ -180,3 +180,210 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap between the training corpus and an
+# eval/benchmark set. The standard pre-training hygiene step: any train
+# document sharing too many word shingles with an eval document must be
+# flagged (and typically dropped) so benchmark numbers stay honest.
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-train-document overlap with the eval set's shingle inventory.
+
+    Scale shape (the asymmetry is the whole design): eval suites are
+    small (10^4-10^6 docs) while train corpora are 100 TB, so the eval
+    side is reduced to its DISTINCT shingle hashes (64-bit xxhash64 —
+    ~8 bytes each, comfortably broadcastable) and the train side makes
+    ONE pass: tokenize → explode → broadcast LEFT join against the eval
+    hashes → partial-aggregated groupBy(doc_id). No shuffle ever
+    carries eval data or shingle strings; the only exchange is the
+    per-doc count rollup. Compare the reference's exact-pattern
+    integrity checks (tests/batch_writes.rs:18) — the oracle recomputes
+    the same overlap relationally over shingle strings.
+
+    Output: one row per train doc — n_shingles, n_overlap (distinct
+    shingles also present in eval), overlap_frac, contaminated flag.
+    Docs with < SHINGLE_N words have no shingles: frac/flag are NULL.
+    """
+    from walrus_spark.operators.dedup import shingles
+
+    ev = (
+        eval_docs.select(F.explode(shingles(F.col(text_col))).alias("s"))
+        .select(F.xxhash64("s").alias("ev64"))
+        .distinct()
+    )
+    ex = (
+        train.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+        # one generate over the projected array: the shingle regex runs
+        # once per row; explode_outer keeps shingle-less docs (s NULL
+        # never matches the broadcast side)
+        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("s"))
+    )
+    m = ex.join(F.broadcast(ev), F.xxhash64("s") == F.col("ev64"), "left")
+    frac = F.col("n_overlap") / F.nullif(F.col("n_shingles"), F.lit(0))
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("ev64").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= frac_threshold).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 5 AS is_eval
+  FROM documents
+), words AS (
+  SELECT doc_id, is_eval,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM tagged
+), idx AS (
+  SELECT doc_id, is_eval, ws, unnest(generate_series(1, len(ws)-2)) AS i
+  FROM words WHERE len(ws) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, is_eval,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM idx
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE is_eval
+), tr AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh WHERE NOT is_eval GROUP BY 1
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM sh t JOIN ev USING (s) WHERE NOT t.is_eval GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(h.n_overlap, 0) * 1.0
+             / nullif(COALESCE(t.n_shingles, 0), 0), 6) AS overlap_frac,
+       COALESCE(h.n_overlap, 0) * 1.0
+           / nullif(COALESCE(t.n_shingles, 0), 0) >= 0.5 AS contaminated
+FROM (SELECT doc_id FROM tagged WHERE NOT is_eval) a
+LEFT JOIN tr t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("pipeline_decontamination", oracle=_DECON_ORACLE)
+def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the val split (same Knuth-hash arithmetic as
+    train_val_split) stands in for the eval benchmark; every train doc
+    is scored against it."""
+    d = train_val_split(load_table(spark, sf_dir, "documents"))
+    return decontaminate(
+        d.where(F.col("split") == "train").drop("split"),
+        d.where(F.col("split") == "val").drop("split"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    n_per_stratum: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-N sample per stratum: rank rows inside each
+    stratum by the Knuth hash of their id and keep the first N. Same
+    reproducibility story as train_val_split — no RNG, stable under
+    corpus growth for the unsampled remainder, identical on any engine.
+
+    Scale shape: the naive plan — row_number over
+    Window.partitionBy(stratum) — sorts ENTIRE strata, and a stratum is
+    one task: a billion-doc language becomes a single-task sort. Two
+    phases fix that:
+
+      1. per-stratum counts (tiny partial-agg rollup, one row per
+         stratum — bounded metadata, collected like a broadcast dim);
+      2. keep only rows whose hash falls below a per-stratum cutoff
+         sized for ~4× the sample (binomial tail makes undershoot
+         astronomically rare; an exact count-check loop doubles the
+         cutoff and retries if it ever happens), THEN window-rank the
+         ~4N survivors.
+
+    The sort each stratum task does is over O(N) rows regardless of
+    stratum size; everything before it is scan + partial agg. The
+    result is provably identical to the full-stratum ranking: if ≥ N
+    rows clear the cutoff, the N smallest hashes all do."""
+    h = F.pmod(F.col(id_col) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD))
+    hashed = docs.withColumn("_h", h)
+    counts = {
+        r["s"]: r["n"]
+        for r in hashed.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    over = 4
+    while True:
+        cutoff = F.create_map(
+            *[
+                x
+                for s, n in sorted(counts.items())
+                for x in (
+                    F.lit(s),
+                    F.lit(
+                        min(
+                            _SPLIT_MOD,
+                            (_SPLIT_MOD * n_per_stratum * over) // max(n, 1) + 1,
+                        )
+                    ),
+                )
+            ]
+        )
+        surv = hashed.where(F.col("_h") < cutoff[F.col(stratum_col)])
+        got = {
+            r["s"]: r["n"]
+            for r in surv.groupBy(F.col(stratum_col).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if all(
+            got.get(s, 0) >= min(n_per_stratum, n) for s, n in counts.items()
+        ):
+            break
+        over *= 2  # unreachable in practice; exactness guard
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_stratum)
+        .select(id_col, stratum_col, F.col("rn").cast("long").alias("rn"))
+        .orderBy(stratum_col, "rn")
+    )
+
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 50 ORDER BY lang, rn
+"""
+
+
+@register("pipeline_stratified_sample", oracle=_STRAT_ORACLE)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"))

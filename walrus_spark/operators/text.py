@@ -69,68 +69,35 @@ def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_token_count",
-    oracle="SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) "
-    "AS n_tokens FROM documents ORDER BY doc_id",
+    "text_token_counts",
+    oracle="SELECT doc_id, "
+    "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens, "
+    "len(regexp_extract_all(text, "
+    "'''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) "
+    "AS n_bpe_tokens FROM documents ORDER BY doc_id",
 )
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — the cheap pre-BPE budget estimator of
-    a training-data pipeline."""
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget estimators, both in ONE corpus scan: whitespace
+    token count (the cheap pre-BPE estimator) and the GPT-2-style
+    pre-tokenizer match count (the standard fast BPE proxy when the real
+    vocab isn't in the loop; see _BPE_PAT). Pure codegen expressions,
+    embarrassingly parallel — at 100 TB one pass over the text computes
+    every per-doc counter, which is why the signals share an entry."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
-@register(
-    "text_quality",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
-           length(text) AS n_chars_calc,
-           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
-                 / length(text), 6) AS punct_ratio,
-           round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                 x -> x IN ('the','a','of','and','is','to','in')))
-                 * 1.0
-                 / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6)
-               AS stopword_ratio
-    FROM documents ORDER BY doc_id
-    """,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality signals (length, punctuation density,
-    stopword ratio) — the standard pre-training quality filters."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.col("ws")
-    n_tok = F.size(ws)
-    return (
-        # tokens materialized once: `ws` is a non-cheap alias referenced
-        # multiple times, so CollapseProject keeps the stage boundary and
-        # the regex split runs once per row instead of per sub-expression
-        # (HOFs are interpreted — no CSE).
-        d.select("doc_id", "text", tokens(F.col("text")).alias("ws"))
-        .select(
-            "doc_id",
-            n_tok.alias("n_tokens"),
-            F.length("text").alias("n_chars_calc"),
-            F.round(
-                F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
-                / F.length("text"),
-                6,
-            ).alias("punct_ratio"),
-            F.round(_hits(ws, _STOP["en"]) / n_tok, 6).alias("stopword_ratio"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_LANG_ORACLE = """
+_QUALITY_ORACLE = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
   FROM documents
 ), s AS (
-  SELECT doc_id,
+  SELECT doc_id, text, ws,
     len(list_filter(ws, x -> x IN ('the','a','of','and','is','to','in'))) AS h_en,
     len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) AS h_de,
     len(list_filter(ws, x -> x IN ('el','la','de','que','y','es'))) AS h_es,
@@ -138,27 +105,40 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
-       WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
-       WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
-       WHEN h_fr > 0 THEN 'fr'
-       ELSE 'und' END AS lang_pred
+       len(ws) AS n_tokens,
+       length(text) AS n_chars_calc,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+             / length(text), 6) AS punct_ratio,
+       round(h_en * 1.0 / len(ws), 6) AS stopword_ratio,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+            WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
 FROM s ORDER BY doc_id
 """
 
 
-@register("text_lang_id", oracle=_LANG_ORACLE)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-inventory language-ID heuristic. Fixed inventories and a
-    deterministic argmax tie-break (en > de > es > fr > und); mirrored
-    verbatim in the oracle."""
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, punctuation density,
+    stopword ratio — the standard pre-training quality filters) AND the
+    stopword-inventory language-ID heuristic (fixed inventories, argmax
+    tie-break en > de > es > fr > und, mirrored verbatim in the oracle),
+    all from ONE corpus scan: the per-language hit counts double as the
+    stopword-ratio numerator, so splitting these into separate queries
+    would tokenize 100 TB twice for no reason."""
     d = load_table(spark, sf_dir, "documents")
-    # Two-stage projection: tokens once, then the four interpreted-HOF
-    # hit counts once each; the argmax reads plain columns. Inlining
-    # everything would re-split and re-filter per `when` branch (no CSE
-    # in interpreted HOF evaluation).
-    hits = d.select("doc_id", tokens(F.col("text")).alias("ws")).select(
+    # Two-stage projection: tokens materialized once (HOFs are
+    # interpreted — no CSE — so `ws` must be a real attribute, not an
+    # alias re-expanded per use), then the four hit counts once each;
+    # the ratios and argmax read plain columns.
+    hits = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("ws")
+    ).select(
         "doc_id",
+        "text",
+        F.size("ws").alias("n_tok"),
         *[
             _hits(F.col("ws"), stops).alias(f"h_{lang}")
             for lang, stops in _STOP.items()
@@ -176,7 +156,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
-    return hits.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+    return hits.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(h["en"] / F.col("n_tok"), 6).alias("stopword_ratio"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
 
 
 # GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
@@ -186,103 +177,91 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
-@register(
-    "text_token_count_bpe",
-    oracle="SELECT doc_id, len(regexp_extract_all(text, "
-    "'''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) "
-    "AS n_bpe_tokens FROM documents ORDER BY doc_id",
-)
-def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting: counts matches of a GPT-2-style
-    pre-tokenizer regex — the standard fast token-budget estimator when
-    the real BPE vocab isn't in the loop. Pure codegen'd regexp_count
-    scan, embarrassingly parallel."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-_WINNOW_ORACLE = """
-WITH p AS (
-  SELECT doc_id, lower(text) AS norm,
-         unnest(generate_series(1, greatest(1, length(text) - 7))) AS i
-  FROM documents
-)
-SELECT doc_id, min(md5(substr(norm, i, 8))) AS winnow_fp
-FROM p GROUP BY doc_id ORDER BY doc_id
-"""
-
-
-@register("text_winnow_fingerprint", oracle=_WINNOW_ORACLE)
-def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-md5 document fingerprint over all character 8-grams of the
-    lowercased text. Robust to content reordering/insertion in a way
-    whole-document hashes aren't. Explode positions → codegen'd
-    substr+md5 → min per doc (partial agg: the shuffle carries one
-    32-char hash per doc).
-
-    Perf note (measured): the explode fan-out IS the best JVM plan here
-    — an array_min(transform(...)) formulation avoids the fan-out but
-    evaluates interpreted (HOFs get no codegen) and measured ~1.7×
-    SLOWER; the md5-per-position work is inherent to this definition.
-    `text_winnow_rolling` below is the scale path: same winnowing
-    semantics with a vectorized Karp-Rabin hash, ~10× cheaper."""
-    d = load_table(spark, sf_dir, "documents")
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("norm") - 7))
-    )
-    return (
-        d.select("doc_id", F.lower(F.col("text")).alias("norm"))
-        .select("doc_id", "norm", pos.alias("i"))
-        .select("doc_id", F.md5(F.encode(F.substr("norm", F.col("i"), F.lit(8)), "UTF-8")).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("winnow_fp"))
-        .orderBy("doc_id")
-    )
-
-
-# Karp-Rabin winnowing oracle: h(i) = Σ_{k=0..7} codepoint(norm[i+k])·23^k.
-# Base 23 keeps even a max-codepoint (0x10FFFF) window's FULL sum under
-# 2^53 — 1114111·(23^8-1)/22 ≈ 3.96e15 — so double and int64 arithmetic
-# agree bit-for-bit across engines and summation order cannot matter.
-_WINNOW_ROLLING_ORACLE = """
+# Combined fingerprint oracle: md5 whole-document fp, min-md5 winnowing
+# fp over character 8-grams, and the Karp-Rabin rolling-hash winnowing
+# fp — h(i) = Σ_{k=0..7} codepoint(norm[i+k])·23^k. Base 23 keeps even a
+# max-codepoint (0x10FFFF) window's FULL sum under 2^53 —
+# 1114111·(23^8-1)/22 ≈ 3.96e15 — so double and int64 arithmetic agree
+# bit-for-bit across engines and summation order cannot matter.
+_FINGERPRINTS_ORACLE = """
 WITH d AS (
   SELECT doc_id, lower(text) AS norm FROM documents
 ), p AS (
   SELECT doc_id, norm,
          unnest(generate_series(1, greatest(1, length(norm) - 7))) AS i
   FROM d
-), h AS (
+), w AS (
+  SELECT doc_id, min(md5(substr(norm, i, 8))) AS winnow_fp
+  FROM p GROUP BY doc_id
+), r AS (
   SELECT doc_id,
-         list_sum(list_transform(generate_series(0, 7),
-                  k -> unicode(substr(norm || repeat(chr(1), 8), i + k, 1))
-                       * (23 ** k))) AS hv
-  FROM p
+         CAST(min(list_sum(list_transform(generate_series(0, 7),
+              k -> unicode(substr(norm || repeat(chr(1), 8), i + k, 1))
+                   * (23 ** k)))) AS BIGINT) AS winnow_rolling
+  FROM p GROUP BY doc_id
 )
-SELECT doc_id, CAST(min(hv) AS BIGINT) AS winnow_fp
-FROM h GROUP BY doc_id ORDER BY doc_id
+SELECT d.doc_id, md5(d.norm) AS fp, w.winnow_fp, r.winnow_rolling
+FROM d JOIN w USING (doc_id) JOIN r USING (doc_id)
+ORDER BY doc_id
 """
 
 
-@register("text_winnow_rolling", oracle=_WINNOW_ROLLING_ORACLE)
-def text_winnow_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Karp-Rabin winnowing fingerprint — the 100 TB path. The classic
-    winnowing scheme (Schleimer et al.) uses a polynomial rolling hash,
-    not a cryptographic digest; h(window) = Σ codepoint·23^k stays an
-    exact integer below 2^53 for ANY Unicode input, so numpy float64 and
-    DuckDB's double list_sum agree exactly.
+@register("text_fingerprints", oracle=_FINGERPRINTS_ORACLE)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, all three schemes in one hash-checked
+    entry (one row per doc: fp, winnow_fp, winnow_rolling):
 
-    Arrow-batched mapInPandas: each document's codepoints come from one
-    utf-32 reinterpret (no per-char Python), all window hashes from one
-    vectorized correlation, the min from one reduction — microseconds
-    per document, no shuffle, no row fan-out. Short docs are padded with
-    codepoint-1 sentinels to 8 chars (mirrored in the oracle via
-    `norm || repeat(chr(1), 8)` under the same window-count rule)."""
+      fp             — md5 of the lowercased text: the exact-dedup key;
+                       hex-identical in Spark and DuckDB.
+      winnow_fp      — min-md5 over all character 8-grams: robust to
+                       reordering/insertion in a way whole-document
+                       hashes aren't. Explode positions → codegen'd
+                       substr+md5 → min per doc (partial agg: the
+                       shuffle carries one 32-char hash per doc).
+                       Measured: the explode fan-out IS the best JVM
+                       plan — array_min(transform(...)) avoids the
+                       fan-out but runs interpreted (no HOF codegen),
+                       ~1.7× slower.
+      winnow_rolling — the 100 TB path: classic winnowing (Schleimer
+                       et al.) with a Karp-Rabin polynomial hash.
+                       Arrow-batched mapInPandas: each document's
+                       codepoints come from one utf-32 reinterpret, all
+                       window hashes from one vectorized correlation,
+                       the min from one reduction — no shuffle, no row
+                       fan-out. Short docs are padded with codepoint-1
+                       sentinels (mirrored in the oracle via
+                       `norm || repeat(chr(1), 8)`).
+
+    The three branches share one normalized projection; each is
+    scan-bound, and the final doc_id joins are one co-partitioned
+    shuffle each (at scale: cheap next to the md5-per-position work the
+    winnow definition itself implies — which is why winnow_rolling is
+    the production variant)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.lower(F.col("text")).alias("norm"))
+
+    whole = base.select(
+        "doc_id", F.md5(F.encode(F.col("norm"), "UTF-8")).alias("fp")
+    )
+
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("norm") - 7))
+    )
+    winnow = (
+        base.select("doc_id", "norm", pos.alias("i"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(F.substr("norm", F.col("i"), F.lit(8)), "UTF-8")
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("winnow_fp"))
+    )
 
     # np.correlate(a, v)[i] = Σ_k a[i+k]·v[k] — kernel NOT flipped, so
     # ascending powers line up with the oracle's k-indexing directly.
@@ -302,33 +281,19 @@ def text_winnow_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [codes, np.ones(n_win + 7 - len(codes))]
                     )
                 out[j] = np.correlate(codes[: n_win + 7], weights).min()
-            yield pd.DataFrame({"doc_id": ids, "winnow_fp": out})
+            yield pd.DataFrame({"doc_id": ids, "winnow_rolling": out})
 
-    d = load_table(spark, sf_dir, "documents")
-    schema = StructType(
+    rolling_schema = StructType(
         [
             StructField("doc_id", d.schema["doc_id"].dataType),
-            StructField("winnow_fp", LongType()),
+            StructField("winnow_rolling", LongType()),
         ]
     )
+    rolling = base.mapInPandas(fp, rolling_schema)
+
     return (
-        d.select("doc_id", F.lower(F.col("text")).alias("norm"))
-        .mapInPandas(fp, schema)
-        .orderBy("doc_id")
+        whole.join(winnow, "doc_id").join(rolling, "doc_id").orderBy("doc_id")
     )
-
-
-@register(
-    "text_fingerprint",
-    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical content fingerprint (md5 of lowercased text) — the key
-    for exact dedup across shards; hex-identical in Spark and DuckDB."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.md5(F.encode(F.lower(F.col("text")), "UTF-8")).alias("fp")
-    ).orderBy("doc_id")
 
 
 @register(

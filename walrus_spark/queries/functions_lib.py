@@ -20,69 +20,62 @@ from walrus_spark.queries.registry import register
 
 
 @register(
-    "dq17b_except",
-    oracle="SELECT c_custkey FROM (SELECT c_custkey FROM customer "
-    "EXCEPT SELECT o_custkey FROM orders) t ORDER BY c_custkey",
+    "dq21_scalar_functions",
+    oracle="SELECT 'part' AS src, p_partkey AS key, "
+    "upper(p_brand) AS s1, substring(p_name, 1, 8) AS s2, "
+    "concat(p_brand, ':', p_type) AS s3, "
+    "CAST(length(p_name) AS BIGINT) AS n1, "
+    "CAST(p_size % 7 AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3, "
+    "round(sqrt(p_retailprice), 4) AS d1, CAST(NULL AS TIMESTAMP) AS t1 "
+    "FROM part "
+    "UNION ALL SELECT 'orders' AS src, o_orderkey AS key, "
+    "CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2, "
+    "CAST(NULL AS VARCHAR) AS s3, "
+    "CAST(year(o_orderdate) AS BIGINT) AS n1, "
+    "CAST(month(o_orderdate) AS BIGINT) AS n2, "
+    "CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS n3, "
+    "CAST(NULL AS DOUBLE) AS d1, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t1 "
+    "FROM orders ORDER BY src, key",
 )
-def dq17b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — customers who never ordered, as a set op;
-    complements DQ17's INTERSECT. One shuffle per side (distinct +
-    left-anti), both on a single slim key column."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return c.subtract(o).orderBy("c_custkey")
-
-
-@register(
-    "dq21_scalar_string_math",
-    oracle="SELECT p_partkey, upper(p_brand) AS brand_u, "
-    "substring(p_name, 1, 8) AS name8, "
-    "CAST(length(p_name) AS BIGINT) AS name_len, "
-    "CAST(p_size % 7 AS BIGINT) AS size_mod, "
-    "round(sqrt(p_retailprice), 4) AS price_sqrt, "
-    "concat(p_brand, ':', p_type) AS brand_type "
-    "FROM part ORDER BY p_partkey",
-)
-def dq21_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String + math function family over `part` — all built-in codegen
-    expressions, so the scan is the whole cost (no UDF boundary)."""
+def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function families (string + math over `part`, date/time
+    over `orders`) in one tagged entry on a shared super-schema — every
+    per-row value is still hash-checked natively typed (no stringified
+    doubles). All expressions are built-in codegen; each branch's scan
+    is the whole cost (no UDF boundary, no shuffle before the final
+    presentation sort)."""
     p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_u"),
-        F.substring("p_name", 1, 8).alias("name8"),
-        F.length("p_name").cast("long").alias("name_len"),
-        (F.col("p_size") % 7).cast("long").alias("size_mod"),
-        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-    ).orderBy("p_partkey")
-
-
-@register(
-    "dq21b_scalar_dates",
-    oracle="SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, "
-    "CAST(month(o_orderdate) AS BIGINT) AS mo, "
-    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start, "
-    "CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) "
-    "AS days_since FROM orders ORDER BY o_orderkey",
-)
-def dq21b_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function family over `orders` (year/month extraction,
-    truncation, day arithmetic) — codegen expressions, scan-bound."""
+    part_side = p.select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").alias("key"),
+        F.upper("p_brand").alias("s1"),
+        F.substring("p_name", 1, 8).alias("s2"),
+        F.concat_ws(":", "p_brand", "p_type").alias("s3"),
+        F.length("p_name").cast("long").alias("n1"),
+        (F.col("p_size") % 7).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("d1"),
+        F.lit(None).cast("timestamp_ntz").alias("t1"),
+    )
     o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("long").alias("yr"),
-        F.month("o_orderdate").cast("long").alias("mo"),
-        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+    orders_side = o.select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.year("o_orderdate").cast("long").alias("n1"),
+        F.month("o_orderdate").cast("long").alias("n2"),
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
         )
         .cast("long")
-        .alias("days_since"),
-    ).orderBy("o_orderkey")
+        .alias("n3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.date_trunc("month", "o_orderdate").alias("t1"),
+    )
+    return part_side.unionByName(orders_side).orderBy("src", "key")
 
 
 @register(

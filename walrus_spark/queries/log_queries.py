@@ -29,48 +29,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq01_topic_entry_count",
-    oracle="SELECT count(*) AS cnt FROM events "
-    "WHERE event_type = 'click' AND event_id >= 1000",
+    "dq01_02_topic_counts",
+    oracle="SELECT 'cursor' AS part, 'click' AS topic, count(*) AS cnt "
+    "FROM events WHERE event_type = 'click' AND event_id >= 1000 "
+    "UNION ALL SELECT 'all' AS part, event_type AS topic, count(*) AS cnt "
+    "FROM events GROUP BY 1, 2 "
+    "ORDER BY part, topic",
 )
-def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O9 get_topic_entry_count (walrus.rs:129-135): unconsumed entries
-    past a cursor. Both predicates push down to the parquet scan."""
-    return (
-        _events(spark, sf_dir)
-        .where((F.col("event_type") == "click") & (F.col("event_id") >= 1000))
+def dq01_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 get_topic_entry_count + O10 get_topic_entry_counts
+    (walrus.rs:129-142) in one tagged entry: the 'cursor' row counts
+    unconsumed entries past a cursor for one topic (both predicates push
+    down to the parquet scan), the 'all' rows are the per-topic counts.
+    One fixture scan feeds both branches."""
+    ev = _events(spark, sf_dir)
+    cursor = (
+        ev.where((F.col("event_type") == "click") & (F.col("event_id") >= 1000))
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("cursor").alias("part"), F.lit("click").alias("topic"), "cnt")
     )
-
-
-@register(
-    "dq02_all_topic_counts",
-    oracle="SELECT event_type, count(*) AS cnt FROM events "
-    "GROUP BY event_type ORDER BY event_type",
-)
-def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O10 get_topic_entry_counts (walrus.rs:137-142): per-topic counts."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
+    all_counts = (
+        ev.groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("event_type")
+        .select(F.lit("all").alias("part"), F.col("event_type").alias("topic"), "cnt")
     )
-
-
-@register(
-    "dq03_topic_size",
-    oracle="SELECT event_type, CAST(sum(length(props)) AS BIGINT) AS bytes "
-    "FROM events GROUP BY event_type ORDER BY event_type",
-)
-def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O11 get_topic_size (walrus.rs:144-178): payload bytes per topic."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.sum(F.length("props")).alias("bytes"))
-        .orderBy("event_type")
-    )
+    return cursor.unionByName(all_counts).orderBy("part", "topic")
 
 
 @register(
@@ -93,20 +76,27 @@ def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq05_topic_state",
+    "dq03_05_07_topic_state",
     oracle="SELECT event_type, min(event_id) AS first_off, "
-    "max(event_id) AS last_off, count(*) AS n FROM events "
+    "max(event_id) AS high_watermark, count(*) AS n, "
+    "CAST(sum(length(props)) AS BIGINT) AS bytes FROM events "
     "GROUP BY event_type ORDER BY event_type",
 )
-def dq05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 STATE (controller/mod.rs:189-195): per-topic segment state."""
+def dq03_05_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 get_topic_size + D4 STATE + high watermark (walrus.rs:144-178,
+    controller/mod.rs:189-195, distributed-walrus/src/rpc.rs:17-20) as
+    ONE wide per-topic aggregate. The merged form is the better plan at
+    any scale: one fixture scan, one map-side-combined shuffle carrying
+    five partials per (partition, topic) instead of three separate scans
+    of the same data."""
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.min("event_id").alias("first_off"),
-            F.max("event_id").alias("last_off"),
+            F.max("event_id").alias("high_watermark"),
             F.count("*").alias("n"),
+            F.sum(F.length("props")).alias("bytes"),
         )
         .orderBy("event_type")
     )
@@ -130,21 +120,6 @@ def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "segment")
         .agg(F.count("*").alias("entries"))
         .orderBy("event_type", "segment")
-    )
-
-
-@register(
-    "dq07_high_watermark",
-    oracle="SELECT event_type, max(event_id) AS high_watermark FROM events "
-    "GROUP BY event_type ORDER BY event_type",
-)
-def dq07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High watermark per topic (distributed-walrus/src/rpc.rs:17-20)."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.max("event_id").alias("high_watermark"))
-        .orderBy("event_type")
     )
 
 

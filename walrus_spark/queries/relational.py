@@ -132,19 +132,31 @@ def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq15_anti_join",
-    oracle="SELECT count(*) AS cnt FROM customer c WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "dq15_semi_anti_join",
+    oracle="SELECT 'anti' AS part, count(*) AS cnt FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "UNION ALL SELECT 'semi' AS part, count(*) AS cnt FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "ORDER BY part",
 )
 def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join; Spark needs only o_custkey from
-    orders (column pruning), so the build side is one slim column."""
+    """NOT EXISTS → left-anti join and EXISTS → left-semi join, tagged in
+    one entry. Spark needs only o_custkey from orders (column pruning),
+    so each build side is one slim column; neither join duplicates rows
+    from the many-side."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return (
+    anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("anti").alias("part"), "cnt")
     )
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("semi").alias("part"), "cnt")
+    )
+    return anti.unionByName(semi).orderBy("part")
 
 
 @register(
@@ -166,17 +178,28 @@ def dq16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq17_intersect",
-    oracle="SELECT o_custkey FROM "
+    "dq17_set_ops",
+    oracle="SELECT 'intersect' AS op, o_custkey AS key FROM "
     "(SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t "
-    "ORDER BY o_custkey",
+    "UNION ALL SELECT 'except' AS op, c_custkey AS key FROM "
+    "(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t "
+    "ORDER BY op, key",
 )
 def dq17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (both distinct set ops) tagged in one entry.
+    Each lowers to a distinct + semi/anti join — one shuffle per side,
+    always on a single slim key column."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    return o.intersect(c).orderBy("o_custkey")
+    inter = o.intersect(c).select(
+        F.lit("intersect").alias("op"), F.col("o_custkey").alias("key")
+    )
+    exc = c.subtract(o).select(
+        F.lit("except").alias("op"), F.col("o_custkey").alias("key")
+    )
+    return inter.unionByName(exc).orderBy("op", "key")
 
 
 @register(
@@ -204,18 +227,3 @@ def dq18b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq15b_semi_join",
-    oracle="SELECT count(*) AS cnt FROM customer c WHERE EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-)
-def dq15b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS (left-semi join) — the complement of DQ15's anti join;
-    one hash join (broadcast-or-shuffle by AQE), no row duplication
-    from the many-side."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .agg(F.count("*").alias("cnt"))
-    )

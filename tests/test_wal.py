@@ -452,3 +452,22 @@ def test_property_cursor_model(spark, tmp_path):
             assert log.high_watermark(t) == len(entries[t])
 
     run()
+
+
+def test_metrics_surface(log):
+    """D5 METRICS (controller/mod.rs:278-282 analog): the engine-state
+    dict must track appends, consumption, commits, and fsyncs."""
+    log.batch_append("a", [b"x"] * 7)  # segments of 5 -> current segment 1
+    log.batch_append("b", [b"y"] * 3)
+    log.batch_read("a", max_entries=2)
+    m = log.metrics()
+    assert m["n_topics"] == 2
+    assert m["committed_batches"] == 2
+    assert m["topics"]["a"]["high_watermark"] == 7
+    assert m["topics"]["a"]["current_segment"] == 1
+    assert m["topics"]["a"]["cursor"] == 2
+    assert m["topics"]["a"]["unconsumed"] == 5
+    assert m["topics"]["b"]["current_segment"] == 0
+    assert m["topics"]["b"]["unconsumed"] == 3
+    # StrictlyAtOnce flushes every read -> no unpersisted advances
+    assert m["unpersisted_reads"].get("a", 0) == 0

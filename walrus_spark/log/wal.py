@@ -738,6 +738,27 @@ class WalrusLog:
             "dirty": self._dirty.get(topic, {}).get("dirty", False),
         }
 
+    def metrics(self) -> dict:
+        """D5 METRICS analog (distributed-walrus/src/controller/
+        mod.rs:278-282 dumps Raft + topic counters over RPC; our §4
+        mapping is one engine-state dict). Driver-side metadata only —
+        nothing here scans data:
+
+          n_topics / topics    — per-topic STATE (hw, segment, cursor,
+                                 unconsumed, dirty) for every topic
+          committed_batches    — manifest records = atomic commits
+          fsync_count          — O7 background-worker sidecar fsyncs
+          unpersisted_reads    — cursor advances not yet flushed (the
+                                 AtLeastOnce replay exposure, per topic)
+        """
+        return {
+            "n_topics": len(self._hw),
+            "committed_batches": len(self._manifest_records()),
+            "fsync_count": self.fsync_count,
+            "unpersisted_reads": dict(self._unpersisted_reads),
+            "topics": {t: self.state(t) for t in self.topics()},
+        }
+
     # dirty flags (O12, topic_clean.rs)
     def mark_topic_dirty(self, topic: str, flush: bool = True) -> None:
         rec = self._dirty.setdefault(topic, {"dirty": False, "gen": 0})

@@ -92,51 +92,212 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_consume_once",
-    oracle="SELECT event_type AS topic, count(*) AS delivered "
-    "FROM events GROUP BY 1 ORDER BY 1",
+    "stream_consume_replay",
+    oracle="SELECT event_type AS topic, count(*) AS delivered, "
+    "true AS replay_bounded FROM events GROUP BY 1 ORDER BY 1",
 )
-def stream_consume_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → WalrusLog.ingest → streaming consume (availableNow) →
-    per-topic delivered counts. The gate's hash proves the streaming
-    reader delivered every committed entry exactly once — no orphan
-    dirs, no double-delivery from compaction mirrors, no gaps."""
-    from walrus_spark.log import WalrusLog
-    from walrus_spark.streaming import consume_stream
+def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/§2.4 delivery semantics ACROSS A CONSUMER CRASH, end-to-end
+    (the reference's core test surface: tests/batch_read.rs:596 re-reads
+    after restart; tests/configuration.rs:18-618 pins delivery modes):
 
+      1. events are ingested into a WalrusLog in two commits (a small
+         deterministic slice, then the rest) under
+         AtLeastOnce(persist_every=500);
+      2. consumer #1 reads through the SHARED persistent cursor
+         (shared_cursor_stream, one mirror file per micro-batch) and is
+         killed by a sink exception at its second micro-batch — after
+         delivering batch 0 but before the cursor sidecar flush (the
+         first commit's per-topic counts sit below persist_every, so
+         the advance was in-memory only: a real crash window);
+      3. a successor (fresh WalrusLog instance hydrating the sidecar,
+         fresh Spark checkpoint) consumes to completion.
+
+    The gate hashes per-topic DISTINCT delivered offsets against the
+    stored counts — proving no loss and no gaps across the crash — and
+    `replay_bounded` asserts total − distinct ≤ persist_every per
+    topic, the AtLeastOnce re-delivery bound (re-delivery is expected
+    here and must stay within the contract; StrictlyAtOnce is the
+    persist_every=1 degenerate case, pinned by pytest)."""
+    from walrus_spark.log import WalrusLog
+    from walrus_spark.log.wal import ReadConsistency
+    from walrus_spark.streaming import shared_cursor_stream
+
+    persist_every = 500
     ev = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="walrus_scq_")
-    delivered: dict[str, int] = {}
+    seen: dict[str, list[int]] = {}
+
+    def sink_record(batch: DataFrame, _batch_id: int) -> None:
+        for r in batch.select("topic", "offset").collect():
+            seen.setdefault(r["topic"], []).append(int(r["offset"]))
+
+    crash_after = 1
+
+    def sink_crashing(batch: DataFrame, batch_id: int) -> None:
+        if batch_id >= crash_after:
+            raise RuntimeError("injected consumer crash")
+        sink_record(batch, batch_id)
+
     try:
-        log = WalrusLog(spark, os.path.join(base, "log"))
+        payload = ev.select(
+            "event_type",
+            F.col("event_id").alias("eid"),
+            F.encode(F.col("props"), "UTF-8").alias("payload"),
+        )
+        log = WalrusLog(
+            spark,
+            os.path.join(base, "log"),
+            consistency=ReadConsistency.at_least_once(persist_every),
+        )
         log.ingest(
-            ev.select(
-                "event_type",
-                F.encode(F.col("props"), "UTF-8").alias("payload"),
-            ),
+            payload.where(F.col("eid") % 199 == 0),
             topic_col="event_type",
             payload_col="payload",
         )
-
-        def sink(batch: DataFrame, _batch_id: int) -> None:
-            for r in batch.groupBy("topic").count().collect():
-                delivered[r["topic"]] = (
-                    delivered.get(r["topic"], 0) + int(r["count"])
-                )
-
-        q = consume_stream(
-            spark, log, os.path.join(base, "ckpt"), sink
+        log.ingest(
+            payload.where(F.col("eid") % 199 != 0),
+            topic_col="event_type",
+            payload_col="payload",
         )
-        q.awaitTermination()
-        log.close()  # stop the background fsync worker with the tmpdir
+        q = shared_cursor_stream(
+            spark,
+            log,
+            os.path.join(base, "ckpt1"),
+            sink_crashing,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # the injected crash surfaces as a query failure
+        log.close()  # fsync worker only — cursor advance stays unflushed
+
+        successor = WalrusLog(
+            spark,
+            os.path.join(base, "log"),
+            consistency=ReadConsistency.at_least_once(persist_every),
+        )
+        q2 = shared_cursor_stream(
+            spark,
+            successor,
+            os.path.join(base, "ckpt2"),
+            sink_record,
+            max_files_per_trigger=1,
+        )
+        q2.awaitTermination()
+        successor.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return (
-        spark.createDataFrame(
-            sorted(delivered.items()), "topic string, delivered long"
+    rows = [
+        (
+            t,
+            len(set(offs)),
+            (len(offs) - len(set(offs))) <= persist_every,
         )
-        .orderBy("topic")
-    )
+        for t, offs in sorted(seen.items())
+    ]
+    return spark.createDataFrame(
+        rows, "topic string, delivered long, replay_bounded boolean"
+    ).orderBy("topic")
+
+
+@register(
+    "stream_late_drop",
+    oracle="WITH m AS (SELECT max(ts) AS mx FROM events), "
+    "w AS (SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT event_type, w, n FROM w, m "
+    "WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR "
+    "ORDER BY event_type, w",
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time eviction, driver-verified: append-mode windowed counts
+    where deliberately-late data MUST be dropped and only watermark-
+    closed windows MUST be emitted.
+
+    Three single-file micro-batches (mtime-ordered, maxFilesPerTrigger
+    = 1):
+      a — the full events fixture (establishes the watermark
+          max(ts) − 2h);
+      b — one row at max(ts): advances nothing, but its batch lets the
+          eviction pass run with the now-known watermark, emitting every
+          closed window (its own window never closes, so it is invisible
+          in the output);
+      c — every fixture row shifted 1000 hours into the past: all far
+          older than the watermark → every row dropped by the late-event
+          filter (measured on Spark 4.1: the filter uses the watermark
+          lagged one batch — SPARK-42376's late-events watermark — which
+          is why the nudge batch b must sit between data and late data).
+
+    The memory sink then holds exactly the windows with
+    window_end <= max(ts) − 2h (boundary verified emitted at equality),
+    computed by a REAL streaming execution with bounded state; the
+    oracle recomputes that set relationally. Windows still open at
+    end-of-stream are correctly withheld — availableNow termination
+    does not flush open state in append mode."""
+    import glob as _glob
+
+    path = f"{sf_dir}/events.parquet"
+    ev = spark.read.parquet(path).select("event_type", "ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    mx_row = ev.agg(F.max("ts").alias("mx")).collect()[0]
+    base = tempfile.mkdtemp(prefix="walrus_late_")
+    ind = os.path.join(base, "in")
+    os.makedirs(ind)
+    try:
+        batches = (
+            ("a", ev),
+            ("b", spark.createDataFrame(
+                [("__nudge__", mx_row["mx"])], "event_type string, ts timestamp"
+            )),
+            ("c", ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 1000 HOURS"))),
+        )
+        for i, (tag, df) in enumerate(batches):
+            stage = os.path.join(base, f"stage_{tag}")
+            df.coalesce(1).write.parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = os.path.join(ind, f"{tag}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
+        schema = spark.read.parquet(f"{ind}/a.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{ind}/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+        )
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the tempdir vanishes (memory sink rows are
+        # driver-resident, but collect defensively against lazy plans)
+        out = spark.createDataFrame(
+            spark.table(name)
+            .select(
+                "event_type",
+                F.col("w.start").cast("timestamp_ntz").alias("w"),
+                "n",
+            )
+            .collect(),
+            "event_type string, w timestamp_ntz, n long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("event_type", "w")
 
 
 @register(

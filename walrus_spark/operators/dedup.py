@@ -986,13 +986,21 @@ GROUP BY id ORDER BY id
 
 @register("dedup_clusters", oracle=_CLUSTER_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (exact Jaccard ≥ 0.5) → connected components →
+    """Near-dup pairs (Jaccard ≥ 0.5) → connected components →
     (doc_id, component): the canonical-representative assignment of a
-    dedup pipeline. Oracle: DuckDB transitive closure via WITH
-    RECURSIVE — the iterative Spark propagation must reach the exact
-    same fixpoint."""
+    dedup pipeline.
+
+    The pair source is the SCALE path, minhash_lsh_pairs — banded LSH
+    candidates + exact verify, O(n·bands) shuffle, no hot-shingle
+    O(bucket²) stage. Its exact-verify step makes its output provably
+    identical to exact_jaccard_pairs at the threshold (that equality IS
+    dedup_minhash_lsh's oracle contract), so the full chain here —
+    sketch → bucket → verify → propagate — is hash-checked against
+    DuckDB's WITH RECURSIVE transitive closure of the relationally-
+    computed exact pairs: the iterative Spark propagation must reach
+    the exact same fixpoint from sketch-derived edges."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    pairs = minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
     return (
         connected_components(pairs)
         .select(F.col("id"), F.col("component"))

@@ -370,29 +370,29 @@ def knn_join(
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             sims = np.round(a @ mat_r.T, 6)
             sims[a_ids[:, None] == ids_r[None, :]] = -np.inf  # no self
-            idx = np.arange(sims.shape[1])
-            out = {"vec_id": [], "rank": [], "neighbor": [], "cos": []}
-            for i in range(len(a_ids)):
-                row = sims[i]
-                # exact (-cos, neighbor-id) order: lexsort's primary key
-                # is the LAST tuple element, ties fall to reference
-                # index = id ascending (ids_r is sorted). An
-                # argpartition prefilter would be faster for huge
-                # references but places boundary ties arbitrarily,
-                # breaking the oracle's deterministic ranking.
-                order = np.lexsort((idx, -row))
-                order = order[np.isfinite(row[order])][:k]
-                kk = len(order)  # < k only when the valid pool is small
-                out["vec_id"].extend([a_ids[i]] * kk)
-                out["rank"].extend(range(1, kk + 1))
-                out["neighbor"].extend(ids_r[order])
-                out["cos"].extend(row[order])
+            # Exact (-cos, neighbor-id) order in ONE vectorized call:
+            # a STABLE argsort of -sims keeps ties in original column
+            # order = reference index ascending = id ascending (ids_r is
+            # sorted) — identical to a per-row lexsort((idx, -row)) but
+            # without the row-at-a-time Python loop. Self-matches (-inf
+            # cos → +inf key) sort to the end of every row, so the
+            # valid entries form a prefix of each row's top-k and ranks
+            # stay contiguous. (An argpartition prefilter would cut the
+            # sort to O(n_ref) for huge references but places boundary
+            # ties arbitrarily, breaking the oracle's deterministic
+            # ranking.)
+            kk = min(k, sims.shape[1])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(sims, order, axis=1)
+            valid = np.isfinite(top)
+            ranks = np.broadcast_to(np.arange(1, kk + 1), top.shape)
+            probe = np.broadcast_to(a_ids[:, None], top.shape)
             yield pd.DataFrame(
                 {
-                    "vec_id": pd.Series(out["vec_id"], dtype="int64"),
-                    "rank": pd.Series(out["rank"], dtype="int64"),
-                    "neighbor": pd.Series(out["neighbor"], dtype="int64"),
-                    "cos": pd.Series(out["cos"], dtype="float64"),
+                    "vec_id": probe[valid].astype(np.int64),
+                    "rank": ranks[valid].astype(np.int64),
+                    "neighbor": ids_r[order][valid].astype(np.int64),
+                    "cos": top[valid],
                 }
             )
 

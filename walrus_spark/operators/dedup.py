@@ -375,61 +375,54 @@ def simhash_signatures(
     Hamming distances).
 
     Bit b of the sketch is sign(Σ_s ±1 per bit b of xxhash64(s)) over
-    the doc's distinct shingles. One explode + ONE partial-aggregated
-    groupBy(doc_id), with the 64 per-bit counters PACKED four to a long
-    in 16-bit lanes: each input row projects 16 longs whose lanes hold
-    bits (4j..4j+3) of the hash, and 16 plain sums accumulate all 64
-    counters at once. Versus 64 separate conditional sums this shrinks
-    the aggregate buffer (and its generated update/merge code, whose
-    janino compile dominated cold-start) by 4×. With p_b the unpacked
-    lane count and n the row count, sign(2·p_b − n) gives bit b.
+    the doc's distinct shingles — equivalently, bit b set iff
+    2·p_b > n where p_b counts shingles with hash-bit b set.
 
-    Lane capacity bounds a doc at 32767 distinct shingles (the top lane
-    must stay clear of the long sign bit under ANSI sum); _shingle_sets
-    caps sets at exactly that bound, which only affects pathological
-    multi-megabyte single documents.
+    Computed Arrow-batched in the SCAN stage (mapInPandas over the
+    shingle-set frame): per batch, one (total_shingles × 64) bit
+    unpack, one segmented `np.add.reduceat` for all per-doc counters,
+    one vectorized threshold + bit-pack. No shuffle exists before the
+    banding repartition — the earlier formulation (explode + a 64-lane
+    packed groupBy aggregate) paid a full shuffle of the exploded
+    shingle rows plus a janino compile of the 16-sum update code that
+    dominated cold start, and benchmarked slowest in the dedup family.
+    Shingle hashes ride in as one Arrow list column; bit semantics use
+    uint64 logical shifts, matching shiftrightunsigned exactly."""
+    import numpy as np
+    import pandas as pd
 
-    The sketch long is assembled from two 32-bit halves with shift/OR so
-    bit 63 never goes through ANSI `+` (which would overflow-error on
-    the sign bit); each shiftleft operand is a long (int shiftleft wraps
-    at bit 31)."""
     if sets is None:
         sets = _shingle_sets(docs)
-    sh = sets.select("doc_id", F.explode("hs").alias("sh64"))
-    packed = [
-        sum(
-            F.shiftleft(
-                F.shiftrightunsigned("sh64", 4 * j + k)
-                .bitwiseAND(F.lit(1))
-                .cast("long"),
-                16 * k,
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def sketch_batches(batches):
+        for pdf in batches:
+            lens = pdf["hs"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0  # shingle-less docs have no sketch (as the
+            # explode formulation: zero rows -> absent from the result)
+            if not keep.any():
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
+            lens = lens[keep]
+            all_h = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["hs"][keep]]
+            ).view(np.uint64)
+            # (total_shingles, 64) bit matrix -> per-doc column sums via
+            # ONE segmented reduction (groups are already contiguous)
+            bits = ((all_h[:, None] >> shifts) & np.uint64(1)).astype(
+                np.int64
             )
-            for k in range(4)
-        ).alias(f"p{j}")
-        for j in range(16)
-    ]
-    sums = (
-        sh.select("doc_id", *packed)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            *[F.sum(f"p{j}").alias(f"p{j}") for j in range(16)],
-        )
-    )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            p = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
+            bitvals = (2 * p > lens[:, None]).astype(np.uint64)
+            sk = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": ids, "sketch": sk.view(np.int64)}
+            )
 
-    def bit(b: int) -> Column:
-        j, k = b // 4, b % 4
-        p = F.shiftrightunsigned(f"p{j}", 16 * k).bitwiseAND(F.lit(0xFFFF))
-        return F.when(2 * p > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast(
-            "long"
-        )
-
-    lo = sum(F.shiftleft(bit(b), b) for b in range(32))
-    hi = sum(F.shiftleft(bit(b + 32), b) for b in range(32))
-    sketch = F.shiftleft("hi", 32).bitwiseOR(F.col("lo"))
-    return (
-        sums.select("doc_id", lo.alias("lo"), hi.alias("hi"))
-        .select("doc_id", sketch.alias("sketch"))
+    return sets.select("doc_id", "hs").mapInPandas(
+        sketch_batches, "doc_id long, sketch long"
     )
 
 

@@ -178,12 +178,15 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(base, "log"),
             consistency=ReadConsistency.at_least_once(persist_every),
         )
+        # the successor needs no batch-split choreography — one
+        # availableNow batch consumes the remainder (and the replayed
+        # unpersisted tail) at a fraction of the per-batch fixed cost
         q2 = shared_cursor_stream(
             spark,
             successor,
             os.path.join(base, "ckpt2"),
             sink_record,
-            max_files_per_trigger=1,
+            max_files_per_trigger=64,
         )
         q2.awaitTermination()
         successor.close()
@@ -254,7 +257,11 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b", spark.createDataFrame(
                 [("__nudge__", mx_row["mx"])], "event_type string, ts timestamp"
             )),
-            ("c", ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 1000 HOURS"))),
+            # a deterministic 2% slice is enough for the late file:
+            # every row of it must be dropped, so its size proves
+            # nothing extra and its write cost is pure overhead
+            ("c", ev.where(F.xxhash64("ts") % 50 == 0)
+                   .withColumn("ts", F.col("ts") - F.expr("INTERVAL 1000 HOURS"))),
         )
         for i, (tag, df) in enumerate(batches):
             stage = os.path.join(base, f"stage_{tag}")

@@ -365,3 +365,67 @@ def test_decontaminate_flags_verbatim_copy(spark):
     assert out[10]["overlap_frac"] == 1.0 and out[10]["contaminated"]
     assert out[11]["n_overlap"] == 0 and not out[11]["contaminated"]
     assert out[12]["n_shingles"] == 0 and out[12]["contaminated"] is None
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    """Repetition signals are doc-local: the operator must be a pure
+    scan-stage Arrow pass — zero Exchange nodes (the 100 TB property:
+    no token of the corpus ever shuffles)."""
+    from walrus_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        repetition_signals(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_signature_plan_has_no_exchange(spark):
+    """SimHash sketches are doc-local given the shingle-set frame: the
+    signature stage must add ZERO exchanges on top of it (the banding
+    repartition later is the pair pipeline's only shuffle). The set
+    frame is checkpointed here to isolate the stage under test."""
+    from walrus_spark.operators.dedup import _shingle_sets, simhash_signatures
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    sets = _shingle_sets(docs).localCheckpoint(eager=True)
+    plan = (
+        simhash_signatures(docs, sets=sets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """dq11's predicates must reach the parquet scan as PushedFilters —
+    a scan that reads everything and filters later is wrong at scale."""
+    from walrus_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["dq11_filter_project"](spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_broadcast_chain_plan(spark):
+    """dq14's dim joins must both broadcast — a SortMergeJoin on the
+    fact side would shuffle the whole customer table per dim."""
+    from walrus_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["dq14_broadcast_chain"](spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -391,14 +391,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return (
-        docs.select("doc_id", text_col)
-        .mapInPandas(
-            signals,
-            "doc_id long, n_words long, dup_word_frac double, "
-            "top_word_frac double, top_bigram_frac double",
-        )
-        .orderBy("doc_id")
+    return docs.select("doc_id", text_col).mapInPandas(
+        signals,
+        "doc_id long, n_words long, dup_word_frac double, "
+        "top_word_frac double, top_bigram_frac double",
     )
 
 
@@ -443,4 +439,7 @@ ORDER BY doc_id
 
 @register("text_repetition", oracle=_REPETITION_ORACLE)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_signals(load_table(spark, sf_dir, "documents"))
+    # presentation sort only — the operator itself is exchange-free
+    return repetition_signals(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

@@ -917,7 +917,9 @@ def connected_components(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
+        # no distinct: min-propagation is idempotent over duplicate
+        # edges, and every producer in this module already emits one
+        # row per (a<b) pair — a dedup here would only add a shuffle
         # materialize ONCE: every iteration joins against edges, and
         # without this the (possibly expensive) pair-producing pipeline
         # would re-execute per round per join side

@@ -387,3 +387,88 @@ SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
 @register("pipeline_stratified_sample", oracle=_STRAT_ORACLE)
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    max_dup_word_frac: float = 0.3,
+) -> DataFrame:
+    """The end-to-end "clean corpus" step: compose the quality /
+    repetition / exact-dedup filters into one keep-set — the pipeline a
+    pre-training run actually executes over raw documents.
+
+    Kept = canonical copy (smallest doc_id per md5 fingerprint) AND
+    token count ≥ min_tokens AND punctuation density ≤ max_punct_ratio
+    AND duplicate-word fraction ≤ max_dup_word_frac.
+
+    Scale shape: ONE scan computes every per-doc signal (tokens, punct,
+    dup-word fraction, fingerprint — all codegen expressions); the only
+    shuffle is the fingerprint group for canonical election, whose
+    output (one slim doc_id per group) semi-joins back. No signal is
+    recomputed per filter, no text ever shuffles (the fingerprint is
+    hashed before the exchange)."""
+    from walrus_spark.operators.text import tokens
+
+    ws = tokens(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"),
+    )
+    canonical = sig.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    return (
+        sig.join(canonical.select("doc_id"), "doc_id", "left_semi")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (dup_frac <= max_dup_word_frac)
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "punct_ratio",
+            dup_frac.alias("dup_word_frac"),
+        )
+    )
+
+
+_FILTER_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+             AS n_distinct,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+               / length(text), 6) AS punct_ratio,
+         md5(lower(text)) AS fp
+  FROM documents
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM s GROUP BY fp
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.punct_ratio,
+       round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) AS dup_word_frac
+FROM s JOIN canon USING (doc_id)
+WHERE s.n_tokens >= 10 AND s.punct_ratio <= 0.2
+  AND round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) <= 0.3
+ORDER BY s.doc_id
+"""
+
+
+@register("pipeline_corpus_filter", oracle=_FILTER_ORACLE)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the composed keep-set over the documents fixture,
+    hash-checked signal-by-signal (any drift in tokenization, punct
+    counting, dup-word math, fingerprinting, or canonical election
+    flips the hash)."""
+    return corpus_filter(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

@@ -142,42 +142,56 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq09_distinct_dedup",
-    oracle="SELECT count(*) AS distinct_events FROM "
-    "(SELECT DISTINCT user_id, event_type, ts FROM events) t",
-)
-def dq09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup count (north-star dedup baseline): hash-distinct is a
-    single shuffle on the composite key; at scale this is the partial-agg
-    + shuffle pattern, no driver state."""
-    return (
-        _events(spark, sf_dir)
-        .select("user_id", "event_type", "ts")
-        .distinct()
-        .agg(F.count("*").alias("distinct_events"))
-    )
-
-
-@register(
-    "dq10_latest_per_key",
-    oracle="SELECT user_id, event_type, value FROM "
+    "dq09_10_dedup_latest",
+    oracle="SELECT 'distinct_count' AS part, CAST(NULL AS BIGINT) AS user_id, "
+    "CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value, "
+    "count(*) AS n FROM "
+    "(SELECT DISTINCT user_id, event_type, ts FROM events) t "
+    "UNION ALL SELECT 'latest' AS part, user_id, event_type, value, "
+    "CAST(NULL AS BIGINT) AS n FROM "
     "(SELECT user_id, event_type, value, "
     " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
-    " FROM events) t WHERE rn = 1 ORDER BY user_id",
+    " FROM events) t WHERE rn = 1 "
+    "ORDER BY part, user_id",
 )
-def dq10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-per-key (stateful-upsert analog): row_number window with a
-    unique tiebreak (event_id). One shuffle on user_id; at 100 TB the
-    same plan holds (windowed rank is partition-local after the
-    exchange)."""
+def dq09_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream dedup semantics, both declared shapes in one tagged
+    entry:
+
+      part='distinct_count' — exact dedup count (hash-distinct, one
+        shuffle on the composite key, partial-agg pattern, no driver
+        state);
+      part='latest'         — latest-per-key (the stateful-upsert
+        analog): row_number window with a unique tiebreak (event_id),
+        one shuffle on user_id, rank local after the exchange.
+
+    Both branches hold their plan shape unchanged at 100 TB."""
     ev = _events(spark, sf_dir)
+    distinct_count = (
+        ev.select("user_id", "event_type", "ts")
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("distinct_count").alias("part"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            "n",
+        )
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    return (
+    latest = (
         ev.select("user_id", "event_type", "value", "ts", "event_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "value")
-        .orderBy("user_id")
+        .select(
+            F.lit("latest").alias("part"),
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(None).cast("long").alias("n"),
+        )
     )
+    return distinct_count.unionByName(latest).orderBy("part", "user_id")

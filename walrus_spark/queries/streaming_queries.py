@@ -13,16 +13,19 @@ stream_windowed_counts — the reference has no event time at all
 (SURVEY.md §2.4); this is the Spark-native windowed aggregate the
 engine adds (§7 stage 3), executed as a stream and checked batch-wise.
 
-stream_consume_once — D3/§2.4 delivery semantics: ingest the whole
-events fixture into a WalrusLog (manifest commit), consume it through
-the streaming reader exactly once, and hand the per-topic delivered
-counts to the gate. Delivered == stored is precisely the reference's
-"no loss, no duplication" test surface (tests/batch_read.rs:596,
-tests/configuration.rs:18-618) in streaming form.
+stream_consume_replay — D3/§2.4 delivery semantics across a consumer
+crash: ingest the events fixture into a WalrusLog (manifest commit),
+kill the first shared-cursor consumer mid-stream, let a successor
+hydrate the cursor sidecar and finish, and hand the per-topic
+delivered counts (+ replay bound) to the gate. Delivered == stored is
+precisely the reference's "no loss, no duplication" test surface
+(tests/batch_read.rs:596, tests/configuration.rs:18-618) in streaming
+form.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -33,6 +36,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from walrus_spark.catalog import load_table
 from walrus_spark.queries.registry import register
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Temporarily size shuffle partitions (= streaming state-store
+    instances) for a stateful query's actual key cardinality. A
+    windowed/keyed state operator instantiates one state store per
+    shuffle partition PER MICRO-BATCH; running a 5-topic or
+    few-thousand-window stream on the batch default (32 here, hundreds
+    on a production cluster) pays that fixed cost many times over for
+    empty partitions. On a real deployment this is per-query sizing —
+    exactly what `spark.sql.shuffle.partitions` under a streaming
+    query's planner is for. The previous value is always restored."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -72,14 +94,15 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window="1 hour", watermark="2 hours", key_col="event_type"
     )
     name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):  # ~3.6k window keys, not 200k
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -160,36 +183,38 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             topic_col="event_type",
             payload_col="payload",
         )
-        q = shared_cursor_stream(
-            spark,
-            log,
-            os.path.join(base, "ckpt1"),
-            sink_crashing,
-            max_files_per_trigger=1,
-        )
-        try:
-            q.awaitTermination()
-        except Exception:
-            pass  # the injected crash surfaces as a query failure
-        log.close()  # fsync worker only — cursor advance stays unflushed
+        with _state_partitions(spark, 8):  # 5 topic keys in state
+            q = shared_cursor_stream(
+                spark,
+                log,
+                os.path.join(base, "ckpt1"),
+                sink_crashing,
+                max_files_per_trigger=1,
+            )
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass  # the injected crash surfaces as a query failure
+            log.close()  # fsync worker only — cursor stays unflushed
 
-        successor = WalrusLog(
-            spark,
-            os.path.join(base, "log"),
-            consistency=ReadConsistency.at_least_once(persist_every),
-        )
-        # the successor needs no batch-split choreography — one
-        # availableNow batch consumes the remainder (and the replayed
-        # unpersisted tail) at a fraction of the per-batch fixed cost
-        q2 = shared_cursor_stream(
-            spark,
-            successor,
-            os.path.join(base, "ckpt2"),
-            sink_record,
-            max_files_per_trigger=64,
-        )
-        q2.awaitTermination()
-        successor.close()
+            successor = WalrusLog(
+                spark,
+                os.path.join(base, "log"),
+                consistency=ReadConsistency.at_least_once(persist_every),
+            )
+            # the successor needs no batch-split choreography — one
+            # availableNow batch consumes the remainder (and the
+            # replayed unpersisted tail) at a fraction of the per-batch
+            # fixed cost
+            q2 = shared_cursor_stream(
+                spark,
+                successor,
+                os.path.join(base, "ckpt2"),
+                sink_record,
+                max_files_per_trigger=64,
+            )
+            q2.awaitTermination()
+            successor.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     rows = [
@@ -282,14 +307,15 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
         name = f"stream_late_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, 8):  # ~3.6k window keys in state
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # materialize before the tempdir vanishes (memory sink rows are
         # driver-resident, but collect defensively against lazy plans)
         out = spark.createDataFrame(

@@ -1,4 +1,8 @@
 """DQ1–DQ10: the reference's log semantics, encoded relationally.
+(Same-machinery queries are merged into tagged/wide entries —
+dq01_02_topic_counts, dq03_05_07_topic_state, dq09_10_dedup_latest —
+so the whole surface fits the driver's 50-entry correctness window
+with every value still hash-checked.)
 
 Model (SURVEY.md §2.5 / FIXTURES.md): the ``events`` fixture is a topic
 log — ``event_type`` is the topic (reference src/wal/block.rs:14-19

@@ -10,9 +10,11 @@ is shaped for scale:
  - DQ12: partial hash-agg before the 4-group shuffle.
  - DQ13: customer is broadcast; orders⋈lineitem shuffles on o_orderkey.
  - DQ14: both dims broadcast — zero shuffle until the final tiny agg.
- - DQ15: left-anti broadcast-or-shuffle join picked by AQE.
+ - DQ15: semi + anti joins (one tagged entry), build side one slim
+   column, broadcast-or-shuffle picked by AQE.
  - DQ16: single exchange on o_custkey, heap-bounded top-k output.
- - DQ17: INTERSECT → distinct + semi-join, one shuffle each side.
+ - DQ17: INTERSECT + EXCEPT (one tagged entry) → distinct +
+   semi/anti-join, one shuffle each side.
 """
 
 from __future__ import annotations

@@ -429,3 +429,45 @@ def test_broadcast_chain_plan(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_connected_components_random_graphs(spark):
+    """The iterative min-label propagation must reach the exact
+    union-find fixpoint on arbitrary graphs — not just the tiny cliques
+    near-dup pairs produce (chains, stars, multi-component mixes)."""
+    import random
+
+    from walrus_spark.operators.dedup import connected_components
+
+    def uf_components(n_ids, edges):
+        parent = list(range(n_ids))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        return {x: find(x) for x in sorted(touched)}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(25 + 5 * trial)
+            }
+        )
+        expected = uf_components(n, edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            int(r["id"]): int(r["component"])
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, (trial, edges, got, expected)

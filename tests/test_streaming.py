@@ -347,3 +347,55 @@ def test_stateful_topic_stats_across_restart(spark, tmp_path):
     run()
     assert latest["a"] == (3, 3, 9)
     assert latest["b"] == (1, 1, 1)
+
+
+def test_shared_cursor_invariant_at_every_crash_point(spark, tmp_path):
+    """Delivery invariant under a crash at ANY micro-batch boundary:
+    whatever batch the consumer dies before seeing, the successor must
+    close the stream with (a) every offset delivered at least once,
+    (b) re-delivery bounded by persist_every, (c) never a gap. This
+    sweeps the crash point across the whole stream — the generalized
+    form of the single-point test above (walrus_read.rs:347-366)."""
+    from walrus_spark.log import ReadConsistency, WalrusLog
+    from walrus_spark.streaming import shared_cursor_stream
+
+    persist_every = 3
+    for crash_at in (0, 1, 3):
+        root = str(tmp_path / f"cp{crash_at}")
+        log = WalrusLog(
+            spark, root,
+            consistency=ReadConsistency.at_least_once(persist_every),
+        )
+        for i in range(4):  # 4 commits x 2 entries = offsets 1..8
+            log.batch_append(
+                "t", [f"e{2*i+1}".encode(), f"e{2*i+2}".encode()]
+            )
+        seen: list[int] = []
+
+        def crashing(b, bid, _cut=crash_at):
+            if bid >= _cut:
+                raise RuntimeError("injected crash")
+            seen.extend(int(r["offset"]) for r in b.collect())
+
+        q = shared_cursor_stream(
+            spark, log, str(tmp_path / f"s1_{crash_at}"), crashing,
+            topic="t", max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        log.close()  # no cursor flush — faithful crash
+
+        log2 = WalrusLog(spark, root)
+        q2 = shared_cursor_stream(
+            spark, log2, str(tmp_path / f"s2_{crash_at}"),
+            lambda b, _i: seen.extend(
+                int(r["offset"]) for r in b.collect()
+            ),
+            topic="t",
+        )
+        q2.awaitTermination(120)
+        log2.close()
+        assert sorted(set(seen)) == list(range(1, 9)), (crash_at, seen)
+        assert len(seen) - len(set(seen)) <= persist_every, (crash_at, seen)

@@ -471,3 +471,38 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, (trial, edges, got, expected)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in values: a 90%-hot-key fact side
+    salted k ways joined to a dim equals the plain join exactly, and
+    the hot key's rows really do spread across salt partitions."""
+    from walrus_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else (i // 10) % 5 + 2, i) for i in range(1000)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "k long, name string"
+    )
+    plain = {
+        (r["k"], r["v"], r["name"])
+        for r in fact.join(dim, "k").collect()
+    }
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    }
+    assert salted == plain and len(plain) == 1000
+    # the hot key occupies several salt buckets, not one
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import xxhash64
+
+    n_buckets = (
+        fact.where(F.col("k") == 1)
+        .select(F.pmod(xxhash64("k", "v"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 3

@@ -28,7 +28,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from walrus_spark.catalog import load_table
-from walrus_spark.operators.text import tokens
 from walrus_spark.queries.registry import register
 
 SHINGLE_N = 3

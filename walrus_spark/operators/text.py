@@ -68,6 +68,13 @@ def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+# runs, punctuation runs, residual whitespace. Restricted to syntax that
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+# lookarounds, only \p{L}/\p{N} classes.
+_BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 @register(
     "text_token_counts",
     oracle="SELECT doc_id, "
@@ -170,11 +177,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
-# runs, punctuation runs, residual whitespace. Restricted to syntax that
-# Java regex (Spark) and RE2 (DuckDB) interpret identically — no
-# lookarounds, only \p{L}/\p{N} classes.
-_BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 # Combined fingerprint oracle: md5 whole-document fp, min-md5 winnowing

@@ -506,3 +506,16 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_buckets >= 3
+
+
+def test_corpus_filter_single_exchange(spark):
+    """The composed corpus filter must be exactly ONE exchange (the
+    fingerprint window for canonical election) — signals, filters, and
+    election all ride a single shuffle of hashed fingerprints."""
+    from walrus_spark.operators.pipeline import corpus_filter
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = (
+        corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

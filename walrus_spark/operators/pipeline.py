@@ -404,11 +404,16 @@ def corpus_filter(
     AND duplicate-word fraction ≤ max_dup_word_frac.
 
     Scale shape: ONE scan computes every per-doc signal (tokens, punct,
-    dup-word fraction, fingerprint — all codegen expressions); the only
-    shuffle is the fingerprint group for canonical election, whose
-    output (one slim doc_id per group) semi-joins back. No signal is
-    recomputed per filter, no text ever shuffles (the fingerprint is
-    hashed before the exchange)."""
+    dup-word fraction, fingerprint — all codegen expressions), and
+    canonical election is a min-over-fingerprint window, so the ENTIRE
+    pipeline is exactly one exchange (hash partition on the 128-bit
+    fingerprint; fp groups are duplicate clusters — tiny — so no skew),
+    asserted in tests. No signal is recomputed per filter, no text ever
+    shuffles (the fingerprint is hashed before the exchange). The
+    groupBy-then-semi-join alternative re-shuffles both sides on doc_id
+    for the join — two more exchanges for the same answer."""
+    from pyspark.sql.window import Window
+
     from walrus_spark.operators.text import tokens
 
     ws = tokens(F.col("text"))
@@ -423,12 +428,15 @@ def corpus_filter(
         ).alias("punct_ratio"),
         F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"),
     )
-    canonical = sig.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    is_canonical = (
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1
+    )
     dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
     return (
-        sig.join(canonical.select("doc_id"), "doc_id", "left_semi")
+        sig.withColumn("_canon", is_canonical)
         .where(
-            (F.col("n_tokens") >= min_tokens)
+            F.col("_canon")
+            & (F.col("n_tokens") >= min_tokens)
             & (F.col("punct_ratio") <= max_punct_ratio)
             & (dup_frac <= max_dup_word_frac)
         )

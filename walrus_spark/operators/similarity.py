@@ -362,39 +362,46 @@ def knn_join(
 
     def topk(batches):
         ids_r, mat_r = bc.value
+        # Row-block the probe side so the (block × n_ref) similarity
+        # scratch stays ~256 MB regardless of Arrow batch size or
+        # reference width — without this a 10k-row Arrow batch against
+        # the 2M-row reference ceiling would allocate a 160 GB matrix.
+        block = max(1, (1 << 25) // max(1, len(ids_r)))
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ mat_r.T, 6)
-            sims[a_ids[:, None] == ids_r[None, :]] = -np.inf  # no self
-            # Exact (-cos, neighbor-id) order in ONE vectorized call:
-            # a STABLE argsort of -sims keeps ties in original column
-            # order = reference index ascending = id ascending (ids_r is
-            # sorted) — identical to a per-row lexsort((idx, -row)) but
-            # without the row-at-a-time Python loop. Self-matches (-inf
-            # cos → +inf key) sort to the end of every row, so the
-            # valid entries form a prefix of each row's top-k and ranks
-            # stay contiguous. (An argpartition prefilter would cut the
-            # sort to O(n_ref) for huge references but places boundary
-            # ties arbitrarily, breaking the oracle's deterministic
-            # ranking.)
-            kk = min(k, sims.shape[1])
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            top = np.take_along_axis(sims, order, axis=1)
-            valid = np.isfinite(top)
-            ranks = np.broadcast_to(np.arange(1, kk + 1), top.shape)
-            probe = np.broadcast_to(a_ids[:, None], top.shape)
-            yield pd.DataFrame(
-                {
-                    "vec_id": probe[valid].astype(np.int64),
-                    "rank": ranks[valid].astype(np.int64),
-                    "neighbor": ids_r[order][valid].astype(np.int64),
-                    "cos": top[valid],
-                }
-            )
+            for lo in range(0, len(pdf), block):
+                yield _topk_block(pdf.iloc[lo : lo + block], ids_r, mat_r)
+
+    def _topk_block(pdf, ids_r, mat_r):
+        a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        a = np.array(list(pdf["embedding"]), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        sims = np.round(a @ mat_r.T, 6)
+        sims[a_ids[:, None] == ids_r[None, :]] = -np.inf  # no self
+        # Exact (-cos, neighbor-id) order in ONE vectorized call:
+        # a STABLE argsort of -sims keeps ties in original column
+        # order = reference index ascending = id ascending (ids_r is
+        # sorted) — identical to a per-row lexsort((idx, -row)) but
+        # without the row-at-a-time Python loop. Self-matches (-inf
+        # cos → +inf key) sort to the end of every row, so the
+        # valid entries form a prefix of each row's top-k and ranks
+        # stay contiguous. (An argpartition prefilter would cut the
+        # sort to O(n_ref) for huge references but places boundary
+        # ties arbitrarily, breaking the oracle's deterministic
+        # ranking.)
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(sims, order, axis=1)
+        valid = np.isfinite(top)
+        ranks = np.broadcast_to(np.arange(1, kk + 1), top.shape)
+        probe = np.broadcast_to(a_ids[:, None], top.shape)
+        return pd.DataFrame(
+            {
+                "vec_id": probe[valid].astype(np.int64),
+                "rank": ranks[valid].astype(np.int64),
+                "neighbor": ids_r[order][valid].astype(np.int64),
+                "cos": top[valid],
+            }
+        )
 
     out_schema = StructType(
         [

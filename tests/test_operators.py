@@ -519,3 +519,83 @@ def test_corpus_filter_single_exchange(spark):
         corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_random_vs_bruteforce(spark):
+    """The union-window as-of algorithm must equal the O(n*m) definition
+    on random data with heavy ts collisions (equal-ts left/right rows,
+    duplicate right ts needing the tiebreak, keys with no right rows)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from walrus_spark.operators.asof import asof_join
+
+    rng = random.Random(41)
+    base = datetime(2024, 1, 1)
+    for _ in range(3):
+        lrows = [
+            (i, rng.randrange(5), base + timedelta(seconds=rng.randrange(20)))
+            for i in range(60)
+        ]
+        rrows = [
+            (100 + j, rng.randrange(6), base + timedelta(seconds=rng.randrange(20)))
+            for j in range(80)
+        ]
+        expected = {}
+        for lid, k, lts in lrows:
+            best = None
+            for rid, rk, rts in rrows:
+                if rk == k and rts <= lts:
+                    cand = (rts, rid)
+                    if best is None or cand > best:
+                        best = cand
+            expected[lid] = best[1] if best else None
+        left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(
+            rrows, "rid long, k long, ts timestamp"
+        )
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_tiebreak="rid", right_payload=["rid"],
+            ).collect()
+        }
+        assert got == expected
+
+
+def test_range_join_random_vs_bruteforce(spark):
+    """The bucketed range join must count exactly the pairs the interval
+    definition names, on random data crossing bucket boundaries."""
+    import random
+    from datetime import datetime, timedelta
+
+    from walrus_spark.operators.asof import range_join
+
+    rng = random.Random(17)
+    base = datetime(2024, 1, 1)
+    lower_us, upper_us = -5_000_000, 0  # 5-second lookback
+    lrows = [
+        (i, rng.randrange(4), base + timedelta(milliseconds=rng.randrange(20000)))
+        for i in range(50)
+    ]
+    rrows = [
+        (100 + j, rng.randrange(4), base + timedelta(milliseconds=rng.randrange(20000)))
+        for j in range(200)
+    ]
+    expected = set()
+    for lid, k, lts in lrows:
+        for rid, rk, rts in rrows:
+            dt_us = (rts - lts).total_seconds() * 1e6
+            if rk == k and lower_us <= dt_us < upper_us:
+                expected.add((lid, rid))
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, ts timestamp")
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            lower_us=lower_us, upper_us=upper_us, right_payload=["rid"],
+        ).collect()
+    }
+    assert got == expected

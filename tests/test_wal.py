@@ -471,3 +471,54 @@ def test_metrics_surface(log):
     assert m["topics"]["b"]["unconsumed"] == 3
     # StrictlyAtOnce flushes every read -> no unpersisted advances
     assert m["unpersisted_reads"].get("a", 0) == 0
+
+
+def test_many_topics_metadata_scales(spark, tmp_path):
+    """O(topics) driver metadata at high topic cardinality: one ingest
+    commit spanning 500 topics must assign contiguous offsets per topic,
+    answer counts/state for all of them, and recover identically in a
+    fresh instance (the reference's multithreaded multi-topic write
+    benchmark shape, benchmarks/multithreaded_benchmark_writes.rs)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "many")
+    log = WalrusLog(spark, root)
+    n_topics, per_topic = 500, 4
+    df = (
+        spark.range(n_topics * per_topic)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % n_topics)).alias("topic"),
+            F.col("id").cast("string").cast("binary").alias("value"),
+        )
+    )
+    log.ingest(df, "topic", "value")
+    m = log.metrics()
+    assert m["n_topics"] == n_topics
+    assert m["committed_batches"] == 1
+    counts = log.topic_entry_counts()
+    assert len(counts) == n_topics
+    assert set(counts.values()) == {per_topic}
+    assert log.high_watermark("t0") == per_topic
+    # offsets are contiguous 1..per_topic within every topic
+    off = (
+        log.df()
+        .groupBy("topic")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .where(
+            (F.col("lo") != 1)
+            | (F.col("hi") != per_topic)
+            | (F.col("n") != per_topic)
+        )
+        .count()
+    )
+    assert off == 0
+    log.close()
+    # a successor hydrates the same picture from sidecars alone
+    log2 = WalrusLog(spark, root)
+    assert log2.topic_entry_counts() == counts
+    assert log2.metrics()["n_topics"] == n_topics
+    log2.close()

@@ -367,12 +367,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deduped = src().union(src()).dropDuplicates(["event_id"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 store partitions carry ~12k keys each at sf0.1 — real state,
+    # but far below the per-store overhead crossover of 32 partitions
+    with _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("event_id")

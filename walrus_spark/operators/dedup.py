@@ -286,23 +286,56 @@ def minhash_signatures(
 
     h_i(s) = (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i) mod (2^61-1) — a
     fixed deterministic universal-hash family over the 32-bit-reduced
-    hash (bounded so ANSI arithmetic never overflows). Explode + one
-    partial-aggregated groupBy(doc_id): the 64 mins run inside
-    whole-stage codegen with map-side combine, so the one shuffle
-    carries only 64 longs per doc. (An array_min/transform formulation
-    would avoid even that shuffle, but Spark evaluates higher-order
-    lambdas interpreted — measured ~7× slower than this codegen'd
-    aggregate.) Pass ``sets`` to derive from an existing (possibly
-    cached) shingle-set frame instead of re-tokenizing."""
+    hash. Bounds make int64 exact everywhere: a < 2^30, h < 2^32 →
+    a·h < 2^62; + b < 2^60 stays under 2^63, so numpy int64 and JVM
+    long arithmetic agree bit-for-bit.
+
+    Computed Arrow-batched in the SCAN stage (mapInPandas over the
+    shingle-set frame, same shape as simhash_signatures): one
+    (total_shingles × 64) affine-mod matrix per batch, one segmented
+    `np.minimum.reduceat` for all per-doc minima. Zero shuffle — the
+    earlier explode + 64-min groupBy aggregate paid a full exchange of
+    the exploded rows plus 64 codegen'd pmods per shingle row, and was
+    the dominant cost of the LSH pipeline (1.19 s of 2.22 s at sf0.1).
+    Pass ``sets`` to derive from an existing (possibly cached)
+    shingle-set frame instead of re-tokenizing."""
+    import numpy as np
+    import pandas as pd
+
     if sets is None:
         sets = _shingle_sets(docs)
-    sh = sets.select("doc_id", F.explode("hs").alias("sh64"))
-    h = F.col("sh64").bitwiseAND(F.lit(0xFFFFFFFF))
-    mins = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_61))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_PERM)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+
+    a_vec = np.array([a for a, _ in _PERM], dtype=np.int64)
+    b_vec = np.array([b for _, b in _PERM], dtype=np.int64)
+    cols = [f"m{i}" for i in range(N_PERM)]
+
+    def sign_batches(batches):
+        for pdf in batches:
+            lens = pdf["hs"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0  # shingle-less docs have no signature (as
+            # the explode formulation: zero rows -> absent)
+            if not keep.any():
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
+            lens = lens[keep]
+            all_h = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["hs"][keep]]
+            )
+            h32 = (all_h.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+                np.int64
+            )
+            vals = (h32[:, None] * a_vec[None, :] + b_vec[None, :]) % (
+                _MERSENNE_61
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            mins = np.minimum.reduceat(vals, starts, axis=0)
+            out = {"doc_id": ids}
+            for i, c in enumerate(cols):
+                out[c] = mins[:, i]
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(["doc_id long"] + [f"{c} long" for c in cols])
+    return sets.select("doc_id", "hs").mapInPandas(sign_batches, schema)
 
 
 def minhash_lsh_pairs(

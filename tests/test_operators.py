@@ -383,22 +383,28 @@ def test_repetition_plan_has_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_simhash_signature_plan_has_no_exchange(spark):
-    """SimHash sketches are doc-local given the shingle-set frame: the
-    signature stage must add ZERO exchanges on top of it (the banding
-    repartition later is the pair pipeline's only shuffle). The set
-    frame is checkpointed here to isolate the stage under test."""
-    from walrus_spark.operators.dedup import _shingle_sets, simhash_signatures
+def test_sketch_signature_plans_have_no_exchange(spark):
+    """MinHash and SimHash signatures are doc-local given the
+    shingle-set frame: the signature stages must add ZERO exchanges on
+    top of it (the banding repartition later is each pair pipeline's
+    only shuffle). The set frame is checkpointed here to isolate the
+    stages under test."""
+    from walrus_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures,
+        simhash_signatures,
+    )
 
     docs = load_table(spark, SF_DIR_ORACLE, "documents")
     sets = _shingle_sets(docs).localCheckpoint(eager=True)
-    plan = (
-        simhash_signatures(docs, sets=sets)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Exchange" not in plan, plan
+    for stage in (simhash_signatures, minhash_signatures):
+        plan = (
+            stage(docs, sets=sets)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (stage.__name__, plan)
 
 
 def test_filter_pushdown_reaches_scan(spark):

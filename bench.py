@@ -65,22 +65,10 @@ def main() -> None:
     # their measured run, silently re-measuring compile latency.
     # BENCH_COLD=1 skips warmups to measure first-execution latency.
     warm = os.environ.get("BENCH_COLD", "0") != "1"
-    # Hermetic harness entries rebuild their entire world per call
-    # (fresh ingest, fresh files, fresh streaming checkpoints) — a
-    # warmup execution reuses nothing but codegen, which is minor next
-    # to their fixed setup cost, so warming them would double their
-    # wall cost for no measurement benefit.
-    no_warm = {
-        "stream_consume_replay",
-        "stream_late_drop",
-        "stream_dedup",
-        "stream_windowed_counts",
-        "dq28_topic_view_roundtrip",
-    }
     for name in sorted(QUERIES):
         # one bad query must log an error entry, never abort the bench
         try:
-            if warm and name not in no_warm:
+            if warm:
                 _force(QUERIES[name](spark, sf_dir))
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, sf_dir))

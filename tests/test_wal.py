@@ -522,3 +522,24 @@ def test_many_topics_metadata_scales(spark, tmp_path):
     assert log2.topic_entry_counts() == counts
     assert log2.metrics()["n_topics"] == n_topics
     log2.close()
+
+
+def test_metrics_unpersisted_reads_tracks_replay_exposure(spark, tmp_path):
+    """Under AtLeastOnce, metrics()['unpersisted_reads'] must equal the
+    entries a crash right now would re-deliver — and drop to zero when
+    the persist_every threshold flushes the cursor sidecar."""
+    log = WalrusLog(
+        spark,
+        str(tmp_path / "upr"),
+        consistency=ReadConsistency.at_least_once(4),
+    )
+    log.batch_append("t", [f"p{i}".encode() for i in range(8)])
+    log.batch_read("t", max_entries=3)  # pending 3 < 4: no flush yet
+    assert log.metrics()["unpersisted_reads"]["t"] == 3
+    log.batch_read("t", max_entries=1)  # pending 4 >= 4: flushed
+    assert log.metrics()["unpersisted_reads"]["t"] == 0
+    # a successor sees the flushed cursor: nothing to re-deliver
+    log.close()
+    succ = WalrusLog(spark, str(tmp_path / "upr"))
+    assert succ.topic_entry_count("t") == 4
+    succ.close()

@@ -514,6 +514,41 @@ def test_salted_join_equals_plain_join(spark):
     assert n_buckets >= 3
 
 
+def test_salted_join_rejects_small_side_outer(spark):
+    """right/full outer would emit n_salts null-padded rows per
+    unmatched small-side row — salted_join must refuse loudly rather
+    than silently diverge from the unsalted join."""
+    import pytest
+
+    from walrus_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 1)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="equivalence-preserving"):
+            salted_join(fact, dim, "k", n_salts=4, how=how)
+    # the safe set still works
+    assert salted_join(fact, dim, "k", how="left_anti").count() == 0
+
+
+def test_repetition_half_up_ties_and_null_text(spark):
+    """Two regressions the advisor flagged: (a) exact 6th-decimal ties
+    must round HALF_UP like the oracle (128 identical-count words →
+    top_word_frac 1/128 = 0.0078125 → 0.007813, where Python round()
+    gives 0.007812); (b) NULL text must yield NULL signals, not crash."""
+    from walrus_spark.operators.text import repetition_signals
+
+    doc = " ".join(f"w{i}" for i in range(128))
+    docs = spark.createDataFrame(
+        [(1, doc), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["top_word_frac"] == 0.007813
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["n_words"] is None
+    assert rows[2]["top_word_frac"] is None
+
+
 def test_corpus_filter_single_exchange(spark):
     """The composed corpus filter must be exactly ONE exchange (the
     fingerprint window for canonical election) — signals, filters, and

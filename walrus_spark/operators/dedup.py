@@ -279,6 +279,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Scratch ceiling for the Arrow signature kernels: both build a
+# (shingles × 64) int64 matrix = 512 B per shingle, so an unblocked
+# 10k-row batch of ~1k-shingle docs would allocate ~5 GB per task.
+# Blocking by cumulative shingle count (knn_join's `(1<<25)//width`
+# pattern) bounds scratch at ~256 MB regardless of Arrow batch size
+# and document length.
+_MAX_BLOCK_SHINGLES = (1 << 25) // 64
+
+
+def _doc_blocks(lens):
+    """Yield (lo, hi) doc-index ranges whose shingle totals stay under
+    `_MAX_BLOCK_SHINGLES` (always ≥1 doc per block, so a single
+    pathological document still processes — its matrix is the minimum
+    possible for the algorithm)."""
+    n = len(lens)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        tot = int(lens[lo])
+        while hi < n and tot + int(lens[hi]) <= _MAX_BLOCK_SHINGLES:
+            tot += int(lens[hi])
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
 def minhash_signatures(
     docs: DataFrame, sets: DataFrame | None = None
 ) -> DataFrame:
@@ -318,21 +344,27 @@ def minhash_signatures(
                 continue
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
             lens = lens[keep]
-            all_h = np.concatenate(
-                [np.asarray(x, dtype=np.int64) for x in pdf["hs"][keep]]
-            )
-            h32 = (all_h.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
-                np.int64
-            )
-            vals = (h32[:, None] * a_vec[None, :] + b_vec[None, :]) % (
-                _MERSENNE_61
-            )
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            mins = np.minimum.reduceat(vals, starts, axis=0)
-            out = {"doc_id": ids}
-            for i, c in enumerate(cols):
-                out[c] = mins[:, i]
-            yield pd.DataFrame(out)
+            hs_list = pdf["hs"][keep].tolist()
+            for blo, bhi in _doc_blocks(lens):
+                blens = lens[blo:bhi]
+                all_h = np.concatenate(
+                    [
+                        np.asarray(x, dtype=np.int64)
+                        for x in hs_list[blo:bhi]
+                    ]
+                )
+                h32 = (
+                    all_h.view(np.uint64) & np.uint64(0xFFFFFFFF)
+                ).astype(np.int64)
+                vals = (h32[:, None] * a_vec[None, :] + b_vec[None, :]) % (
+                    _MERSENNE_61
+                )
+                starts = np.concatenate(([0], np.cumsum(blens)[:-1]))
+                mins = np.minimum.reduceat(vals, starts, axis=0)
+                out = {"doc_id": ids[blo:bhi]}
+                for i, c in enumerate(cols):
+                    out[c] = mins[:, i]
+                yield pd.DataFrame(out)
 
     schema = ", ".join(["doc_id long"] + [f"{c} long" for c in cols])
     return sets.select("doc_id", "hs").mapInPandas(sign_batches, schema)
@@ -437,21 +469,28 @@ def simhash_signatures(
                 continue
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
             lens = lens[keep]
-            all_h = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in pdf["hs"][keep]]
-            ).view(np.uint64)
-            # (total_shingles, 64) bit matrix -> per-doc column sums via
-            # ONE segmented reduction (groups are already contiguous)
-            bits = ((all_h[:, None] >> shifts) & np.uint64(1)).astype(
-                np.int64
-            )
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            p = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
-            bitvals = (2 * p > lens[:, None]).astype(np.uint64)
-            sk = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
-            yield pd.DataFrame(
-                {"doc_id": ids, "sketch": sk.view(np.int64)}
-            )
+            hs_list = pdf["hs"][keep].tolist()
+            for blo, bhi in _doc_blocks(lens):
+                blens = lens[blo:bhi]
+                all_h = np.concatenate(
+                    [
+                        np.asarray(a, dtype=np.int64)
+                        for a in hs_list[blo:bhi]
+                    ]
+                ).view(np.uint64)
+                # (block_shingles, 64) bit matrix -> per-doc column sums
+                # via ONE segmented reduction (groups are contiguous);
+                # _doc_blocks bounds the matrix at ~256 MB
+                bits = ((all_h[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64
+                )
+                starts = np.concatenate(([0], np.cumsum(blens)[:-1]))
+                p = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+                bitvals = (2 * p > blens[:, None]).astype(np.uint64)
+                sk = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
+                yield pd.DataFrame(
+                    {"doc_id": ids[blo:bhi], "sketch": sk.view(np.int64)}
+                )
 
     return sets.select("doc_id", "hs").mapInPandas(
         sketch_batches, "doc_id long, sketch long"
@@ -1019,13 +1058,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair source is the SCALE path, minhash_lsh_pairs — banded LSH
     candidates + exact verify, O(n·bands) shuffle, no hot-shingle
-    O(bucket²) stage. Its exact-verify step makes its output provably
-    identical to exact_jaccard_pairs at the threshold (that equality IS
-    dedup_minhash_lsh's oracle contract), so the full chain here —
-    sketch → bucket → verify → propagate — is hash-checked against
-    DuckDB's WITH RECURSIVE transitive closure of the relationally-
-    computed exact pairs: the iterative Spark propagation must reach
-    the exact same fixpoint from sketch-derived edges."""
+    O(bucket²) stage. The exact-verify step removes all false
+    POSITIVES, so LSH output ⊆ exact pairs always; equality with
+    exact_jaccard_pairs additionally requires the banding to surface
+    every true pair as a candidate. That recall is probabilistic in
+    general — 16 bands × 4 rows gives P(candidate | j) = 1-(1-j⁴)¹⁶,
+    ≈0.99 at j=0.7 but only ≈0.64 at j=0.5 — so the equality holds
+    HERE because the corpus' true pairs sit near j≈0.9 (miss prob
+    ~3e-8), an empirical property of the data verified per-run by
+    dedup_minhash_lsh's own oracle, not a theorem. On a corpus with
+    borderline-similarity pairs the LSH-sourced components can split
+    where the exact closure would not; pass exact_jaccard_pairs when
+    exact recall at the threshold matters more than scale. The full
+    chain — sketch → bucket → verify → propagate — is hash-checked
+    against DuckDB's WITH RECURSIVE transitive closure of the
+    relationally-computed exact pairs: the iterative Spark propagation
+    must reach the exact same fixpoint from sketch-derived edges."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
     return (

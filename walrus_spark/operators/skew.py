@@ -24,6 +24,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+# Join types for which replicating the small side k-fold preserves the
+# unsalted join's semantics. Right/full-outer do NOT belong here: each
+# unmatched small-side row would emit k null-padded rows (one per salt
+# replica) instead of one, silently multiplying the outer fringe.
+_SAFE_HOW = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "semi",
+    "left_semi",
+    "leftsemi",
+    "anti",
+    "left_anti",
+    "leftanti",
+}
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
@@ -37,12 +55,27 @@ def salted_join(
     (xxhash64 over its columns, mod k) — reproducible across retries,
     and uniform even when the join key itself has one dominant value.
     `small` is exploded k-fold via a literal salt array (a codegen'd
-    Generate, no shuffle of its own). The join result is EXACTLY the
-    unsalted join: salt columns never escape.
+    Generate, no shuffle of its own). For the permitted join types the
+    result is EXACTLY the unsalted join: salt columns never escape,
+    and every skewed-side row sees the full set of small-side matches.
+
+    Only skewed-side-preserving joins are allowed (inner / left /
+    semi / anti). Right and full outer joins are rejected: the k-fold
+    replication would emit k null-padded rows for every unmatched
+    small-side row, which is NOT the unsalted result.
 
     Use when one side fits the k-fold replication budget but not a
     broadcast (a broadcast join needs no salting — no shuffle exists).
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SAFE_HOW
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not equivalence-preserving "
+            "under small-side replication (unmatched small rows would "
+            f"emit {n_salts} null-padded rows). Allowed: inner, left, "
+            "left_semi, left_anti."
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     )

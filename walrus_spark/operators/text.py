@@ -353,6 +353,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the operator's only exchanges.) Tokenization matches `tokens()`
     (split lowercased
     trimmed text on \\s+), mirrored in the oracle."""
+    import math
     import re
 
     import pandas as pd
@@ -360,6 +361,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # ASCII-only \s and space-only trim, matching Spark's trim() +
     # Java-regex split (and the oracle's regexp_split_to_array) exactly
     _split = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    # HALF_UP at 6 decimals, matching Spark F.round / DuckDB round for
+    # the non-negative ratios produced here. Python's builtin round()
+    # is half-to-even and flips exact ties (1/128 -> 0.007812 vs the
+    # oracle's 0.007813), so it must not be used on these values.
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
 
     def signals(batches):
         for pdf in batches:
@@ -371,6 +379,14 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "top_bigram_frac": [],
             }
             for s in pdf[text_col]:
+                if s is None:
+                    # NULL text: the oracle's lower(trim(NULL)) stays
+                    # NULL, so every signal (incl. n_words) is NULL
+                    out["n_words"].append(None)
+                    out["dup_word_frac"].append(None)
+                    out["top_word_frac"].append(None)
+                    out["top_bigram_frac"].append(None)
+                    continue
                 ws = _split.split(s.lower().strip(" "))
                 n = len(ws)
                 wc: dict[str, int] = {}
@@ -383,13 +399,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 nb = n - 1
                 out["n_words"].append(n)
                 out["dup_word_frac"].append(
-                    round(1 - len(wc) / n, 6) if n else None
+                    _r6(1 - len(wc) / n) if n else None
                 )
                 out["top_word_frac"].append(
-                    round(max(wc.values()) / n, 6) if n else None
+                    _r6(max(wc.values()) / n) if n else None
                 )
                 out["top_bigram_frac"].append(
-                    round(max(bc.values()) / nb, 6) if nb > 0 else None
+                    _r6(max(bc.values()) / nb) if nb > 0 else None
                 )
             yield pd.DataFrame(out)
 

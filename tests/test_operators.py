@@ -65,6 +65,40 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx[0] == 1  # the query vector itself must rank first
 
 
+def test_ivf_arrow_assignment_parity_and_scale_plan(spark):
+    """The broadcast-matrix Arrow assignment must (a) agree with the
+    literal-argmax path cluster-for-cluster, and (b) keep the plan
+    SMALL and exchange-free at nlist=256 — the cardinality where a
+    literal plan would carry ~256·64 expression nodes. Plan size
+    independent of nlist is the 100 TB property (real IVF runs
+    nlist ≥ 10⁴)."""
+    from walrus_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    lit = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, 16, method="literal").collect()
+    }
+    arw = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, 16, method="arrow").collect()
+    }
+    assert arw == lit and len(lit) == 500
+
+    big = ivf_assign(emb, 256, method="auto")  # auto → arrow past 64
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # no literal-array blow-up: a literal plan at nlist=256 is >100 KB
+    assert len(plan) < 20_000, len(plan)
+    # end-to-end probe query on the arrow path: exchange-free and sane
+    q = ivf_topk(emb, 1, n_centroids=256, n_probe=32, method="arrow")
+    qplan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in qplan, qplan
+    got = [r["vec_id"] for r in q.collect()]
+    assert got[0] == 1 and len(got) == 10
+
+
 def test_ivf_plan_has_no_exchange(spark):
     """Centroid assignment + probe filter must be a pure projection +
     pushed filter — zero Exchange nodes anywhere in the IVF plan (the
@@ -243,6 +277,32 @@ def test_seq_packing_bucket_stitching(spark):
         4: (14, 2, 2),
         5: (15, 3, 4),  # tokens 15-20 straddle windows 3 and 4
     }, out
+
+
+def test_seq_packing_broadcast_bases_at_many_buckets(spark):
+    """The bucket bases must enter the plan as a BROADCAST JOIN, not a
+    literal map: at real span sizing the bucket table is ~10⁴–10⁵ rows,
+    and a create_map of that many literals is an O(n_buckets)
+    expression tree (plan/codegen killer). Exercised at 2·10⁴ buckets —
+    plan stays small, carries a BroadcastHashJoin, and the prefix sums
+    stitch exactly (every doc has 3 tokens → start_tok = 3·doc_id)."""
+    from walrus_spark.operators.pipeline import seq_packing
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    out = seq_packing(docs, context_window=7, bucket_span=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(plan) < 20_000, len(plan)
+    rows = out.where(F.col("doc_id").isin(0, 1, 9_999, 19_999)).collect()
+    got = {r["doc_id"]: (r["start_tok"], r["first_window"]) for r in rows}
+    assert got == {
+        0: (0, 0),
+        1: (3, 0),
+        9_999: (29_997, 4285),
+        19_999: (59_997, 8571),
+    }, got
 
 
 def test_partition_invariance(spark):
@@ -512,6 +572,36 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_buckets >= 3
+
+
+def test_simhash_auto_budget_and_narrow_override(spark):
+    """The DEFAULT budget must be the scale-safe one past the corpus
+    cutoff (narrow 16-bit chunks — the only configuration whose
+    in-bucket verify stays subquadratic), wide only for small corpora
+    whose short-doc sketches need the recall radius. An explicit
+    narrow budget on the fixture must still find the low-Hamming pairs
+    (subset of the wide-budget result, by pigeonhole exactness)."""
+    from walrus_spark.operators.dedup import (
+        SIMHASH_NARROW_BUDGET,
+        SIMHASH_WIDE_BUDGET,
+        simhash_auto_budget,
+        simhash_pairs,
+    )
+
+    assert simhash_auto_budget(500) == SIMHASH_WIDE_BUDGET
+    assert simhash_auto_budget(20_001) == SIMHASH_NARROW_BUDGET
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    wide = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=12).collect()
+    }
+    narrow = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert narrow == {t for t in wide if t[2] <= 3}
+    assert narrow  # the fixture has Hamming≤3 pairs; vacuity check
 
 
 def test_salted_join_rejects_small_side_outer(spark):

@@ -497,9 +497,33 @@ def simhash_signatures(
     )
 
 
+# simhash_pairs auto budget: corpora up to this many documents get the
+# recall-first wide budget (k=12 — short/noisy-sketch docs need it, and
+# quadratic 5-bit buckets are harmless at this size); past it the
+# SCALE-SAFE narrow budget (k=3, 16-bit chunks) is the default, because
+# it is the only configuration whose in-bucket verify stays subquadratic
+# as n grows (measured: 5.1× wall at 10× data under k=12 vs 1.9× under
+# k=3 — PERF_r03.md). A corpus that needs wide-budget recall AT scale
+# should use MinHash-LSH instead, whose candidate volume is O(n·bands)
+# regardless of similarity radius.
+SIMHASH_WIDE_BUDGET_MAX_DOCS = 20_000
+SIMHASH_WIDE_BUDGET = 12
+SIMHASH_NARROW_BUDGET = 3
+
+
+def simhash_auto_budget(n_docs: int) -> int:
+    """The default Hamming budget for a corpus of n_docs documents —
+    wide below SIMHASH_WIDE_BUDGET_MAX_DOCS, scale-safe narrow above."""
+    return (
+        SIMHASH_WIDE_BUDGET
+        if n_docs <= SIMHASH_WIDE_BUDGET_MAX_DOCS
+        else SIMHASH_NARROW_BUDGET
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     sets: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
@@ -515,11 +539,18 @@ def simhash_pairs(
     candidates never materialize as rows and only (doc_id, sketch)
     ever shuffles, once, keyed by bucket.
 
-    Scale note: candidate-bucket entropy is 64/(k+1) bits. The default
-    k=12 (5-bit chunks) suits the fixtures' tiny ~50-word docs, whose
-    sketches are noisy; web-scale corpora with longer documents should
-    use the classic k=3 (16-bit chunks, 65k buckets/band), which keeps
-    bucket sizes ~n/65536 and scales to billions of docs."""
+    Scale note: candidate-bucket entropy is 64/(k+1) bits, so the
+    budget trades recall radius against bucket size — k=12 means 5-bit
+    chunks (32 buckets/band, in-bucket verify quadratic in n), k=3
+    means 16-bit chunks (65k buckets/band, bucket sizes ~n/65536,
+    scales to billions of docs). `max_hamming=None` (the default)
+    AUTO-SELECTS: wide budget (12) up to SIMHASH_WIDE_BUDGET_MAX_DOCS
+    documents — short-doc fixtures have noisy sketches whose true
+    near-dups span Hamming up to ~11, and tiny corpora can afford
+    quadratic buckets — then the scale-safe narrow budget (3). Pass an
+    explicit budget to override."""
+    if max_hamming is None:
+        max_hamming = simhash_auto_budget(docs.count())
     m = max_hamming + 1
     widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
     starts = [sum(widths[:i]) for i in range(m)]

@@ -6,9 +6,10 @@ document's tokens in doc_id order and split the stream into fixed-size
 context windows; each document is annotated with its global token
 offset and the window span it lands in. The global running sum is
 computed with a TWO-PHASE distributed prefix sum (per-bucket partial
-sums + driver-side prefix of the tiny bucket table + per-bucket window),
-NOT one global `Window.orderBy` — a global ordered window collapses to
-a single task and is exactly the kind of plan that dies at 100 TB.
+sums + a metadata-scale prefix of the tiny bucket table, broadcast-
+joined back + per-bucket window), NOT one global `Window.orderBy` over
+the data — a global ordered window collapses to a single task and is
+exactly the kind of plan that dies at 100 TB.
 
 train_val_split — deterministic hash split (Knuth multiplicative hash
 on doc_id, mod 100): reproducible across engines, runs, and cluster
@@ -47,12 +48,18 @@ def seq_packing(
 
     Distributed prefix sum, two phases:
       1. bucket = doc_id div bucket_span; one groupBy computes each
-         bucket's token sum; the driver prefix-sums that TINY table
+         bucket's token sum; an exclusive prefix over that TINY table
          (n_docs / bucket_span rows — bounded metadata, size the span
-         so this stays ~10⁴-10⁵ rows at target scale).
+         so this stays ~10⁴-10⁵ rows at target scale) yields each
+         bucket's base offset. The prefix is a single-task window over
+         metadata-scale rows — the classic two-phase scan shape — and
+         the bases re-enter the main plan through a BROADCAST HASH
+         JOIN, never as plan literals: a 10⁵-entry literal map would
+         be an O(n_buckets) expression tree (plan/codegen killer),
+         while the broadcast side here is O(n_buckets) *bytes*.
       2. a per-bucket window (partitionBy bucket — parallel across
          buckets, never a global sort) adds the within-bucket running
-         sum to the broadcast bucket base.
+         sum to the joined bucket base.
 
     Output: doc_id, n_tokens, start_tok (exclusive prefix sum),
     first_window / last_window (integer div by context_window; empty
@@ -63,27 +70,31 @@ def seq_packing(
         F.size(_text.tokens(F.col("text"))).alias("n_tokens"),
         (F.col("doc_id") / bucket_span).cast("long").alias("bucket"),
     )
-    bucket_sums = (
-        d.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum")).collect()
+    bw = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base, bases = 0, {}
-    for r in sorted(bucket_sums, key=lambda r: int(r["bucket"])):
-        bases[int(r["bucket"])] = base
-        base += int(r["bsum"])
-    base_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
-        ),
-        F.col("bucket"),
+    bases = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bsum"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bsum").over(bw), F.lit(0)).alias(
+                "bucket_base"
+            ),
+        )
     )
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = base_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    start = F.col("bucket_base") + F.coalesce(
+        F.sum("n_tokens").over(w), F.lit(0)
+    )
     return (
-        d.withColumn("start_tok", start)
+        d.join(F.broadcast(bases), "bucket")
+        .withColumn("start_tok", start)
         .select(
             "doc_id",
             "n_tokens",

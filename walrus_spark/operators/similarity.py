@@ -8,13 +8,16 @@ deterministic coarse quantizer bucketizes vectors once (write-time at
 ~nlist/nprobe.
 
 Scale design of the IVF path: centroid assignment is a PER-ROW ARGMAX
-over the (tiny, driver-collected) centroid set embedded as literals —
-a single projection, ZERO exchanges. The old formulation (crossJoin ×
-n_centroids + row_number window) shuffled every embedding n_centroids
-times; at 100 TB that exchange was the entire cost of the operator.
-Probe selection likewise happens on the driver (n_centroids dot
-products), so the candidate filter is a pushed-down `cluster IN (...)`
-predicate, not a join.
+— a single projection, ZERO exchanges — with two strategies: literal
+expressions for tiny quantizers (the whole centroid set folds into the
+select), and a broadcast centroid MATRIX + Arrow-batched argmax for
+real IVF cardinalities (nlist ≥ 10³), where a literal plan would be
+O(nlist·d) expression nodes and infeasible. The old formulation
+(crossJoin × n_centroids + row_number window) shuffled every embedding
+n_centroids times; at 100 TB that exchange was the entire cost of the
+operator. Probe selection likewise happens on the driver (n_centroids
+dot products), so the candidate filter is a pushed-down
+`cluster IN (...)` predicate, not a join.
 
 All vector arithmetic is JVM-side (zip_with/aggregate fold over
 array<double>). Higher-order folds evaluate interpreted, but the
@@ -155,18 +158,101 @@ def _centroids(
     return out
 
 
+# Above this the literal-argmax plan stops being viable: each centroid
+# contributes a d-element literal array + a fold to the projection, so
+# plan build is O(nlist·d) py4j round-trips and codegen sees an
+# O(nlist·d)-node expression (~0.6 s and ~4k nodes already at nlist=16,
+# d=64). Real IVF runs nlist ≈ 10⁴–10⁵; that path is for tiny
+# quantizers only — past the cutoff, assignment switches to a broadcast
+# centroid MATRIX + one Arrow-batched argmax per batch.
+IVF_LITERAL_MAX_CENTROIDS = 64
+
+
+def _ivf_assign_arrow(
+    emb: DataFrame, n_centroids: int, model_key=None
+) -> DataFrame:
+    """Scale-path centroid assignment: the quantizer rides to executors
+    as ONE broadcast numpy matrix (O(nlist·d) bytes, not plan nodes),
+    and each Arrow batch does a single BLAS matmul + row argmax. Still
+    zero exchanges — a scan-stage mapInPandas projection, plan size
+    independent of nlist. Ties break to the smallest cluster id
+    (centroid rows scan in ascending id; np.argmax keeps the first
+    max), the same rule as the literal path / the oracle's
+    `ORDER BY sim DESC, cluster`.
+
+    Note on parity: cosines here sum via BLAS (pairwise), the literal
+    path via sequential fold — bit-equal argmax decisions whenever no
+    two centroid cosines tie within float rounding (~1e-15 rel), which
+    non-degenerate embeddings never do; the parity test pins it on the
+    fixture."""
+    import numpy as np
+
+    cents = _centroids(emb, n_centroids, model_key)
+    cids = np.array([cid for cid, _, _ in cents], dtype=np.int64)
+    order = np.argsort(cids)
+    C = np.array([vec for _, vec, _ in cents], dtype=np.float64)[order]
+    cn = np.array([n for _, _, n in cents], dtype=np.float64)[order]
+    cids = cids[order]
+    bc = emb.sparkSession.sparkContext.broadcast((C, cn, cids))
+    # row-block the (rows × nlist) sims matrix at ~256 MB of scratch
+    blk = max(1, (1 << 25) // max(len(cids), 1))
+
+    def assign(batches):
+        import pandas as pd
+
+        Cb, cnb, cidb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), blk):
+                Eb = E[lo : lo + blk]
+                nrm = np.sqrt((Eb * Eb).sum(axis=1))
+                sims = (Eb @ Cb.T) / (nrm[:, None] * cnb[None, :])
+                out[lo : lo + blk] = cidb[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": out, "e": pdf["e"]}
+            )
+
+    e = emb.select("vec_id", _dbl("embedding").alias("e"))
+    return e.mapInPandas(
+        assign, "vec_id long, cluster long, e array<double>"
+    )
+
+
 def ivf_assign(
-    emb: DataFrame, n_centroids: int = N_CENTROIDS, model_key=None
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    model_key=None,
+    method: str = "auto",
 ) -> DataFrame:
     """Assign every vector to its nearest coarse centroid — one
-    projection, zero exchanges.
+    projection, zero exchanges, via one of two strategies:
 
-    The argmax runs inside a single select: an array of
-    (cosine, -cluster) structs over the centroid literals, reduced with
-    array_max (struct ordering compares cosine first, then -cluster, so
-    ties break to the SMALLEST cluster id — the same rule the oracle's
-    `ORDER BY sim DESC, cluster` expresses). Output: vec_id, cluster, e.
+      literal — the argmax runs inside a single select: an array of
+        (cosine, -cluster) structs over the centroid literals, reduced
+        with array_max (struct ordering compares cosine first, then
+        -cluster, so ties break to the SMALLEST cluster id — the same
+        rule the oracle's `ORDER BY sim DESC, cluster` expresses).
+        Whole plan is JVM expressions; right for tiny quantizers.
+      arrow — broadcast centroid matrix + Arrow-batched argmax
+        (_ivf_assign_arrow); plan size independent of nlist, the only
+        viable shape at real IVF cardinalities (nlist ≥ 10³).
+
+    `auto` picks literal iff n_centroids ≤ IVF_LITERAL_MAX_CENTROIDS.
+    Output: vec_id, cluster, e.
     """
+    if method == "auto":
+        method = (
+            "literal"
+            if n_centroids <= IVF_LITERAL_MAX_CENTROIDS
+            else "arrow"
+        )
+    if method == "arrow":
+        return _ivf_assign_arrow(emb, n_centroids, model_key)
+    if method != "literal":
+        raise ValueError(f"unknown ivf_assign method: {method!r}")
     memo = (model_key, n_centroids, "argmax") if model_key else None
     if memo and memo in _IVF_MODELS:
         best = _IVF_MODELS[memo]
@@ -205,6 +291,7 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
     model_key=None,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe clusters nearest the query,
     exact cosine inside them.
@@ -237,7 +324,7 @@ def ivf_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probes = [cid for _, cid in ranked[:n_probe]]
-    cand = ivf_assign(emb, n_centroids, model_key).where(
+    cand = ivf_assign(emb, n_centroids, model_key, method=method).where(
         F.col("cluster").isin(probes)
     )
     cos = _dot("e", _lit_vec(q)) / (_norm("e") * F.lit(nq))

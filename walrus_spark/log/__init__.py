@@ -2,9 +2,12 @@
 
 from walrus_spark.log.wal import (  # noqa: F401
     LOG_SCHEMA,
+    ChecksumError,
     FsyncSchedule,
+    NotLeaderError,
     ReadConsistency,
     WalrusLog,
+    WouldBlockError,
 )
 from walrus_spark.log.views import (  # noqa: F401
     register_topic_view,

@@ -83,6 +83,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# `crc` is the per-entry checksum analog of the reference's FNV-1a
+# entry checksum (src/wal/block.rs:43-77): xxhash64(value) computed
+# JVM-side at commit time and re-verified on every batch_read /
+# read_next (corruption tests: reference tests/unit.rs:110-137).
+# Nullable so pre-checksum data files stay readable (null = legacy,
+# skipped by verification).
 LOG_SCHEMA = StructType(
     [
         StructField("topic", StringType(), False),
@@ -90,8 +96,36 @@ LOG_SCHEMA = StructType(
         StructField("offset", LongType(), False),
         StructField("value", BinaryType(), True),
         StructField("ts", TimestampType(), False),
+        StructField("crc", LongType(), True),
     ]
 )
+
+# Write-side row schema: crc is derived in the plan (F.xxhash64), never
+# passed in by callers.
+_APPEND_SCHEMA = StructType(LOG_SCHEMA.fields[:-1])
+
+
+class ChecksumError(RuntimeError):
+    """A stored entry's checksum no longer matches its payload — the
+    loud corruption signal the reference raises when an FNV-1a entry
+    checksum fails (src/wal/block.rs:43-77)."""
+
+
+class NotLeaderError(RuntimeError):
+    """This instance's writership was fenced by a newer claimant — the
+    NotLeaderForPartition analog (distributed-walrus/src/bucket.rs:
+    110-118): the reference rejects writes that don't arrive at the
+    partition's current leader; here, writes from an instance whose
+    writer epoch is stale."""
+
+
+class WouldBlockError(RuntimeError):
+    """A second in-flight batch was refused instead of queued — the
+    reference's WouldBlock fail-fast on concurrent batch appends
+    (tests/batch_writes.rs concurrent-batch rejection suite). Raised
+    only when the caller opts into non-blocking semantics with
+    wait=False; the default mirrors a thread-safe embedded API and
+    serializes."""
 
 MAX_BATCH_ENTRIES = 2000  # src/wal/config.rs:42
 # Orphan dirs younger than this are presumed to be another live
@@ -191,6 +225,10 @@ class WalrusLog:
         self._cursors: dict[str, int] = {}
         self._dirty: dict[str, dict] = {}
         self._unpersisted_reads: dict[str, int] = {}
+        # checksum-verified entries delivered through the read path
+        # (per topic, this process — the corruption-detection coverage
+        # counter surfaced by metrics())
+        self._verified_reads: dict[str, int] = {}
         self._txns: set[str] = set()
         # Serializes offset assignment + manifest commit across threads —
         # the coarse-grained analog of the reference's per-key async
@@ -206,6 +244,16 @@ class WalrusLog:
         self._fsync_lock = threading.Lock()
         self._fsync_stop = threading.Event()
         self._fsync_thread: threading.Thread | None = None
+        # Cross-process writer fencing (bucket.rs:110-118): opening an
+        # instance CLAIMS writership by bumping the epoch in
+        # <root>/writer.json (tmp+atomic-rename, like every sidecar).
+        # Every mutation re-reads the file and refuses with
+        # NotLeaderError when a newer claim exists — the fencing-token
+        # protocol; on an object store the final rename becomes a
+        # conditional put and the token check is storage-enforced.
+        self._writer_path = os.path.join(root, "writer.json")
+        self._writer_id = uuid.uuid4().hex
+        self._writer_epoch = self._claim_writership()
         self.recover()
 
     @classmethod
@@ -218,6 +266,45 @@ class WalrusLog:
         tenants share nothing — not data, not cursors, not metadata."""
         safe = re.sub(r"[^A-Za-z0-9._-]", "_", key) or "_"
         return cls(spark, os.path.join(base_root, safe), **kwargs)
+
+    # ------------------------------------------------------------------
+    # writer fencing (NotLeaderForPartition analog, bucket.rs:110-118)
+    # ------------------------------------------------------------------
+    def _read_writer_record(self) -> dict:
+        if os.path.exists(self._writer_path):
+            try:
+                with open(self._writer_path) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass
+        return {"epoch": 0, "writer": None}
+
+    def _claim_writership(self) -> int:
+        """Bump the writer epoch and install this instance as THE
+        writer (leader takeover). The previous holder's next mutation
+        fails its epoch check — it can never again commit offsets from
+        its now-stale high watermarks."""
+        cur = self._read_writer_record()
+        epoch = int(cur.get("epoch", 0)) + 1
+        _atomic_write_json(
+            self._writer_path,
+            {"epoch": epoch, "writer": self._writer_id},
+        )
+        return epoch
+
+    def _verify_writership(self) -> None:
+        cur = self._read_writer_record()
+        if cur.get("writer") != self._writer_id:
+            raise NotLeaderError(
+                f"writer epoch {cur.get('epoch')} is held by instance "
+                f"{cur.get('writer')}; this instance (epoch "
+                f"{self._writer_epoch}) was fenced — open a fresh "
+                "WalrusLog to take over writership"
+            )
+
+    @property
+    def writer_epoch(self) -> int:
+        return self._writer_epoch
 
     # ------------------------------------------------------------------
     # recovery (startup_chore analog, walrus.rs:240-425)
@@ -431,13 +518,17 @@ class WalrusLog:
         """Append one entry; returns its offset."""
         return self.batch_append(topic, [payload])[0]
 
-    def batch_append(self, topic: str, payloads: list[bytes]) -> tuple[int, int]:
+    def batch_append(
+        self, topic: str, payloads: list[bytes], wait: bool = True
+    ) -> tuple[int, int]:
         """Atomic all-or-nothing append; returns (first, last) offsets.
 
         Mirrors batch_append_for_topic limits and atomicity (writer.rs:
         135-341): the parquet files exist before the manifest rename, but
         are unreadable until it — a crash mid-write leaves no visible
-        trace (the rollback-by-header-zeroing analog)."""
+        trace (the rollback-by-header-zeroing analog). ``wait=False``
+        mirrors the reference's concurrent-batch fail-fast: a second
+        in-flight batch raises WouldBlockError instead of queueing."""
         if not payloads:
             raise ValueError("empty batch")
         if len(payloads) > MAX_BATCH_ENTRIES:
@@ -445,22 +536,32 @@ class WalrusLog:
         total = sum(len(p) for p in payloads)
         if total > MAX_BATCH_BYTES:
             raise ValueError(f"batch exceeds {MAX_BATCH_BYTES} bytes")
-        return self.multi_append({topic: payloads})[topic]
+        return self.multi_append({topic: payloads}, wait=wait)[topic]
 
     def multi_append(
-        self, batches: dict[str, list[bytes]]
+        self, batches: dict[str, list[bytes]], wait: bool = True
     ) -> dict[str, tuple[int, int]]:
         """Atomically append to several topics in ONE commit.
 
-        Thread-safe: concurrent appenders serialize on the write lock,
-        so offsets stay per-topic contiguous (the single-writer-per-
-        segment invariant, TLA+ InvSeqOrder)."""
-        with self._write_lock:
+        Thread-safe: concurrent appenders serialize on the write lock
+        by default, so offsets stay per-topic contiguous (the single-
+        writer-per-segment invariant, TLA+ InvSeqOrder). With
+        ``wait=False`` a held lock raises WouldBlockError instead —
+        the reference's concurrent-batch rejection semantics
+        (tests/batch_writes.rs WouldBlock suite)."""
+        if not self._write_lock.acquire(blocking=wait):
+            raise WouldBlockError(
+                "another batch append is in flight (wait=False)"
+            )
+        try:
             return self._multi_append_locked(batches)
+        finally:
+            self._write_lock.release()
 
     def _multi_append_locked(
         self, batches: dict[str, list[bytes]]
     ) -> dict[str, tuple[int, int]]:
+        self._verify_writership()
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         rows: list[Row] = []
         ranges: dict[str, tuple[int, int]] = {}
@@ -481,17 +582,23 @@ class WalrusLog:
         batch_id = f"{len(os.listdir(self._manifest_dir)):012d}_{uuid.uuid4().hex[:8]}"
         path = os.path.join(self._data_dir, batch_id)
         df = (
-            self.spark.createDataFrame(rows, LOG_SCHEMA)
+            self.spark.createDataFrame(rows, _APPEND_SCHEMA)
+            .withColumn("crc", F.xxhash64("value"))
             .coalesce(1)
             .sortWithinPartitions("topic", "offset")
         )
         df.write.mode("overwrite").parquet(path)
+        # re-check right before the commit point: the slow data write
+        # is where a takeover lands; a fenced writer must not publish
+        # offsets assigned from its stale high watermarks
+        self._verify_writership()
         # commit point: atomic manifest rename
         _atomic_write_json(
             os.path.join(self._manifest_dir, f"{batch_id}.json"),
             {
                 "batch": batch_id,
                 "path": path,
+                "writer_epoch": self._writer_epoch,
                 "topics": {
                     t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
                 },
@@ -522,6 +629,7 @@ class WalrusLog:
         (foreachBatch is at-least-once) commits exactly once — the
         Delta-style txn-version dedup in miniature."""
         with self._write_lock:
+            self._verify_writership()
             self._ingest_locked(df, topic_col, payload_col, txn)
 
     def _ingest_locked(
@@ -592,6 +700,7 @@ class WalrusLog:
                 (F.col("_base") + F.col("_rn")).alias("offset"),
                 "value",
                 F.current_timestamp().alias("ts"),
+                F.xxhash64("value").alias("crc"),
             )
         )
         batch_id = f"{len(os.listdir(self._manifest_dir)):012d}_{uuid.uuid4().hex[:8]}"
@@ -602,12 +711,15 @@ class WalrusLog:
         rec = {
             "batch": batch_id,
             "path": path,
+            "writer_epoch": self._writer_epoch,
             "topics": {
                 t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
             },
         }
         if txn is not None:
             rec["txn"] = txn
+        # pre-commit fence re-check (see _multi_append_locked)
+        self._verify_writership()
         _atomic_write_json(
             os.path.join(self._manifest_dir, f"{batch_id}.json"), rec
         )
@@ -667,7 +779,18 @@ class WalrusLog:
         cand = (
             self.topic_df(topic)
             .where(F.col("offset") > cursor)
-            .select("offset", "value")
+            .select(
+                "offset",
+                "value",
+                # per-entry checksum verification on READ, JVM-side
+                # (the FNV-1a verify of src/wal/block.rs:43-77; null
+                # crc = pre-checksum data, skipped)
+                (
+                    F.col("crc").isNull()
+                    | (F.xxhash64("value") == F.col("crc"))
+                ).alias("crc_ok"),
+                F.col("crc").isNotNull().alias("crc_checked"),
+            )
             .orderBy("offset")
             .limit(min(max_entries, MAX_BATCH_ENTRIES))
             .withColumn("cum", F.sum(F.length("value")).over(w))
@@ -681,6 +804,18 @@ class WalrusLog:
         # contract, not an artifact of the window's partitioning — a plan
         # change must not be able to reorder delivery.
         rows = cand.orderBy("offset").collect()
+        bad = [int(r["offset"]) for r in rows if not r["crc_ok"]]
+        if bad:
+            # loud and BEFORE any cursor advance: a corrupt entry is
+            # never silently consumed (reference tests/unit.rs:110-137)
+            raise ChecksumError(
+                f"checksum mismatch in topic {topic!r} at offsets "
+                f"{bad} — stored payload no longer matches its "
+                "commit-time xxhash64"
+            )
+        self._verified_reads[topic] = self._verified_reads.get(
+            topic, 0
+        ) + sum(1 for r in rows if r["crc_checked"])
         if rows and checkpoint and start_offset is None:
             new_cursor = max(int(r["offset"]) for r in rows)
             self._checkpoint_read(topic, new_cursor, len(rows))
@@ -750,12 +885,17 @@ class WalrusLog:
           fsync_count          — O7 background-worker sidecar fsyncs
           unpersisted_reads    — cursor advances not yet flushed (the
                                  AtLeastOnce replay exposure, per topic)
+          verified_reads       — entries whose per-entry checksum was
+                                 verified on delivery (per topic; the
+                                 block.rs:43-77 corruption-check
+                                 coverage counter)
         """
         return {
             "n_topics": len(self._hw),
             "committed_batches": len(self._manifest_records()),
             "fsync_count": self.fsync_count,
             "unpersisted_reads": dict(self._unpersisted_reads),
+            "verified_reads": dict(self._verified_reads),
             "topics": {t: self.state(t) for t in self.topics()},
         }
 
@@ -790,6 +930,9 @@ class WalrusLog:
         consumed); a NEW stream starts from the surviving tail — the
         standard log-retention contract."""
         with self._write_lock:
+            # reclamation deletes files — a fenced instance must not
+            # destroy data the new writer is serving
+            self._verify_writership()
             removed = 0
             for rec in self._manifest_records():
                 if all(
@@ -832,6 +975,7 @@ class WalrusLog:
         records serve reads; after it they are dead (`replaces`) and
         recover() finishes the cleanup."""
         with self._write_lock:
+            self._verify_writership()
             old = self._manifest_records()
             if not old:
                 return

@@ -670,3 +670,114 @@ def test_concurrent_batch_would_block(spark, tmp_path):
     # default blocking path still works after the contention
     assert log.batch_append("t", [b"z"]) == (2, 2)
     log.close()
+
+
+def test_background_maintenance_reclaims_without_manual_vacuum(
+    spark, tmp_path
+):
+    """The maintenance daemon (background.rs:167-194 analog) must make
+    fully-consumed batch files disappear on its own cadence — no
+    vacuum() call — and auto-compact once the live record count
+    reaches the threshold."""
+    import glob
+    import time as _time
+
+    root = str(tmp_path / "maint")
+    log = WalrusLog(
+        spark,
+        root,
+        auto_maintenance_seconds=0.2,
+        auto_compact_min_batches=3,
+    )
+    log.batch_append("a", [b"1"])
+    log.batch_append("b", [b"2"])
+    assert log.batch_read("a") == [b"1"]  # topic a fully consumed
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        live = {r["batch"] for r in log._manifest_records()}
+        dirs = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(root, "data", "*"))
+        }
+        if len(live) == 1 and not (dirs - live):
+            break
+        _time.sleep(0.1)
+    else:
+        raise AssertionError("daemon never reclaimed the consumed batch")
+    assert log.metrics()["maintenance_sweeps"] >= 1
+
+    # grow past the compact threshold: the daemon folds records to one
+    for i in range(3):
+        log.batch_append("b", [f"x{i}".encode()])
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        if len(log._manifest_records()) == 1:
+            break
+        _time.sleep(0.1)
+    else:
+        raise AssertionError("daemon never compacted past the threshold")
+    # no entry was lost along the way
+    assert log.batch_read("b", checkpoint=False) == [
+        b"2", b"x0", b"x1", b"x2",
+    ]
+    assert log.metrics()["maintenance_errors"] == 0
+    log.close()
+
+
+def test_vacuum_crash_mid_sweep_is_safe(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract of reclamation: the manifest-record
+    removal is the deletion commit point. A crash BEFORE the data-dir
+    delete (simulated by suppressing rmtree) must leave a fully
+    readable log — the record is gone, the orphan dir is invisible and
+    collected later by recovery's grace-period sweep, and no record
+    ever points at deleted files."""
+    import walrus_spark.log.wal as wal_mod
+
+    root = str(tmp_path / "vcrash")
+    log = WalrusLog(spark, root)
+    log.batch_append("a", [b"1"])
+    log.batch_append("b", [b"keep"])
+    log.batch_read("a")  # consume topic a
+    monkeypatch.setattr(wal_mod.shutil, "rmtree", lambda *a, **k: None)
+    assert log.vacuum() == 1  # record removed; dirs survive the "crash"
+    monkeypatch.undo()
+    # the crashed sweep's survivor dirs don't resurrect the batch
+    log2 = WalrusLog(spark, root)
+    assert log2.df().count() == 1
+    assert log2.batch_read("b", checkpoint=False) == [b"keep"]
+    assert log2.high_watermark("a") == 1  # hw metadata survives
+    log.close()
+    log2.close()
+
+
+def test_batch_read_at_byte_trim_semantics(spark, tmp_path):
+    """Byte-addressed stateless reads mirror the reference's semantics
+    (walrus_read.rs:419-585) at the entry-level layout: each entry
+    occupies [256 B header][payload]; a byte offset inside a payload
+    trims that payload; inside a header delivers it whole; byte 0
+    skips leading sub-128 B payloads (the :533-541 quirk); the byte
+    budget keeps its always->=1 rule; the cursor never moves."""
+    log = WalrusLog(spark, str(tmp_path / "byteoff"))
+    small1, small2 = b"tiny", b"meta"
+    big1 = bytes(range(200))          # first >=128 B payload
+    big2 = b"B" * 150
+    log.batch_append("t", [small1, small2, big1, big2])
+    H = 256  # ENTRY_HEADER_BYTES
+
+    # byte 0: the two small leading payloads are skipped
+    assert log.batch_read_at_byte("t", 0) == [big1, big2]
+
+    # entry layout: e1@[0,260) e2@[260,520) e3@[520,976) e4@[976,1382)
+    e3_payload_start = (H + 4) * 2 + H
+    # inside e3's HEADER -> whole payload
+    assert log.batch_read_at_byte("t", e3_payload_start - 10) == [big1, big2]
+    # 50 bytes into e3's payload -> trimmed first entry
+    got = log.batch_read_at_byte("t", e3_payload_start + 50)
+    assert got == [big1[50:], big2]
+    # budget: always >=1 even when the first entry exceeds it
+    assert log.batch_read_at_byte("t", e3_payload_start, max_bytes=1) == [big1]
+    # past the end -> empty
+    assert log.batch_read_at_byte("t", 10_000) == []
+    # stateless: the shared cursor is untouched
+    assert log.read_next("t") == small1
+    log.close()

@@ -204,7 +204,17 @@ class WalrusLog:
         consistency: ReadConsistency | None = None,
         fsync: FsyncSchedule | None = None,
         max_segment_entries: int = DEFAULT_MAX_SEGMENT_ENTRIES,
+        auto_maintenance_seconds: float | None = None,
+        auto_compact_min_batches: int | None = None,
     ) -> None:
+        """``auto_maintenance_seconds`` starts the background
+        maintenance daemon (the reference's background reclamation
+        worker, src/wal/runtime/background.rs:167-194 +
+        allocator.rs:188-200): every interval it vacuums fully-consumed
+        batches, and — when ``auto_compact_min_batches`` is set and the
+        live record count reaches it — compacts the manifest. None (the
+        default) keeps maintenance manual (vacuum()/compact() calls),
+        the embedded-library-friendly default."""
         self.spark = spark
         self.root = root
         self.consistency = consistency or ReadConsistency.strictly_at_once()
@@ -254,7 +264,19 @@ class WalrusLog:
         self._writer_path = os.path.join(root, "writer.json")
         self._writer_id = uuid.uuid4().hex
         self._writer_epoch = self._claim_writership()
+        # background maintenance daemon state (background.rs:167-194)
+        self.auto_compact_min_batches = auto_compact_min_batches
+        self.maintenance_sweeps = 0
+        self.maintenance_errors = 0
+        self._maint_interval = auto_maintenance_seconds
+        self._maint_stop = threading.Event()
+        self._maint_thread: threading.Thread | None = None
         self.recover()
+        if auto_maintenance_seconds is not None:
+            self._maint_thread = threading.Thread(
+                target=self._maintenance_worker, daemon=True
+            )
+            self._maint_thread.start()
 
     @classmethod
     def for_key(
@@ -503,8 +525,42 @@ class WalrusLog:
             except FileNotFoundError:
                 pass  # replaced mid-sweep; next sweep syncs the successor
 
+    def _maintenance_worker(self) -> None:
+        """Scheduled reclamation (the background worker of
+        src/wal/runtime/background.rs:167-194): every interval, vacuum
+        fully-consumed batches and, past the configured record-count
+        threshold, compact. Each sweep runs under the write lock (via
+        vacuum/compact), so it can never race a commit; a fenced
+        instance's daemon exits — the new writer owns reclamation."""
+        while not self._maint_stop.wait(self._maint_interval):
+            try:
+                self.maintenance_sweep()
+            except NotLeaderError:
+                break
+            except Exception:
+                # a transient failure (e.g. filesystem hiccup) must not
+                # kill the daemon; surfaced via the error counter
+                self.maintenance_errors += 1
+
+    def maintenance_sweep(self) -> dict:
+        """One manual maintenance pass — exactly what the daemon runs."""
+        vacuumed = self.vacuum()
+        compacted = False
+        if (
+            self.auto_compact_min_batches is not None
+            and len(self._manifest_records()) >= self.auto_compact_min_batches
+        ):
+            self.compact()
+            compacted = True
+        self.maintenance_sweeps += 1
+        return {"vacuumed": vacuumed, "compacted": compacted}
+
     def close(self) -> None:
-        """Stop the background worker after a final durable sweep."""
+        """Stop the background workers after a final durable sweep."""
+        self._maint_stop.set()
+        if self._maint_thread is not None:
+            self._maint_thread.join(timeout=5)
+            self._maint_thread = None
         self._fsync_stop.set()
         if self._fsync_thread is not None:
             self._fsync_thread.join(timeout=5)
@@ -821,6 +877,97 @@ class WalrusLog:
             self._checkpoint_read(topic, new_cursor, len(rows))
         return [bytes(r["value"]) if r["value"] is not None else b"" for r in rows]
 
+    def batch_read_at_byte(
+        self,
+        topic: str,
+        byte_start: int = 0,
+        max_bytes: int = MAX_BATCH_BYTES,
+        max_entries: int = MAX_BATCH_ENTRIES,
+    ) -> list[bytes]:
+        """Stateless BYTE-offset read with first-entry trim — the
+        faithful mirror of the reference's stateless `start_offset`
+        semantics (src/wal/runtime/walrus_read.rs:419-585), which are
+        byte-addressed, unlike batch_read's logical entry offsets
+        (SURVEY.md §1.5 maps the two):
+
+          * the topic's byte stream is [256 B header][payload] per
+            entry, in offset order (the ENTRY_HEADER_BYTES analog of
+            PREFIX_META_SIZE — the same accounting topic_size uses);
+          * a byte_start landing inside a payload delivers that
+            payload TRIMMED from that byte (walrus_read.rs:543-555);
+            landing inside a header delivers the whole payload;
+          * byte_start == 0 skips leading entries with payloads under
+            128 B — the reference's skip-small-initial-entries quirk
+            (walrus_read.rs:533-541) — then starts untrimmed;
+          * then the usual batch rules: ≤max_entries, payload-byte
+            budget with the always-≥1 rule. Never touches the cursor.
+
+        The extent computation is a narrow two-column scan (offset,
+        length) — at deployment scale the manifest would carry
+        per-batch byte extents so the seek prunes to one batch; the
+        parquet min/max offset stats already prune the payload scan."""
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("offset")
+        ext = (
+            self.topic_df(topic)
+            .select(
+                "offset",
+                "value",
+                (
+                    F.col("crc").isNull()
+                    | (F.xxhash64("value") == F.col("crc"))
+                ).alias("crc_ok"),
+                F.coalesce(F.length("value"), F.lit(0)).alias("blen"),
+            )
+            .withColumn(
+                "cum_end",
+                F.sum(F.col("blen") + ENTRY_HEADER_BYTES).over(w),
+            )
+            .withColumn(
+                "entry_start",
+                F.col("cum_end") - F.col("blen") - ENTRY_HEADER_BYTES,
+            )
+        )
+        if byte_start == 0:
+            # the skip-small-initial-entries quirk: scan past leading
+            # sub-128 B payloads ("likely internal metadata")
+            cand = ext.withColumn(
+                "big_seen",
+                F.max(F.when(F.col("blen") >= 128, F.col("offset"))).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ).where(F.col("big_seen").isNotNull())
+            trim_first = 0
+        else:
+            cand = ext.where(F.col("cum_end") > byte_start)
+            first = cand.orderBy("offset").limit(1).collect()
+            if not first:
+                return []
+            payload_start = int(first[0]["entry_start"]) + ENTRY_HEADER_BYTES
+            trim_first = max(0, byte_start - payload_start)
+        rows = (
+            cand.orderBy("offset")
+            .limit(min(max_entries, MAX_BATCH_ENTRIES))
+            .withColumn("dcum", F.sum("blen").over(w))
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("dcum") <= max_bytes) | (F.col("rn") == 1))
+            .orderBy("offset")
+            .collect()
+        )
+        bad = [int(r["offset"]) for r in rows if not r["crc_ok"]]
+        if bad:
+            raise ChecksumError(
+                f"checksum mismatch in topic {topic!r} at offsets {bad}"
+            )
+        out = [
+            bytes(r["value"]) if r["value"] is not None else b""
+            for r in rows
+        ]
+        if out and trim_first:
+            out[0] = out[0][trim_first:]
+        return out
+
     def _checkpoint_read(self, topic: str, new_cursor: int, n_read: int) -> None:
         """Persist per ReadConsistency (should_persist, walrus_read.rs:
         347-366): every read for StrictlyAtOnce, every persist_every
@@ -896,6 +1043,8 @@ class WalrusLog:
             "fsync_count": self.fsync_count,
             "unpersisted_reads": dict(self._unpersisted_reads),
             "verified_reads": dict(self._verified_reads),
+            "maintenance_sweeps": self.maintenance_sweeps,
+            "maintenance_errors": self.maintenance_errors,
             "topics": {t: self.state(t) for t in self.topics()},
         }
 
@@ -939,10 +1088,15 @@ class WalrusLog:
                     int(rng["last"]) <= self._cursors.get(t, 0)
                     for t, rng in rec["topics"].items()
                 ):
-                    shutil.rmtree(rec["path"], ignore_errors=True)
+                    # deletion COMMIT POINT is the record removal: a
+                    # crash after it leaves unreferenced dirs (orphans
+                    # recover() collects after the grace period), never
+                    # a live record pointing at deleted data — the same
+                    # record-first ordering as compact's cleanup
                     os.remove(
                         os.path.join(self._manifest_dir, f"{rec['batch']}.json")
                     )
+                    shutil.rmtree(rec["path"], ignore_errors=True)
                     shutil.rmtree(
                         os.path.join(self._stream_dir, rec["batch"]),
                         ignore_errors=True,

@@ -537,6 +537,36 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, (trial, edges, got, expected)
+        star = {
+            int(r["id"]): int(r["component"])
+            for r in connected_components(df, method="star").collect()
+        }
+        assert star == expected, (trial, edges, star, expected)
+
+
+def test_star_components_path_graph_logn_rounds(spark):
+    """The large-star/small-star alternation must solve a 10³-node PATH
+    graph — diameter 999, the propagate method's worst case — within
+    its default iteration budget (O(log n) rounds ≈ 10, not O(n)).
+    Every node must land in component 0; a shuffled id permutation
+    guards against order-dependent shortcuts."""
+    import random
+
+    from walrus_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    edges = [
+        (min(ids[i], ids[i + 1]), max(ids[i], ids[i + 1]))
+        for i in range(len(ids) - 1)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        int(r["id"]): int(r["component"])
+        for r in connected_components(df, method="star").collect()
+    }
+    assert got == {i: 0 for i in range(1000)}
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -399,3 +399,43 @@ def test_shared_cursor_invariant_at_every_crash_point(spark, tmp_path):
         log2.close()
         assert sorted(set(seen)) == list(range(1, 9)), (crash_at, seen)
         assert len(seen) - len(set(seen)) <= persist_every, (crash_at, seen)
+
+
+def test_topic_stats_tws_backend_gating(spark, tmp_path):
+    """The transformWithStateInPandas backend is the target API but
+    needs protobuf in the Python env; `auto` must degrade to the
+    legacy backend (identical fold, no TTL) instead of crashing the
+    worker, and an explicit api="tws" without protobuf is the caller's
+    own choice. Pins the auto-selection logic both ways."""
+    from walrus_spark.streaming.stream import (
+        _tws_available,
+        read_log_stream,
+        topic_stats_stream,
+    )
+
+    log = _mklog(spark, tmp_path, "twsgate")
+    log.batch_append("a", [b"one", b"two"])
+    latest: dict[str, tuple] = {}
+    stats = topic_stats_stream(read_log_stream(spark, log))  # auto
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, _i: latest.update(
+                {
+                    r["topic"]: (r["high_watermark"], r["entries"], r["bytes"])
+                    for r in b.collect()
+                }
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert latest["a"] == (2, 2, 6)
+    if not _tws_available():
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            topic_stats_stream(read_log_stream(spark, log), api="nope")
+        _pytest.skip("protobuf absent: tws backend not exercisable here")

@@ -989,11 +989,73 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _large_star(und: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node u connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Input/output:
+    canonical undirected edges (a < b)."""
+    e = und.select("a", "b").union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    # m ≤ a < b, so (m, b) is already canonical and never a self-loop
+    return (
+        e.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("m").alias("a"), "b")
+        .distinct()
+    )
+
+
+def _small_star(und: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller neighbors
+    (and itself) to the minimum among them. Canonical (a < b) in/out."""
+    m = und.groupBy("b").agg(F.min("a").alias("m"))
+    e1 = (
+        und.join(m, "b")
+        .where(F.col("a") != F.col("m"))
+        .select(F.col("m").alias("a"), F.col("a").alias("b"))
+    )
+    e2 = m.select(F.col("m").alias("a"), "b")
+    return e1.union(e2).distinct()
+
+
+def _star_components(und: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star to a fixpoint — O(log n)
+    rounds even on pathological chain graphs, where plain min-label
+    propagation needs O(diameter). Convergence is detected by an edge-
+    multiset fingerprint (count + hash sum) staying fixed across one
+    full alternation; at the fixpoint the edge set is a star forest
+    centered on each component's minimum id."""
+    und = und.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        und = _large_star(und).localCheckpoint(eager=True)
+        und = _small_star(und).localCheckpoint(eager=True)
+        fp = tuple(
+            und.agg(
+                F.count("*"),
+                # decimal accumulator: ANSI mode forbids the long
+                # overflow a plain sum of 64-bit hashes would hit
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if fp == prev:
+            break
+        prev = fp
+    return und
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    method: str = "propagate",
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (id, component),
     component = the smallest id reachable from each vertex. This is the
@@ -1008,10 +1070,40 @@ def connected_components(
     loop, with localCheckpoint truncating the lineage so the plan does
     not grow exponentially with iterations. At web scale the same loop
     runs with edges/labels pre-partitioned on vertex id so every round
-    is a co-partitioned join (and the alternating large-star/small-star
-    formulation [Kiveris et al.] halves round count; the propagation
-    contract is identical).
+    is a co-partitioned join.
+
+    ``method="star"`` switches to the alternating large-star/small-star
+    formulation (Kiveris et al.) — O(log n) rounds on ANY graph shape,
+    including pathological long chains where propagation is O(diameter).
+    Same output contract; pick it when components may be deep (linked
+    near-dup chains, web graphs) rather than clique-like.
     """
+    if method == "star":
+        und = (
+            pairs.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        nodes = (
+            pairs.select(F.col(a_col).alias("id"))
+            .union(pairs.select(F.col(b_col).alias("id")))
+            .distinct()
+        )
+        stars = _star_components(und, max_iter)
+        lab = (
+            stars.groupBy("b")
+            .agg(F.min("a").alias("component"))
+            .select(F.col("b").alias("id"), "component")
+        )
+        return nodes.join(lab, "id", "left").select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    if method != "propagate":
+        raise ValueError(f"unknown connected_components method: {method!r}")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )

@@ -248,51 +248,133 @@ def latest_per_key_stream(
     )
 
 
-def topic_stats_stream(stream: DataFrame) -> DataFrame:
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python env
+    (its state-store protocol is protobuf-framed); absent, the Spark
+    worker crashes at import. Gate, don't assume."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TOPIC_STATS_SCHEMA = (
+    "topic string, high_watermark long, entries long, bytes long"
+)
+
+
+def _fold_topic_stats(state, pdfs):
+    """Shared fold: (hw, entries, bytes) ⊕ one micro-batch's rows."""
+    hw, n, b = state
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        hw = max(hw, int(pdf["offset"].max()))
+        n += len(pdf)
+        b += int(
+            pdf["value"].map(lambda v: len(v) if v is not None else 0).sum()
+        )
+    return hw, n, b
+
+
+def topic_stats_stream(
+    stream: DataFrame,
+    state_ttl_ms: int | None = None,
+    api: str = "auto",
+) -> DataFrame:
     """Per-topic running (high_watermark, entries, bytes) with an
     explicit custom state store — the live form of O9–O11 and the
     WalIndex-style per-topic state the reference persists
     (src/wal/runtime/index.rs:6-14, walrus.rs:129-178).
 
-    Implemented with `applyInPandasWithState`: state is keyed by topic,
-    stored in Spark's checkpointed state store (surviving restarts the
-    way WalIndex survives process crashes), and each micro-batch folds
-    only its new rows into the running totals — O(batch) work, O(topics)
-    state, no re-scan of history. This is the §7-stage-6 "custom state
-    store" pattern; extend the same shape for consume-once cursors or
-    streaming dedup keyed on content hashes."""
-    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
+    State is keyed by topic in Spark's checkpointed state store
+    (surviving restarts the way WalIndex survives process crashes);
+    each micro-batch folds only its new rows into the running totals —
+    O(batch) work, O(topics) state, no re-scan of history. Two
+    backends behind one contract (§2.6/§7 stage 6):
+
+      * ``transformWithStateInPandas`` — the target API; adds
+        per-state TTL (``state_ttl_ms``) and timers, which cursor/
+        stats state needs at 100 TB topic cardinality so long-dead
+        topics age out instead of accumulating forever. Requires
+        protobuf in the executor Python environment.
+      * ``applyInPandasWithState`` — the fallback when protobuf is
+        absent (as in minimal containers); identical fold, no TTL
+        (``state_ttl_ms`` is ignored with this backend).
+
+    ``api``: "auto" (pick tws when available), "tws", or "legacy"."""
+    import pandas as pd
+
+    if api == "auto":
+        api = "tws" if _tws_available() else "legacy"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TopicStatsProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._stats = handle.getValueState(
+                    "stats",
+                    "hw long, entries long, bytes long",
+                    ttlDurationMs=state_ttl_ms,
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur = (
+                    tuple(int(x) for x in self._stats.get())
+                    if self._stats.exists()
+                    else (0, 0, 0)
+                )
+                hw, n, b = _fold_topic_stats(cur, rows)
+                self._stats.update((hw, n, b))
+                yield pd.DataFrame(
+                    {
+                        "topic": [key[0]],
+                        "high_watermark": [hw],
+                        "entries": [n],
+                        "bytes": [b],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return stream.groupBy("topic").transformWithStateInPandas(
+            TopicStatsProcessor(),
+            _TOPIC_STATS_SCHEMA,
+            "Update",
+            "None",
+        )
+
+    if api != "legacy":
+        raise ValueError(f"unknown topic_stats_stream api: {api!r}")
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = (
-        "topic string, high_watermark long, entries long, bytes long"
-    )
-    state_schema = "hw long, entries long, bytes long"
-
     def update(key, pdfs, state):
-        hw, n, b = (
-            tuple(state.get) if state.exists else (0, 0, 0)
+        cur = tuple(state.get) if state.exists else (0, 0, 0)
+        hw, n, b = _fold_topic_stats(
+            (int(cur[0]), int(cur[1]), int(cur[2])), pdfs
         )
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            hw = max(hw, int(pdf["offset"].max()))
-            n += len(pdf)
-            b += int(pdf["value"].map(lambda v: len(v) if v is not None else 0).sum())
-        state.update((int(hw), int(n), int(b)))
+        state.update((hw, n, b))
         yield pd.DataFrame(
             {
                 "topic": [key[0]],
-                "high_watermark": [int(hw)],
-                "entries": [int(n)],
-                "bytes": [int(b)],
+                "high_watermark": [hw],
+                "entries": [n],
+                "bytes": [b],
             }
         )
 
     return stream.groupBy("topic").applyInPandasWithState(
         update,
-        out_schema,
-        state_schema,
+        _TOPIC_STATS_SCHEMA,
+        "hw long, entries long, bytes long",
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -760,3 +760,68 @@ def test_range_join_random_vs_bruteforce(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """pii_scrub: emails, IPv4s, and phone-like runs are redacted in
+    scrub order (email → ip → phone) and counted on the text as already
+    scrubbed by earlier passes — so an IP is never half-eaten by the
+    phone pattern, and an email's host never counts as a phone."""
+    from walrus_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@foo-bar.co.uk or a@b.io today"),
+        (2, "server 192.168.1.100 and 10.0.0.1 up"),
+        (3, "call +1 415-555-0199 now"),
+        (4, "mixed: u@v.com at 10.0.0.2, dial 0800 555 7788"),
+        (5, "clean text, no pii at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pii_scrub(df).collect()
+    }
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[1]["text_scrubbed"] == "mail <EMAIL> or <EMAIL> today"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["text_scrubbed"] == "server <IP> and <IP> up"
+    assert got[3]["n_phone"] == 1
+    assert got[3]["text_scrubbed"] == "call <PHONE> now"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["text_scrubbed"] == "mixed: <EMAIL> at <IP>, dial <PHONE>"
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (0, 0, 0)
+    assert got[5]["text_scrubbed"] == "clean text, no pii at all"
+    assert got[6]["text_scrubbed"] is None  # NULL propagates, no crash
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """shuffle_shards: same seed → identical (shard, pos) on re-run;
+    within a shard, pos is a dense 1..n rank ordered by the md5 key;
+    different seeds give a different permutation."""
+    from walrus_spark.operators.pipeline import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, n_shards=8, seed=42).collect()
+    b = shuffle_shards(df, n_shards=8, seed=42).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in a} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in b
+    }
+    # every doc exactly once, shards within range
+    assert sorted(r["doc_id"] for r in a) == list(range(500))
+    assert all(0 <= r["shard"] < 8 for r in a)
+    # dense 1..n rank per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # all 8 shards occupied and roughly balanced on 500 uniform keys
+    assert len(by_shard) == 8
+    assert max(len(p) for p in by_shard.values()) < 3 * min(
+        len(p) for p in by_shard.values()
+    )
+    c = shuffle_shards(df, n_shards=8, seed=7).collect()
+    assert {(r["doc_id"], r["shard"]) for r in c} != {
+        (r["doc_id"], r["shard"]) for r in a
+    }

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""10x scaling sweep for the heavy operators (PERF_r{N}.md evidence).
+
+Generates a synthetic 10x dataset from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) into a temp dir —
+
+  * documents: each doc copied 10x with a single-token mutation per
+    copy (so every doc's 10 variants form a near-dup clique: the pair
+    workload grows ~1000x, far harsher than the 10x row count),
+  * embeddings: 10x fresh hash-derived unit vectors (new points, not
+    copies — ANN bucket occupancy grows 10x),
+  * events: 10x with shifted ids and +i-second jitter at the SAME
+    user cardinality (sessions get denser, state keys constant),
+
+— then times each heavy operator warm (one unmeasured execution, then
+one measured) at 1x and 10x and prints a markdown table plus one JSON
+line. Sub-linear time growth at fixed cores is the property that
+matters: it means per-row cost is flat and fixed overheads amortize,
+i.e. the plan shape survives a cluster scale-out.
+
+Usage: python tools/sweep10x.py [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+MULT = 10
+
+
+def gen_10x(sf_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    out = []
+    for i in range(MULT):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] * MULT + i
+        if i > 0:
+            # one-token mutation, position varies per copy
+            def mut(t: str, i: int = i) -> str:
+                w = t.split()
+                if not w:
+                    return t
+                w[(i * 7) % len(w)] = f"mut{i}"
+                return " ".join(w)
+
+            c["text"] = c["text"].map(mut)
+        c["n_chars"] = c["text"].str.len()
+        out.append(c)
+    big = pd.concat(out, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    dim = len(emb["embedding"].iloc[0])
+    n = len(emb) * MULT
+    rng = np.random.default_rng(0xC0FFEE)  # hash-derived, deterministic
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    big_emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(mat),
+            "label": np.tile(emb["label"].to_numpy(), MULT)[:n],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(big_emb, preserve_index=False),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    out = []
+    for i in range(MULT):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] * MULT + i
+        c["ts"] = c["ts"] + pd.to_timedelta(i, unit="s")
+        out.append(c)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    keep = "--keep" in sys.argv
+    ten_dir = tempfile.mkdtemp(prefix="sweep10x_")
+    print(f"generating 10x data into {ten_dir} ...", file=sys.stderr)
+    gen_10x(sf_dir, ten_dir)
+
+    from walrus_spark.session import get_spark
+
+    spark = get_spark("sweep10x")
+
+    import pyspark.sql.functions as F
+
+    from walrus_spark.catalog import load_table
+    from walrus_spark.operators.dedup import (
+        connected_components,
+        embedding_lsh_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from walrus_spark.operators.pipeline import corpus_filter
+    from walrus_spark.operators.similarity import ivf_topk
+    from walrus_spark.operators.text import repetition_signals
+
+    def docs(d):
+        return load_table(spark, d, "documents")
+
+    def emb(d):
+        return load_table(spark, d, "embeddings")
+
+    def events(d):
+        return load_table(spark, d, "events")
+
+    CASES = {
+        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),
+        "simhash_pairs (auto budget)": lambda d: simhash_pairs(docs(d)),
+        "dedup_clusters (LSH chain, propagate)": lambda d: connected_components(
+            minhash_lsh_pairs(docs(d)).select("doc_a", "doc_b")
+        ),
+        "dedup_clusters (LSH chain, star)": lambda d: connected_components(
+            minhash_lsh_pairs(docs(d)).select("doc_a", "doc_b"), method="star"
+        ),
+        "repetition_signals": lambda d: repetition_signals(docs(d)),
+        "corpus_filter": lambda d: corpus_filter(docs(d)),
+        "embedding_lsh_pairs": lambda d: embedding_lsh_pairs(spark, emb(d)),
+        "ivf_topk": lambda d: ivf_topk(emb(d), query_vec_id=0, k=10),
+        "tumbling_window_agg": lambda d: events(d)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")),
+        "sessionization": lambda d: events(d)
+        .groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n")),
+    }
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    load_table(spark, sf_dir, "region").count()  # JVM warmup
+
+    results = {}
+    for name, fn in CASES.items():
+        row = {}
+        for label, d in (("1x", sf_dir), ("10x", ten_dir)):
+            force(fn(d))  # warm (codegen compile per plan shape)
+            # min of 2 measured runs: this box's run-to-run noise is
+            # larger than the small entries themselves
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(fn(d))
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        row["ratio"] = round(row["10x"] / row["1x"], 1)
+        results[name] = row
+        print(f"{name:42s} {row['1x']:7.2f}s {row['10x']:7.2f}s {row['ratio']:5.1f}x",
+              file=sys.stderr)
+
+    print("\n| Operator | 1x (sf0.1) | 10x | time ratio |")
+    print("|---|---|---|---|")
+    for name, row in results.items():
+        print(f"| {name} | {row['1x']:.2f} s | {row['10x']:.2f} s | {row['ratio']}x |")
+    print(json.dumps({"sweep10x": results}))
+
+    if keep:
+        print(f"10x data kept at {ten_dir}", file=sys.stderr)
+    else:
+        shutil.rmtree(ten_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -165,32 +165,109 @@ def train_val_split(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the "shuffle
+    the corpus, write N shard files" step every training run wants,
+    without RNG state: key = md5(seed ":" id) gives an engine-
+    independent uniform ordering, shard = key's first 8 hex digits mod
+    n_shards, pos = the key's rank within its shard (1-based). Adds
+    ``shard`` and ``pos``; re-running with the same seed reproduces the
+    exact order on any engine or cluster size.
+
+    Scale: ONE hash shuffle on `shard`; each shard then sorts
+    independently in its own task — which is the write path's natural
+    unit anyway (one shard = one output file = one writer). Size
+    n_shards so a shard fits a task (10⁴–10⁵ at 100 TB), exactly like
+    choosing output file counts; there is never a global sort."""
+    key = F.md5(
+        F.encode(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")),
+            "UTF-8",
+        )
+    )
+    out = df.withColumn("_shufkey", key).withColumn(
+        "shard",
+        F.conv(F.substring("_shufkey", 1, 8), 16, 10).cast("long")
+        % n_shards,
+    )
+    w = Window.partitionBy("shard").orderBy("_shufkey", id_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_shufkey")
+
+
 _SPLIT_ORACLE = f"""
-SELECT split, count(*) AS n_docs,
-       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
-            AS BIGINT) AS n_tokens
-FROM (
+WITH sp AS (
   SELECT text,
          CASE WHEN ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 5
               THEN 'val' ELSE 'train' END AS split
   FROM documents
-) t GROUP BY split ORDER BY split
+), keyed AS (
+  SELECT doc_id, md5('42:' || doc_id) AS key FROM documents
+), sh AS (
+  SELECT doc_id, ('0x' || substring(key, 1, 8))::BIGINT % 8 AS shard, key
+  FROM keyed
+), pos AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+  FROM sh
+)
+SELECT 'split' AS src, split AS key, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+            AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS ord_checksum
+FROM sp GROUP BY split
+UNION ALL
+SELECT 'shard' AS src, CAST(shard AS VARCHAR) AS key, count(*) AS n_docs,
+       CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(sum(pos * doc_id) AS BIGINT) AS ord_checksum
+FROM pos GROUP BY shard
+ORDER BY src, key
 """
 
 
-@register("pipeline_train_val_split", oracle=_SPLIT_ORACLE)
-def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split summary (docs + token budget per split) — the shape a
-    training-data report wants, and a hash-stable aggregate."""
-    d = train_val_split(load_table(spark, sf_dir, "documents"))
-    return (
-        d.groupBy("split")
+@register("pipeline_split_shards", oracle=_SPLIT_ORACLE)
+def pipeline_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged super-schema over the two deterministic-assignment
+    operators: per-split doc/token budgets (train_val_split) and
+    per-shard sizes plus an order checksum (shuffle_shards). The
+    checksum Σ pos·doc_id pins the exact within-shard permutation —
+    any divergence in hash, shard routing, or rank order flips it."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_side = (
+        train_val_split(docs)
+        .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.size(_text.tokens(F.col("text")))).alias("n_tokens"),
         )
-        .orderBy("split")
+        .select(
+            F.lit("split").alias("src"),
+            F.col("split").alias("key"),
+            "n_docs",
+            "n_tokens",
+            F.lit(None).cast("long").alias("ord_checksum"),
+        )
     )
+    shard_side = (
+        shuffle_shards(docs)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("ord_checksum"),
+        )
+        .select(
+            F.lit("shard").alias("src"),
+            F.col("shard").cast("string").alias("key"),
+            "n_docs",
+            F.lit(None).cast("long").alias("n_tokens"),
+            "ord_checksum",
+        )
+    )
+    return split_side.unionByName(shard_side).orderBy("src", "key")
 
 
 # ---------------------------------------------------------------------------

@@ -49,20 +49,115 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass a pre-training corpus runs before
+# anything else sees the text. Patterns are restricted to syntax that
+# Java regex (Spark) and RE2 (DuckDB) interpret identically: character
+# classes, bounded counts, \b — no lookarounds, no backreferences.
+# Scrub ORDER is part of the contract: emails first (they contain
+# digits/dots), then IPv4 (dotted digit runs the phone class would
+# otherwise eat — '.' is in the phone body class), then phones; each
+# count is taken on the text as already scrubbed by the earlier passes,
+# so every engine that applies the same sequence agrees match-for-match.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "phone": (r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs.
+
+    Adds ``n_email``, ``n_ipv4``, ``n_phone`` (match counts, taken in
+    scrub order) and ``{text_col}_scrubbed`` (all three redacted, in
+    order). Pure JVM codegen — regexp_count/regexp_replace — so the
+    pass rides the corpus scan: zero shuffles, zero Python, and the
+    filter/projection around it still pushes down to parquet at 100 TB.
+    """
+    cur = F.col(text_col)
+    out = df
+    for kind, (pat, token) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+# Deterministic PII injected per doc: the fixture corpus itself is
+# PII-free, so the gate synthesizes addresses/IPs/phones from doc_id in
+# BOTH engines, then proves the scrub finds and redacts them — counts
+# AND post-redaction char totals are hash-checked per language.
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com from 10.0.' || "
+    "(doc_id % 256) || '.' || ((doc_id * 7) % 256) || "
+    "' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
 @register(
     "dq18_text_stats",
-    oracle="SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
-    "round(avg(n_chars), 4) AS avg_chars FROM documents "
-    "GROUP BY lang ORDER BY lang",
+    oracle="WITH p AS (SELECT lang, n_chars, "
+    f"{_PII_INJECT_SQL} AS t0 FROM documents), "
+    "e AS (SELECT lang, n_chars, "
+    "length(regexp_extract_all(t0, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+    "regexp_replace(t0, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') "
+    "AS t1 FROM p), "
+    "i AS (SELECT lang, n_chars, n_email, "
+    "length(regexp_extract_all(t1, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4, "
+    "regexp_replace(t1, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
+    "AS t2 FROM e), "
+    "ph AS (SELECT lang, n_chars, n_email, n_ipv4, "
+    "length(regexp_extract_all(t2, '\\+?[0-9][0-9() .-]{7,}[0-9]')) "
+    "AS n_phone, "
+    "regexp_replace(t2, '\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') "
+    "AS t3 FROM i) "
+    "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
+    "round(avg(n_chars), 4) AS avg_chars, "
+    "CAST(sum(n_email) AS BIGINT) AS pii_emails, "
+    "CAST(sum(n_ipv4) AS BIGINT) AS pii_ips, "
+    "CAST(sum(n_phone) AS BIGINT) AS pii_phones, "
+    "CAST(sum(length(t3)) AS BIGINT) AS scrubbed_chars "
+    "FROM ph GROUP BY lang ORDER BY lang",
 )
 def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats + PII-scrub incidence in ONE documents
+    scan: doc/char rollups alongside redaction counts and the
+    post-redaction char total (which hash-proves the replacement text
+    itself, not just the match counts)."""
     d = load_table(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
     return (
-        d.groupBy("lang")
+        pii_scrub(injected)
+        .groupBy("lang")
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_chars").alias("chars"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_email").alias("pii_emails"),
+            F.sum("n_ipv4").alias("pii_ips"),
+            F.sum("n_phone").alias("pii_phones"),
+            F.sum(F.length("text_scrubbed")).alias("scrubbed_chars"),
         )
         .orderBy("lang")
     )

@@ -825,3 +825,41 @@ def test_shuffle_shards_deterministic_permutation(spark):
     assert {(r["doc_id"], r["shard"]) for r in c} != {
         (r["doc_id"], r["shard"]) for r in a
     }
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF approximate top-k must hit high recall against brute force
+    at its default nlist/nprobe on the real fixture embeddings — the
+    quantitative claim behind calling it an ANN index rather than a
+    random subset. Averaged over several query vectors."""
+    from walrus_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    k = 10
+    qids = (0, 17, 99, 150, 199)  # sf0.01 has 200 vectors
+    exact = {
+        q: {r["vec_id"] for r in cosine_topk(emb, query_vec_id=q, k=k).collect()}
+        for q in qids
+    }
+
+    def avg_recall(n_probe: int) -> float:
+        rs = []
+        for q in qids:
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(emb, query_vec_id=q, k=k, n_probe=n_probe)
+                .collect()
+            }
+            rs.append(len(exact[q] & approx) / k)
+        return sum(rs) / len(rs)
+
+    # probing every cluster IS brute force — must be exactly the top-k
+    assert avg_recall(16) == 1.0
+    # recall rises monotonically with probes, and the default (4/16)
+    # clears the ~nprobe/nlist random-subset baseline decisively. The
+    # fixture vectors are near-uniform on the sphere (no real cluster
+    # structure — the hardest regime for IVF), so the bar is the
+    # geometry's, not a tuned fixture's.
+    r4, r8 = avg_recall(4), avg_recall(8)
+    assert r4 >= 0.45, r4
+    assert r8 >= r4 and r8 >= 0.6, (r4, r8)

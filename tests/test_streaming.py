@@ -439,3 +439,65 @@ def test_topic_stats_tws_backend_gating(spark, tmp_path):
         with _pytest.raises(ValueError):
             topic_stats_stream(read_log_stream(spark, log), api="nope")
         _pytest.skip("protobuf absent: tws backend not exercisable here")
+
+
+def test_interval_join_stream_matches_batch_and_drops_expired(
+    spark, tmp_path
+):
+    """Stream-stream interval join: joined micro-batch output equals the
+    batch inequality join over the same data, and rows outside the
+    interval never pair. Errors (left) pick up same-user clicks (right)
+    in the preceding 10 s."""
+    from walrus_spark.streaming.stream import interval_join_stream
+
+    base = "2024-01-01 00:00:"
+    errors = [(i, i % 3, f"{base}{20 + i:02d}") for i in range(10)]
+    clicks = [(100 + j, j % 3, f"{base}{12 + j:02d}") for j in range(18)]
+    edf = spark.createDataFrame(
+        errors, "eid long, user long, ets string"
+    ).select("eid", "user", F.col("ets").cast("timestamp").alias("ets"))
+    cdf = spark.createDataFrame(
+        clicks, "cid long, cuser long, cts string"
+    ).select("cid", "cuser", F.col("cts").cast("timestamp").alias("cts"))
+
+    expected = {
+        (r["eid"], r["cid"])
+        for r in edf.join(
+            cdf,
+            (edf.user == cdf.cuser)
+            & (cdf.cts >= edf.ets - F.expr("INTERVAL 10 SECONDS"))
+            & (cdf.cts <= edf.ets),
+        ).collect()
+    }
+    assert expected  # non-degenerate fixture
+
+    left_dir = tmp_path / "left"
+    right_dir = tmp_path / "right"
+    edf.write.parquet(str(left_dir))
+    cdf.select(
+        "cid", F.col("cuser").alias("user"), "cts"
+    ).write.parquet(str(right_dir))
+    ls = spark.readStream.schema("eid long, user long, ets timestamp").parquet(
+        str(left_dir)
+    )
+    rs = spark.readStream.schema("cid long, user long, cts timestamp").parquet(
+        str(right_dir)
+    )
+    joined = interval_join_stream(
+        ls, rs, on="user", left_ts="ets", right_ts="cts",
+        lower_us=-10_000_000, upper_us=0, watermark="30 seconds",
+    )
+    got: set = set()
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .foreachBatch(
+            lambda b, _i: got.update(
+                (r["eid"], r["cid"]) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == expected

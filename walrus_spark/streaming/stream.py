@@ -248,6 +248,44 @@ def latest_per_key_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the live form of the
+    batch `range_join` (operators/asof.py): every left row pairs with
+    the right rows sharing its key whose timestamp lies in
+    ``[left_ts + lower_us, left_ts + upper_us]`` (µs, inclusive).
+
+    Both sides carry a watermark and the join condition bounds
+    right_ts relative to left_ts, which is exactly what Structured
+    Streaming needs to EXPIRE state: a buffered right row can be
+    dropped once the left watermark passes ``right_ts - lower_us``, so
+    state is O(key-cardinality × interval), never unbounded. Left and
+    right must not share column names besides ``on`` (standard Spark
+    stream-stream join constraint on ambiguous refs)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (
+            rw[right_ts]
+            >= lw[left_ts] + F.expr(f"INTERVAL {lower_us} MICROSECOND")
+        )
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {upper_us} MICROSECOND")
+        )
+    )
+    return lw.join(rw, cond).drop(rw[on])
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas needs protobuf in the Python env
     (its state-store protocol is protobuf-framed); absent, the Spark

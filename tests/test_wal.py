@@ -381,7 +381,21 @@ def test_property_cursor_model(spark, tmp_path):
     append / consume / peek / restart with AtLeastOnce(persist_every=3).
     Mirrors the implementation detail that a cursor flush persists ALL
     topics' cursors (extra persistence is allowed — the contract is a
-    replay BOUND, never a gap)."""
+    replay BOUND, never a gap).
+
+    This model (plus the fencing and marathon tests below) carries the
+    single-node analogs of the reference's TLA+ invariants
+    (distributed-walrus/spec/DistributedWalrus.tla:139-186):
+    InvSeqOrder (delivery == append order: got == want on every
+    consume/peek), InvReadCursorWithinBounds (entry_count == appended -
+    consumed ≥ 0 at every step and across restarts),
+    InvLastSealedIsSum/InvSealedCountsStable (segment accounting —
+    test_metrics_surface, dq06), InvNoWritesPastOpen +
+    InvOpenLeaderMatchesMap (exactly one live writer epoch may mutate —
+    test_writer_fencing_two_instances), InvDomainConsistency (topics in
+    metadata == topics with committed data — recovery tests). The Raft
+    liveness properties (RolloverProgress/ReadProgress) are N/A: Spark
+    job scheduling replaces the consensus plane (SURVEY §4)."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -781,3 +795,58 @@ def test_batch_read_at_byte_trim_semantics(spark, tmp_path):
     # stateless: the shared cursor is untouched
     assert log.read_next("t") == small1
     log.close()
+
+
+def test_recovery_marathon_mixed_workload(spark, tmp_path):
+    """Recovery marathon (the e2e_longrunning.rs:15-646 analog —
+    sustained mixed workload across MANY abrupt restarts): five
+    generations of writer each append to two topics, consume part of
+    one, run a maintenance sweep, and then are abandoned without
+    close() (crash). Every successor must take over writership, see
+    exactly the committed data, resume the strictly-at-once cursor
+    with no loss and no re-delivery, and the final drain must account
+    for every payload exactly once."""
+    from walrus_spark.log import NotLeaderError
+
+    root = str(tmp_path / "marathon")
+    appended: dict[str, list[bytes]] = {"a": [], "b": []}
+    consumed: list[bytes] = []
+    log = WalrusLog(spark, root)
+    for gen in range(5):
+        pa = [f"a{gen}-{i}".encode() for i in range(4)]
+        pb = [f"b{gen}-{i}".encode() for i in range(3)]
+        log.batch_append("a", pa)
+        log.multi_append({"b": pb})
+        appended["a"].extend(pa)
+        appended["b"].extend(pb)
+        # consume two entries of topic a, then maintenance, then crash
+        got = log.batch_read("a", max_entries=2)
+        assert len(got) == 2
+        consumed.extend(got)
+        log.maintenance_sweep()
+        crashed = log
+        log = WalrusLog(spark, root)  # successor takes over (no close)
+        assert log.writer_epoch == crashed.writer_epoch + 1
+        # the crashed generation is fenced out of every mutation
+        with pytest.raises(NotLeaderError):
+            crashed.batch_append("a", [b"zombie"])
+        # committed state is intact: hw and remaining unread counts
+        assert log.high_watermark("a") == len(appended["a"])
+        assert log.high_watermark("b") == len(appended["b"])
+        assert log.topic_entry_count("a") == len(appended["a"]) - len(consumed)
+        assert log.topic_entry_count("b") == len(appended["b"])
+    # final drain: strictly-at-once → continuation, no replay, no gaps
+    while True:
+        batch = log.batch_read("a")
+        if not batch:
+            break
+        consumed.extend(batch)
+    assert consumed == appended["a"]
+    drained_b: list[bytes] = []
+    while True:
+        batch = log.batch_read("b")
+        if not batch:
+            break
+        drained_b.extend(batch)
+    assert drained_b == appended["b"]
+    assert log.topic_entry_count("a") == 0 and log.topic_entry_count("b") == 0

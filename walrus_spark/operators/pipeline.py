@@ -235,7 +235,13 @@ def pipeline_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators: per-split doc/token budgets (train_val_split) and
     per-shard sizes plus an order checksum (shuffle_shards). The
     checksum Σ pos·doc_id pins the exact within-shard permutation —
-    any divergence in hash, shard routing, or rank order flips it."""
+    any divergence in hash, shard routing, or rank order flips it.
+
+    The checksum is a GATE device, exact in int64 at fixture scale
+    (pos·id ≤ ~10¹⁰ here); a 100 TB corpus would overflow it (and
+    DuckDB's int128 SUM would diverge from Spark's ANSI int64 before
+    that). Production consumes shuffle_shards' (shard, pos) columns
+    directly — written out as shard files — never this scalar."""
     docs = load_table(spark, sf_dir, "documents")
     split_side = (
         train_val_split(docs)

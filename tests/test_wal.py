@@ -850,3 +850,30 @@ def test_recovery_marathon_mixed_workload(spark, tmp_path):
         drained_b.extend(batch)
     assert drained_b == appended["b"]
     assert log.topic_entry_count("a") == 0 and log.topic_entry_count("b") == 0
+
+
+def test_batch_read_at_byte_across_segments(spark, tmp_path):
+    """The two-phase byte-extent computation (per-segment partials +
+    driver prefix + per-segment window) must produce one CONTINUOUS
+    byte stream across segment boundaries — a byte_start landing in
+    segment 2 addresses exactly the same stream a global running sum
+    would give."""
+    log = WalrusLog(
+        spark, str(tmp_path / "bseg"), max_segment_entries=3
+    )
+    payloads = [bytes([65 + i]) * (130 + i) for i in range(8)]  # 3 segments
+    log.batch_append("t", payloads)
+    H = 256
+
+    # full stream from byte 0 (all payloads >=128 B, nothing skipped)
+    assert log.batch_read_at_byte("t", 0) == payloads
+
+    # byte_start 37 bytes into entry 5's payload (segment 1)
+    start_e5 = sum(H + len(p) for p in payloads[:4]) + H
+    got = log.batch_read_at_byte("t", start_e5 + 37)
+    assert got == [payloads[4][37:]] + payloads[5:]
+
+    # byte_start inside the LAST segment's final header
+    start_e8 = sum(H + len(p) for p in payloads[:7]) + H
+    assert log.batch_read_at_byte("t", start_e8 - 1) == [payloads[7]]
+    log.close()

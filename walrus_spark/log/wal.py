@@ -902,42 +902,70 @@ class WalrusLog:
           * then the usual batch rules: ≤max_entries, payload-byte
             budget with the always-≥1 rule. Never touches the cursor.
 
-        The extent computation is a narrow two-column scan (offset,
-        length) — at deployment scale the manifest would carry
+        The extent computation is the TWO-PHASE distributed prefix sum
+        (the seq_packing pattern): per-SEGMENT byte totals reduce in
+        one shuffle, the driver prefixes the tiny (segment → base)
+        table, and the running byte position is then a per-segment
+        window over the broadcast bases — never a global single-task
+        window, so the seek scales with segments × cores. At
+        deployment scale the manifest would additionally carry
         per-batch byte extents so the seek prunes to one batch; the
         parquet min/max offset stats already prune the payload scan."""
         from pyspark.sql.window import Window
 
-        w = Window.orderBy("offset")
+        base_df = self.topic_df(topic).select(
+            "offset",
+            "segment",
+            "value",
+            (
+                F.col("crc").isNull()
+                | (F.xxhash64("value") == F.col("crc"))
+            ).alias("crc_ok"),
+            F.coalesce(F.length("value"), F.lit(0)).alias("blen"),
+        )
+        seg_rows = (
+            base_df.groupBy("segment")
+            .agg(F.sum(F.col("blen") + ENTRY_HEADER_BYTES).alias("sb"))
+            .collect()
+        )
+        if not seg_rows:
+            return []
+        bases, run = [], 0
+        for r in sorted(seg_rows, key=lambda r: int(r["segment"])):
+            bases.append((int(r["segment"]), run))
+            run += int(r["sb"])
+        ws = Window.partitionBy("segment").orderBy("offset")
         ext = (
-            self.topic_df(topic)
-            .select(
-                "offset",
-                "value",
-                (
-                    F.col("crc").isNull()
-                    | (F.xxhash64("value") == F.col("crc"))
-                ).alias("crc_ok"),
-                F.coalesce(F.length("value"), F.lit(0)).alias("blen"),
+            base_df.join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        bases, "segment long, seg_base long"
+                    )
+                ),
+                "segment",
             )
             .withColumn(
                 "cum_end",
-                F.sum(F.col("blen") + ENTRY_HEADER_BYTES).over(w),
+                F.col("seg_base")
+                + F.sum(F.col("blen") + ENTRY_HEADER_BYTES).over(ws),
             )
             .withColumn(
                 "entry_start",
                 F.col("cum_end") - F.col("blen") - ENTRY_HEADER_BYTES,
             )
         )
+        w = Window.orderBy("offset")  # applied only post-limit (≤2000 rows)
         if byte_start == 0:
             # the skip-small-initial-entries quirk: scan past leading
-            # sub-128 B payloads ("likely internal metadata")
-            cand = ext.withColumn(
-                "big_seen",
-                F.max(F.when(F.col("blen") >= 128, F.col("offset"))).over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            ).where(F.col("big_seen").isNotNull())
+            # sub-128 B payloads ("likely internal metadata"). The
+            # threshold is a plain aggregate (min offset with a big
+            # payload), not a running window.
+            first_big = base_df.where(F.col("blen") >= 128).agg(
+                F.min("offset")
+            ).collect()[0][0]
+            if first_big is None:
+                return []
+            cand = ext.where(F.col("offset") >= int(first_big))
             trim_first = 0
         else:
             cand = ext.where(F.col("cum_end") > byte_start)

@@ -863,3 +863,41 @@ def test_ivf_recall_vs_exact(spark):
     r4, r8 = avg_recall(4), avg_recall(8)
     assert r4 >= 0.45, r4
     assert r8 >= r4 and r8 >= 0.6, (r4, r8)
+
+
+def test_write_shard_files_training_order(spark, tmp_path):
+    """write_shard_files: every shard lands in its own shard=N dir and
+    the PHYSICAL row order inside each shard's files is the pos order —
+    what a sequential data loader consumes. Verified by reading the
+    parquet files directly (pyarrow preserves file row order)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from walrus_spark.operators.pipeline import (
+        shuffle_shards,
+        write_shard_files,
+    )
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_shard_files(df, out, n_shards=4, seed=42)
+
+    expected = {}
+    for r in shuffle_shards(df, n_shards=4, seed=42).collect():
+        expected.setdefault(r["shard"], {})[r["pos"]] = r["doc_id"]
+
+    seen = 0
+    for shard, by_pos in expected.items():
+        files = sorted(glob.glob(f"{out}/shard={shard}/*.parquet"))
+        assert files, f"no files for shard {shard}"
+        got = []
+        for f in files:
+            got.extend(pq_.read_table(f, columns=["doc_id", "pos"]).to_pylist())
+        # physical order == pos order == the deterministic permutation
+        assert [g["pos"] for g in got] == sorted(g["pos"] for g in got)
+        assert [g["doc_id"] for g in got] == [
+            by_pos[p] for p in sorted(by_pos)
+        ]
+        seen += len(got)
+    assert seen == 300

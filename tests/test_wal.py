@@ -877,3 +877,27 @@ def test_batch_read_at_byte_across_segments(spark, tmp_path):
     start_e8 = sum(H + len(p) for p in payloads[:7]) + H
     assert log.batch_read_at_byte("t", start_e8 - 1) == [payloads[7]]
     log.close()
+
+
+def test_special_topic_names(log):
+    """Special topic names (integration.rs special-names suite analog):
+    names with spaces, dots, slashes, unicode, and quotes are plain
+    column values / JSON keys in this design — they must round-trip
+    bit-exact with full isolation and survive recovery."""
+    names = [
+        "with space",
+        "dots.and.dots",
+        "path/like/topic",
+        "ünïcødé-主题",
+        'quo"te',
+        "tab\tname",
+    ]
+    for i, t in enumerate(names):
+        log.batch_append(t, [f"payload-{i}".encode()])
+    assert sorted(log.topics()) == sorted(names)
+    for i, t in enumerate(names):
+        assert log.topic_entry_count(t) == 1
+        assert log.batch_read(t, checkpoint=False) == [f"payload-{i}".encode()]
+    relog = WalrusLog(log.spark, log.root)
+    for i, t in enumerate(names):
+        assert relog.read_next(t) == f"payload-{i}".encode(), t

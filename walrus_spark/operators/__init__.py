@@ -3,10 +3,12 @@
 dedup       — exact, n-gram Jaccard, MinHash+LSH, SimHash,
               embedding-cosine, connected-component clustering
 similarity  — brute-force cosine top-k, IVF approximate variant
-text        — token stats, quality scoring, language-ID, fingerprinting
+text        — token stats, quality scoring, language-ID, fingerprinting,
+              PII scrubbing (email/IPv4/phone redaction)
 multimodal  — opaque-binary columns + Arrow-batched feature extraction
 pipeline    — sequence packing (distributed prefix sum), deterministic
-              train/val splitting
+              train/val splitting, seeded global shuffle + shard-file
+              writing (write_shard_files)
 
 Every operator is a pure DataFrame→DataFrame transform: no driver-side
 loops over data, no unbounded collect() (the bounded exceptions are

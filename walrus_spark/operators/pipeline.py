@@ -199,6 +199,34 @@ def shuffle_shards(
     return out.withColumn("pos", F.row_number().over(w)).drop("_shufkey")
 
 
+def write_shard_files(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize shuffle_shards as training shard files: one
+    ``shard=N`` parquet directory per shard, rows physically ordered
+    by ``pos`` (the deterministic global permutation) so a data loader
+    streams each file sequentially in training order.
+
+    Plan: ONE hash shuffle routes each shard to exactly one task
+    (repartition on shard), sortWithinPartitions orders it in that
+    task's spill-backed sort, and partitionBy writes the directory
+    layout — no global sort, no driver involvement. At 100 TB, pick
+    n_shards so one shard ≈ one task/file of a few GB, same as any
+    partitioned write."""
+    sharded = shuffle_shards(docs, n_shards, seed, id_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
 _SPLIT_ORACLE = f"""
 WITH sp AS (
   SELECT text,

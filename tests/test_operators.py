@@ -901,3 +901,33 @@ def test_write_shard_files_training_order(spark, tmp_path):
         ]
         seen += len(got)
     assert seen == 300
+
+
+def test_registry_exactly_fifty_entries():
+    """The driver records at most 50 gate entries; anything past 50 is
+    silently truncated (round-2 lesson). Pin the registry size so a
+    new entry can't hide an existing one — grow only by MERGING."""
+    from walrus_spark.queries import ORACLES, QUERIES
+
+    assert len(QUERIES) == 50, sorted(QUERIES)
+    # every entry is hash-checkable: oracle present (None marks the
+    # documented rows-only exceptions; currently there are none)
+    assert set(ORACLES) == set(QUERIES)
+    assert all(sql for sql in ORACLES.values())
+
+
+def test_pii_scrub_stays_jvm_side(spark):
+    """The PII pass (and the whole dq18 entry) must never drop to
+    Python — sequential regexp_count/replace are codegen expressions
+    riding the scan. One real Exchange pair for the partial/final
+    aggregate; the rest is the presentation sort."""
+    from walrus_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["dq18_text_stats"](spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "HashAggregate" in plan

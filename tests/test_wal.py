@@ -901,3 +901,41 @@ def test_special_topic_names(log):
     relog = WalrusLog(log.spark, log.root)
     for i, t in enumerate(names):
         assert relog.read_next(t) == f"payload-{i}".encode(), t
+
+
+def test_persist_every_zero_clamps_to_one(spark, tmp_path):
+    """AtLeastOnce(persist_every=0) clamps to 1 (configuration.rs
+    test_persist_every_zero_clamping): every read persists, so a
+    successor continues — msg2 after msg1, no re-delivery."""
+    root = str(tmp_path / "clamp")
+    log = WalrusLog(
+        spark, root, consistency=ReadConsistency.at_least_once(0)
+    )
+    log.append("test", b"msg1")
+    log.append("test", b"msg2")
+    assert log.read_next("test") == b"msg1"
+    log2 = WalrusLog(
+        spark, root, consistency=ReadConsistency.at_least_once(0)
+    )
+    assert log2.read_next("test") == b"msg2"
+
+
+def test_batch_read_edges_interleaved_peek_zero_len_exact_budget(log):
+    """Read-path edges from the reference suites in one scenario
+    (batch_read_without_checkpoint, interleaved_single_and_batch_reads,
+    chaos_zero_length_entries_in_batch, batch_read_exact_budget_boundary):
+    batch peek never moves the cursor; single and batch reads interleave
+    on ONE shared cursor; zero-length payloads are delivered (cost 0
+    bytes against the budget); a budget exactly equal to the cumulative
+    payload size delivers everything up to it."""
+    log.batch_append("t", [b"aa", b"", b"bbb", b"", b"cccc"])
+    # batch PEEK: no cursor movement
+    assert log.batch_read("t", checkpoint=False) == [b"aa", b"", b"bbb", b"", b"cccc"]
+    assert log.read_next("t") == b"aa"          # single read advances 1
+    # batch read continues after the single read; exact budget 3 covers
+    # b"" (0) + b"bbb" (3) inclusive — and the NEXT zero-length entry
+    # still fits (it costs 0 against the exactly-consumed budget)
+    assert log.batch_read("t", max_bytes=3) == [b"", b"bbb", b""]
+    # next single read continues after the batch
+    assert log.read_next("t") == b"cccc"
+    assert log.topic_entry_count("t") == 0

@@ -26,7 +26,12 @@ from walrus_spark.queries.registry import register
     "concat(p_brand, ':', p_type) AS s3, "
     "CAST(length(p_name) AS BIGINT) AS n1, "
     "CAST(p_size % 7 AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3, "
-    "round(sqrt(p_retailprice), 4) AS d1, CAST(NULL AS TIMESTAMP) AS t1 "
+    "round(sqrt(p_retailprice), 4) AS d1, CAST(NULL AS TIMESTAMP) AS t1, "
+    "CAST(len(string_split(p_name, ' ')) AS BIGINT) AS a1, "
+    "array_to_string(list_sort(string_split(p_name, ' '))[1:3], ',') AS a2, "
+    "string_split(p_type, ' ')[1] AS a3, "
+    "CAST(list_sum(list_transform(generate_series(1, p_size % 5 + 1), "
+    "x -> x * x)) AS BIGINT) AS a4 "
     "FROM part "
     "UNION ALL SELECT 'orders' AS src, o_orderkey AS key, "
     "CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2, "
@@ -35,12 +40,15 @@ from walrus_spark.queries.registry import register
     "CAST(month(o_orderdate) AS BIGINT) AS n2, "
     "CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS n3, "
     "CAST(NULL AS DOUBLE) AS d1, "
-    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t1 "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t1, "
+    "CAST(NULL AS BIGINT) AS a1, CAST(NULL AS VARCHAR) AS a2, "
+    "CAST(NULL AS VARCHAR) AS a3, CAST(NULL AS BIGINT) AS a4 "
     "FROM orders ORDER BY src, key",
 )
 def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar function families (string + math over `part`, date/time
-    over `orders`) in one tagged entry on a shared super-schema — every
+    """Scalar function families (string + math + array/higher-order
+    over `part`, date/time over `orders`) in one tagged entry on a
+    shared super-schema — every
     per-row value is still hash-checked natively typed (no stringified
     doubles). All expressions are built-in codegen; each branch's scan
     is the whole cost (no UDF boundary, no shuffle before the final
@@ -57,6 +65,22 @@ def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.round(F.sqrt("p_retailprice"), 4).alias("d1"),
         F.lit(None).cast("timestamp_ntz").alias("t1"),
+        # array / higher-order function family (all codegen or
+        # interpreted JVM exprs — no Python): size, sort+slice+join,
+        # element_at, and a sequence→transform→aggregate fold
+        F.size(F.split("p_name", " ")).cast("long").alias("a1"),
+        F.array_join(
+            F.slice(F.sort_array(F.split("p_name", " ")), 1, 3), ","
+        ).alias("a2"),
+        F.element_at(F.split("p_type", " "), 1).alias("a3"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("p_size") % 5 + 1)),
+                lambda x: x * x,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("a4"),
     )
     o = load_table(spark, sf_dir, "orders")
     orders_side = o.select(
@@ -74,6 +98,10 @@ def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n3"),
         F.lit(None).cast("double").alias("d1"),
         F.date_trunc("month", "o_orderdate").alias("t1"),
+        F.lit(None).cast("long").alias("a1"),
+        F.lit(None).cast("string").alias("a2"),
+        F.lit(None).cast("string").alias("a3"),
+        F.lit(None).cast("long").alias("a4"),
     )
     return part_side.unionByName(orders_side).orderBy("src", "key")
 

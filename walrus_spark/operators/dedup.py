@@ -1119,10 +1119,19 @@ def connected_components(
         # would re-execute per round per join side
         .localCheckpoint(eager=True)
     )
+    # label init FUSED with the first propagation round: lab₀ =
+    # min(id, min(neighbor)) comes out of one aggregate over the
+    # symmetrized edges — the same shuffle the plain id-distinct init
+    # would pay, but it already IS round one, so the loop below runs
+    # one round fewer (min-propagation from these labels converges to
+    # the identical fixpoint).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("mn")).alias("lab"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

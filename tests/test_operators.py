@@ -1000,3 +1000,43 @@ def test_pii_scrub_property_planted_and_idempotent(spark):
             assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0), r
 
     run()
+
+
+def test_wav_decode_roundtrip_and_errors():
+    """The pure-Python WAV decoder: chunk walking (extra LIST chunks,
+    odd-size word alignment), exact sample recovery, loud failures on
+    malformed input."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from walrus_spark.operators.multimodal import decode_audio
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 7], dtype="<i2")
+    data = s.tobytes()
+
+    def wav(extra=b"", rate=8000):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(extra) + len(data)) + b"WAVE"
+            + extra
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rate, ch, got = decode_audio(wav())
+    assert (rate, ch) == (8000, 1) and np.array_equal(got, s)
+    # an odd-size foreign chunk before fmt: word-aligned walk skips it
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    rate, ch, got = decode_audio(wav(extra=odd))
+    assert np.array_equal(got, s)
+    with pytest.raises(ValueError, match="magic"):
+        decode_audio(b"RIFX" + wav()[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(wav()[:-3])
+    bad_bits = wav().replace(
+        struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 8),
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_audio(bad_bits)

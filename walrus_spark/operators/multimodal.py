@@ -5,13 +5,14 @@ The engine's multimodal contract: media travel as ``BINARY`` columns
 with typed metadata alongside (the same way the reference carries opaque
 ``Vec<u8>`` payloads, src/wal/block.rs:7-10). Decode/resize/frame-sample
 run as Arrow-batched pandas functions over mapInPandas. ``decode_image``
-is a REAL pure-Python binary-PPM (P6) decoder — no codec library needed
-— exercised end-to-end by ``multimodal_ppm_decode``, whose pixel sums
-are hash-checked against DuckDB re-deriving every pixel arithmetically.
-Formats that genuinely need a codec (JPEG/audio/video) plug into the
-same one function; the surrounding plumbing — output schema, batch
-iteration, partition parallelism — is codec-agnostic and oracle-verified
-byte-for-byte via sha256.
+is a REAL pure-Python binary-PPM (P6) decoder and ``decode_audio`` a
+REAL RIFF/PCM16 WAV chunk-walker — no codec library needed — both
+exercised end-to-end by ``multimodal_decode``, whose pixel sums and
+signal stats are hash-checked against DuckDB re-deriving every pixel
+and sample arithmetically. Formats that genuinely need a codec
+(JPEG/MP3/video) plug into the same two functions; the surrounding
+plumbing — output schema, batch iteration, partition parallelism — is
+codec-agnostic and oracle-verified byte-for-byte via sha256.
 
 Binary payloads stay out of shuffles: features are extracted in the scan
 stage and only the (narrow) feature columns flow downstream — the same
@@ -330,31 +331,212 @@ def image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL pure-Python WAV (RIFF / PCM16) decoder → (sample_rate,
+    n_channels, int16 numpy samples). Walks the chunk list (so extra
+    chunks like LIST are tolerated, as in the wild), validates the
+    format tag, and fails loudly on truncation — the audio counterpart
+    of ``decode_image``; swap in ffmpeg/soundfile for compressed
+    codecs, same plumbing."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported format: fmt={audio_fmt} bits={bits}")
+    if len(data) % (2 * n_ch):
+        raise ValueError("truncated sample data")
+    return rate, n_ch, np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_RATE = 8000
+
+
+def wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a real audio table: one PCM16 mono WAV per document,
+    samples a fixed function of (doc_id, i) and length a fixed function
+    of doc_id — oracle re-derivable arithmetically while the Spark side
+    round-trips through actual RIFF bytes."""
+    import struct
+
+    import numpy as np
+
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                n = 400 + (d % 5) * 40
+                i = np.arange(n, dtype=np.int64)
+                s = (((d * 31 + i * 17) % 2001) - 1000).astype("<i2")
+                data = s.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                ids.append(d)
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "audio",
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, gen_schema)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload and emit per-clip signal statistics —
+    Arrow-batched in the scan stage, payloads never shuffled."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _ch, s = decode_audio(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["duration_ms"].append(len(s) * 1000 // rate)
+                rows["sum_abs"].append(int(np.abs(s64).sum()))
+                rows["peak"].append(int(np.abs(s64).max()))
+                rows["energy"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats, AUDIO_STATS_SCHEMA
+    )
+
+
 # The oracle re-derives every pixel from the generating formula — the
 # Spark side must reproduce it THROUGH the encoded PPM bytes, so any
 # header/raster/decode bug breaks the hash.
-_PPM_ORACLE = """
+_DECODE_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
 ), px AS (
   SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
 ), c AS (
   SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px
+), img AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         CAST(sum((doc_id * 7 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_r,
+         CAST(sum((doc_id * 13 + x * 5 + y * 2) % 256) AS BIGINT) AS sum_g,
+         CAST(sum((doc_id * 3 + x + y * 7) % 256) AS BIGINT) AS sum_b
+  FROM c GROUP BY doc_id, w, h
+), alen AS (
+  SELECT doc_id, 400 + (doc_id % 5) * 40 AS n FROM documents
+), samp AS (
+  SELECT doc_id, n, ((doc_id * 31 + unnest(generate_series(0, n - 1)) * 17)
+                     % 2001) - 1000 AS s
+  FROM alen
+), aud AS (
+  SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(s)) AS BIGINT) AS peak,
+         CAST(sum(s * s) AS BIGINT) AS energy
+  FROM samp GROUP BY doc_id
 )
-SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       CAST(sum((doc_id * 7 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_r,
-       CAST(sum((doc_id * 13 + x * 5 + y * 2) % 256) AS BIGINT) AS sum_g,
-       CAST(sum((doc_id * 3 + x + y * 7) % 256) AS BIGINT) AS sum_b
-FROM c GROUP BY doc_id, w, h ORDER BY doc_id
+SELECT 'image' AS src, doc_id, width, height, sum_r, sum_g, sum_b,
+       CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS sum_abs,
+       CAST(NULL AS BIGINT) AS peak, CAST(NULL AS BIGINT) AS energy
+FROM img
+UNION ALL
+SELECT 'audio' AS src, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       8000, n_samples, n_samples * 1000 // 8000, sum_abs, peak, energy
+FROM aud
+ORDER BY src, doc_id
 """
 
 
-@register("multimodal_ppm_decode", oracle=_PPM_ORACLE)
-def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image decode: synthesize PPM bytes per document,
-    decode them back with the pure-Python parser, hash the pixel sums
-    against DuckDB's arithmetic re-derivation."""
+@register("multimodal_decode", oracle=_DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decodes, both modalities in one tagged entry:
+    synthesize PPM image bytes and RIFF/PCM16 WAV bytes per document,
+    decode each back with the pure-Python parsers, and hash pixel sums
+    + signal stats against DuckDB re-deriving both arithmetically. Any
+    header, raster, chunk-walk, or sample-decode bug breaks the hash."""
     d = load_table(spark, sf_dir, "documents")
-    return image_stats(ppm_media(d)).orderBy("doc_id")
+    img = image_stats(ppm_media(d)).select(
+        F.lit("image").alias("src"),
+        "doc_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.lit(None).cast("long").alias("sample_rate"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("sum_abs"),
+        F.lit(None).cast("long").alias("peak"),
+        F.lit(None).cast("long").alias("energy"),
+    )
+    aud = audio_stats(wav_media(d)).select(
+        F.lit("audio").alias("src"),
+        "doc_id",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("sum_r"),
+        F.lit(None).cast("long").alias("sum_g"),
+        F.lit(None).cast("long").alias("sum_b"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "sum_abs",
+        "peak",
+        "energy",
+    )
+    return img.unionByName(aud).orderBy("src", "doc_id")
 
 

@@ -34,13 +34,46 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent),
+    and ship the walrus_spark package to the Python workers.
+
+    cloudpickle serializes the Arrow-batched operators (mapInPandas /
+    applyInPandasWithState) by MODULE REFERENCE, so worker processes
+    must be able to `import walrus_spark`. When the driver runs from
+    the repo root that's free (inherited cwd); addPyFile makes it true
+    from ANY cwd — e.g. an externally-created session in a different
+    working directory — by distributing a zip of the package once."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # static conf on this build — leave as-is
             pass
+    sc = spark.sparkContext
+    if not getattr(sc, "_walrus_pyfiles_shipped", False):
+        try:
+            import tempfile
+            import zipfile
+
+            pkg_dir = os.path.dirname(os.path.abspath(__file__))
+            zpath = os.path.join(
+                tempfile.gettempdir(),
+                f"walrus_spark_pyfiles_{os.getpid()}.zip",
+            )
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(
+                                full, os.path.dirname(pkg_dir)
+                            )
+                            zf.write(full, rel)
+            sc.addPyFile(zpath)
+        except Exception:
+            # best-effort: repo-root drivers work without it
+            pass
+        sc._walrus_pyfiles_shipped = True
     return spark
 
 

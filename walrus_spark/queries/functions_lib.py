@@ -109,18 +109,27 @@ def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq24_json_extract",
     oracle="SELECT event_id, "
-    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket "
     "FROM events ORDER BY event_id",
 )
 def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode — the relational-layer step that turns the
     reference's opaque byte payloads into typed columns (SURVEY.md §7
-    stage 4). `get_json_object` is a JVM expression; at scale prefer a
-    `from_json` with an explicit schema once the topic schema is known."""
+    stage 4) — through BOTH production paths, hash-checked equal:
+    `get_json_object` (ad-hoc path probing) and `from_json` with an
+    explicit schema (one parse per row, a typed struct out — the 100 TB
+    path once the topic schema is known, and what typed_log_view uses).
+    A derived column off the struct shows downstream expressions stay
+    codegen."""
     ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
+        parsed.getField("k").alias("k_typed"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
     ).orderBy("event_id")
 
 

@@ -1040,3 +1040,47 @@ def test_wav_decode_roundtrip_and_errors():
     )
     with pytest.raises(ValueError, match="unsupported"):
         decode_audio(bad_bits)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """chunk_documents: every token covered exactly once per stride
+    step, consecutive chunks share `overlap` tokens, short docs give
+    one chunk, empty docs give none — verified against a Python
+    reference implementation over crafted and random docs."""
+    import random
+
+    from walrus_spark.operators.pipeline import chunk_documents
+
+    rng = random.Random(5)
+    docs = [
+        (0, ""),                               # no chunks
+        (1, "a"),                              # one short chunk
+        (2, " ".join(f"t{i}" for i in range(10))),   # exactly 1 chunk @10
+        (3, " ".join(f"t{i}" for i in range(11))),   # 2 chunks @ stride 7
+        (4, " ".join(f"w{rng.randrange(99)}" for _ in range(57))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    CH, OV = 10, 3
+    stride = CH - OV
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=CH, overlap=OV).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+
+    assert 0 not in got
+    for doc_id, text in docs[1:]:
+        toks = text.lower().split()
+        n = len(toks)
+        want_chunks = max(1, -(-(n - OV) // stride))
+        chunks = got[doc_id]
+        assert len(chunks) == want_chunks, (doc_id, len(chunks), want_chunks)
+        for i, r in sorted(chunks.items()):
+            lo = i * stride
+            want = toks[lo : lo + CH]
+            assert r["chunk_text"].split() == want, (doc_id, i)
+            assert r["tok_start"] == lo
+            assert r["n_chunk_tokens"] == len(want)
+        # union of chunks covers every token position
+        covered = set()
+        for i in chunks:
+            covered.update(range(i * stride, min(i * stride + CH, n)))
+        assert covered == set(range(n)), doc_id

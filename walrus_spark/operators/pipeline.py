@@ -199,6 +199,69 @@ def shuffle_shards(
     return out.withColumn("pos", F.row_number().over(w)).drop("_shufkey")
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    pretraining/RAG chunking step. Output: one row per chunk with
+    (id, chunk_idx, tok_start, n_chunk_tokens, chunk_text).
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens). Entirely JVM-side: tokenize
+    once, explode a sequence of chunk indices, slice + rejoin the token
+    array per chunk — no Python, no shuffle (a pure scan-stage
+    flatMap; the explode multiplies rows ~n_tokens/stride-fold, which
+    is the output's inherent size, not a join blow-up). Empty docs
+    yield zero chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    # whitespace-only text splits to [''] — treat as zero tokens so
+    # empty docs yield zero chunks, not one empty chunk
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(_text.tokens(F.col(text_col)))
+    d = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).withColumn(
+        "_nchunks",
+        # ceil((n - overlap) / stride) chunks cover every token once
+        # at least; a doc shorter than one chunk still yields 1
+        F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(stride)),
+                F.lit(1),
+            )
+        ),
+    )
+    c = d.where(F.col("_nchunks") > 0).select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_nchunks") - 1)
+        ).alias("chunk_idx"),
+    )
+    start = c["chunk_idx"] * stride
+    return c.select(
+        id_col,
+        "chunk_idx",
+        start.alias("tok_start"),
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - start
+        ).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
 def write_shard_files(
     docs: DataFrame,
     out_dir: str,

@@ -8,7 +8,7 @@ text        — token stats, quality scoring, language-ID, fingerprinting,
 multimodal  — opaque-binary columns + Arrow-batched feature extraction
 pipeline    — sequence packing (distributed prefix sum), deterministic
               train/val splitting, seeded global shuffle + shard-file
-              writing (write_shard_files)
+              writing (write_shard_files), overlapping token chunking
 
 Every operator is a pure DataFrame→DataFrame transform: no driver-side
 loops over data, no unbounded collect() (the bounded exceptions are

@@ -127,18 +127,71 @@ WITH t AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
   FROM t
 )
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+, ct AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), cn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM ct
+), cc AS (
+  SELECT doc_id, toks, n,
+         CAST(greatest(ceil((n - 16) / 48.0), 1) AS BIGINT) AS nch
+  FROM cn
+), ce AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, nch - 1)) AS i FROM cc
+)
+SELECT 'pack' AS src, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok // {CONTEXT_WINDOW} AS BIGINT) AS first_window,
        CAST((start_tok + greatest(n_tokens - 1, 0)) // {CONTEXT_WINDOW}
-            AS BIGINT) AS last_window
-FROM c ORDER BY doc_id
+            AS BIGINT) AS last_window,
+       CAST(NULL AS BIGINT) AS chunk_idx, CAST(NULL AS BIGINT) AS tok_start,
+       CAST(NULL AS BIGINT) AS n_chunk_tokens,
+       CAST(NULL AS VARCHAR) AS chunk_text
+FROM c
+UNION ALL
+SELECT 'chunk' AS src, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       i, i * 48, least(64, n - i * 48),
+       array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')
+FROM ce
+ORDER BY src, doc_id, chunk_idx
 """
 
 
 @register("pipeline_seq_packing", oracle=_PACK_ORACLE)
 def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seq_packing(load_table(spark, sf_dir, "documents"))
+    """Both corpus-splitting operators in one tagged entry: GPT-style
+    sample packing metadata (two-phase distributed prefix sum) and
+    overlapping token chunking (64-token chunks, 16 overlap — sized so
+    fixture docs produce multi-chunk cases). chunk_text itself is in
+    the hash, so slicing/joining/overlap arithmetic is value-checked
+    verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    pack = seq_packing(docs).select(
+        F.lit("pack").alias("src"),
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        "first_window",
+        "last_window",
+        F.lit(None).cast("long").alias("chunk_idx"),
+        F.lit(None).cast("long").alias("tok_start"),
+        F.lit(None).cast("long").alias("n_chunk_tokens"),
+        F.lit(None).cast("string").alias("chunk_text"),
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chunk").alias("src"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("start_tok"),
+        F.lit(None).cast("long").alias("first_window"),
+        F.lit(None).cast("long").alias("last_window"),
+        F.col("chunk_idx").cast("long"),
+        F.col("tok_start").cast("long"),
+        F.col("n_chunk_tokens").cast("long"),
+        "chunk_text",
+    )
+    return pack.unionByName(chunks).orderBy("src", "doc_id", "chunk_idx")
 
 
 # Knuth multiplicative hash: doc_id (≤ ~2^40 at any plausible corpus

@@ -13,8 +13,8 @@ Generates a synthetic 10x dataset from $SPARK_GRAFT_SF_DIR (default
     user cardinality (sessions get denser, state keys constant),
 
 — then times each heavy operator warm (one unmeasured execution, then
-one measured) at 1x and 10x and prints a markdown table plus one JSON
-line. Sub-linear time growth at fixed cores is the property that
+min of 2 measured) at 1x and 10x and prints a markdown table plus one
+JSON line. Sub-linear time growth at fixed cores is the property that
 matters: it means per-row cost is flat and fixed overheads amortize,
 i.e. the plan shape survives a cluster scale-out.
 
@@ -40,11 +40,37 @@ import pyarrow.parquet as pq  # noqa: E402
 MULT = 10
 
 
+N_FILES = 32  # one scan task per core at BOTH scales
+
+
+def _write_multi(frame, path: str) -> None:
+    """Write a table as N_FILES parquet files. A single small file is
+    below maxPartitionBytes, so Spark would scan the whole table as
+    ONE partition and every scan-stage operator would serialize onto
+    one core — the ratio would then measure file-layout skew, not the
+    operator. Real 100 TB tables are many files; mirror that at BOTH
+    scales so the 1x/10x ratio is work growth at fixed parallelism."""
+    os.makedirs(path, exist_ok=True)
+    for i, part in enumerate(np.array_split(frame, N_FILES)):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(path, f"part-{i:03d}.parquet"),
+        )
+
+
+def stage_1x(sf_dir: str, out_dir: str) -> None:
+    """Re-stage the 1x fixture tables in the same N_FILES layout."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("documents", "embeddings", "events"):
+        frame = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).to_pandas()
+        _write_multi(frame, os.path.join(out_dir, f"{t}.parquet"))
+
+
 def gen_10x(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
-    out = []
+    doc_parts = []
     for i in range(MULT):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] * MULT + i
@@ -59,10 +85,9 @@ def gen_10x(sf_dir: str, out_dir: str) -> None:
 
             c["text"] = c["text"].map(mut)
         c["n_chars"] = c["text"].str.len()
-        out.append(c)
-    big = pd.concat(out, ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(big, preserve_index=False),
+        doc_parts.append(c)
+    _write_multi(
+        pd.concat(doc_parts, ignore_index=True),
         os.path.join(out_dir, "documents.parquet"),
     )
 
@@ -79,20 +104,17 @@ def gen_10x(sf_dir: str, out_dir: str) -> None:
             "label": np.tile(emb["label"].to_numpy(), MULT)[:n],
         }
     )
-    pq.write_table(
-        pa.Table.from_pandas(big_emb, preserve_index=False),
-        os.path.join(out_dir, "embeddings.parquet"),
-    )
+    _write_multi(big_emb, os.path.join(out_dir, "embeddings.parquet"))
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
-    out = []
+    ev_parts = []
     for i in range(MULT):
         c = ev.copy()
         c["event_id"] = c["event_id"] * MULT + i
         c["ts"] = c["ts"] + pd.to_timedelta(i, unit="s")
-        out.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
+        ev_parts.append(c)
+    _write_multi(
+        pd.concat(ev_parts, ignore_index=True),
         os.path.join(out_dir, "events.parquet"),
     )
 
@@ -101,7 +123,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     keep = "--keep" in sys.argv
     ten_dir = tempfile.mkdtemp(prefix="sweep10x_")
-    print(f"generating 10x data into {ten_dir} ...", file=sys.stderr)
+    one_dir = tempfile.mkdtemp(prefix="sweep1x_")
+    print(f"staging 1x ({one_dir}) and generating 10x ({ten_dir}) ...",
+          file=sys.stderr)
+    stage_1x(sf_dir, one_dir)
     gen_10x(sf_dir, ten_dir)
 
     from walrus_spark.session import get_spark
@@ -117,9 +142,13 @@ def main() -> None:
         minhash_lsh_pairs,
         simhash_pairs,
     )
-    from walrus_spark.operators.pipeline import corpus_filter
+    from walrus_spark.operators.pipeline import (
+        chunk_documents,
+        corpus_filter,
+        shuffle_shards,
+    )
     from walrus_spark.operators.similarity import ivf_topk
-    from walrus_spark.operators.text import repetition_signals
+    from walrus_spark.operators.text import pii_scrub, repetition_signals
 
     def docs(d):
         return load_table(spark, d, "documents")
@@ -141,6 +170,15 @@ def main() -> None:
         ),
         "repetition_signals": lambda d: repetition_signals(docs(d)),
         "corpus_filter": lambda d: corpus_filter(docs(d)),
+        "pii_scrub": lambda d: pii_scrub(docs(d)).select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "text_scrubbed"
+        ),
+        "chunk_documents (64/16)": lambda d: chunk_documents(
+            docs(d), chunk_tokens=64, overlap=16
+        ),
+        "shuffle_shards (64 shards)": lambda d: shuffle_shards(
+            docs(d), n_shards=64
+        ),
         "embedding_lsh_pairs": lambda d: embedding_lsh_pairs(spark, emb(d)),
         "ivf_topk": lambda d: ivf_topk(emb(d), query_vec_id=0, k=10),
         "tumbling_window_agg": lambda d: events(d)
@@ -159,7 +197,7 @@ def main() -> None:
     results = {}
     for name, fn in CASES.items():
         row = {}
-        for label, d in (("1x", sf_dir), ("10x", ten_dir)):
+        for label, d in (("1x", one_dir), ("10x", ten_dir)):
             force(fn(d))  # warm (codegen compile per plan shape)
             # min of 2 measured runs: this box's run-to-run noise is
             # larger than the small entries themselves
@@ -181,9 +219,10 @@ def main() -> None:
     print(json.dumps({"sweep10x": results}))
 
     if keep:
-        print(f"10x data kept at {ten_dir}", file=sys.stderr)
+        print(f"data kept: 1x {one_dir}, 10x {ten_dir}", file=sys.stderr)
     else:
         shutil.rmtree(ten_dir, ignore_errors=True)
+        shutil.rmtree(one_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

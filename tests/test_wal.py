@@ -939,3 +939,79 @@ def test_batch_read_edges_interleaved_peek_zero_len_exact_budget(log):
     # next single read continues after the batch
     assert log.read_next("t") == b"cccc"
     assert log.topic_entry_count("t") == 0
+
+
+def test_property_byte_read_model(spark, tmp_path):
+    """Model-check batch_read_at_byte against a pure-Python byte-layout
+    reference under random append histories and random byte offsets:
+    the topic's byte stream is [256 B header][payload] per entry in
+    offset order; an offset inside a payload trims it; inside a header
+    delivers whole; byte 0 skips leading sub-128 B payloads; the byte
+    budget keeps its ≥1 rule. Exercises the two-phase (per-segment)
+    extent computation across many segment boundaries."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    H = 256
+
+    def model(entries, byte_start, max_bytes):
+        # offsets[i] = start byte of entry i's header
+        if byte_start == 0:
+            k = next(
+                (i for i, p in enumerate(entries) if len(p) >= 128), None
+            )
+            if k is None:
+                return []
+            sel, trim = entries[k:], 0
+        else:
+            pos, sel, trim = 0, None, 0
+            for i, p in enumerate(entries):
+                end = pos + H + len(p)
+                if end > byte_start:
+                    sel = entries[i:]
+                    trim = max(0, byte_start - (pos + H))
+                    break
+                pos = end
+            if sel is None:
+                return []
+        out, cum = [], 0
+        for j, p in enumerate(sel):
+            cum += len(p)
+            if j > 0 and cum > max_bytes:
+                break
+            out.append(p[trim:] if j == 0 else p)
+        return out
+
+    payload = st.binary(min_size=0, max_size=300)
+    case = [0]
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        batches=st.lists(
+            st.lists(payload, min_size=1, max_size=4), min_size=1, max_size=4
+        ),
+        probes=st.lists(st.integers(0, 4000), min_size=1, max_size=3),
+        budget=st.integers(1, 600),
+    )
+    def run(batches, probes, budget):
+        case[0] += 1
+        log = WalrusLog(
+            spark,
+            str(tmp_path / f"bmodel{case[0]}"),
+            max_segment_entries=3,  # force many segment boundaries
+        )
+        entries: list[bytes] = []
+        for b in batches:
+            log.batch_append("t", b)
+            entries.extend(b)
+        for byte_start in probes:
+            want = model(entries, byte_start, budget)
+            got = log.batch_read_at_byte(
+                "t", byte_start, max_bytes=budget
+            )
+            assert got == want, (byte_start, budget, got, want)
+        log.close()
+
+    run()

@@ -1015,3 +1015,20 @@ def test_property_byte_read_model(spark, tmp_path):
         log.close()
 
     run()
+
+
+def test_batch_read_predicates_push_down(log, spark):
+    """The tail-read claim in batch_read's docstring, pinned: the
+    topic equality and offset-range predicates must reach the parquet
+    scan as PushedFilters (min/max row-group pruning is what makes a
+    cursored read touch only tail files at scale)."""
+    log.batch_append("t", [b"a", b"b", b"c"])
+    log.batch_append("u", [b"x"])
+    import pyspark.sql.functions as F
+
+    scan = log.topic_df("t").where(F.col("offset") > 1)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    pushed = plan[plan.index("PushedFilters") :].split("]")[0]
+    assert "EqualTo(topic,t)" in pushed, pushed
+    assert "GreaterThan(offset,1)" in pushed, pushed

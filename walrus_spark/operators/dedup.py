@@ -423,11 +423,113 @@ def minhash_lsh_pairs(
     )
 
 
-@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def minhash_lsh_cross(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Cross-corpus near-dedup — the incremental-ingest shape: which
+    NEW documents near-duplicate something already in the CORPUS
+    (daily crawl vs accumulated training set). Same banded MinHash
+    machinery as the self-join, but candidates come from a plain
+    equi-join of the two sides' (band, band-hash) buckets, so shuffle
+    volume is O((|new|+|corpus|)·bands) and — unlike re-running the
+    self-join over new ∪ corpus — corpus×corpus pairs are never
+    enumerated. Exact Jaccard verify on candidates only.
+
+    Output: (doc_new, doc_corpus, jaccard) for verified pairs. Both
+    sides may be 100 TB-scale; nothing is broadcast."""
+    sets_n = _shingle_sets(new).cache()
+    sets_c = _shingle_sets(corpus).cache()
+    r = N_PERM // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[f"m{j * r + k}" for k in range(r)]).alias("bh"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+
+    def bucketize(docs, sets, out):
+        sig = minhash_signatures(docs, sets=sets)
+        return sig.select(
+            F.col("doc_id").alias(out), F.explode(bands).alias("b")
+        ).select(out, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    cand = (
+        bucketize(new, sets_n, "doc_new")
+        .join(bucketize(corpus, sets_c, "doc_corpus"), ["band", "bh"])
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )
+    sa = sets_n.select(
+        F.col("doc_id").alias("doc_new"), F.col("hs").alias("hs_a")
+    )
+    sb = sets_c.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_corpus")
+        .where(jac >= threshold)
+        .select(
+            "doc_new", "doc_corpus", F.round(jac, 6).alias("jaccard")
+        )
+        .orderBy("doc_new", "doc_corpus")
+    )
+
+
+_MINHASH_ENTRY_ORACLE = _JACCARD_CTES + """
+, base AS (
+  SELECT p.doc_a, p.doc_b,
+         round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard
+  FROM pair p
+  JOIN sz sa ON sa.doc_id = p.doc_a
+  JOIN sz sb ON sb.doc_id = p.doc_b
+  WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
+)
+SELECT 'all' AS src, doc_a, doc_b, jaccard FROM base
+UNION ALL
+SELECT 'cross' AS src,
+       CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_a,
+       CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS doc_b,
+       jaccard
+FROM base WHERE (doc_a % 2) <> (doc_b % 2)
+ORDER BY src, doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ENTRY_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle = the exact-Jaccard SQL: LSH + verify must reproduce the
-    exact result (recall loss would fail the hash check)."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    exact result (recall loss would fail the hash check). Two tagged
+    branches: 'all' = the self-join pairs; 'cross' = minhash_lsh_cross
+    over a deterministic odd/even doc_id split (odd = the "new batch",
+    even = the "existing corpus"), whose output must equal the exact
+    cross-parity pairs — keyed (doc_new, doc_corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    all_pairs = minhash_lsh_pairs(docs).withColumn("src", F.lit("all"))
+    cross = (
+        minhash_lsh_cross(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+        )
+        .select(
+            F.lit("cross").alias("src"),
+            F.col("doc_new").alias("doc_a"),
+            F.col("doc_corpus").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return (
+        all_pairs.select("src", "doc_a", "doc_b", "jaccard")
+        .unionByName(cross)
+        .orderBy("src", "doc_a", "doc_b")
+    )
 
 
 def simhash_signatures(

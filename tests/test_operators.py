@@ -1084,3 +1084,47 @@ def test_chunk_documents_coverage_and_overlap(spark):
         for i in chunks:
             covered.update(range(i * stride, min(i * stride + CH, n)))
         assert covered == set(range(n)), doc_id
+
+
+def test_minhash_lsh_cross_semantics(spark):
+    """Cross-corpus dedup: exactly the (new, corpus) near-dup pairs —
+    corpus-internal duplicates are never reported (the whole point:
+    that work was already done), new-internal duplicates aren't either,
+    and results match a brute-force cross Jaccard on synthetic docs."""
+    from walrus_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_lsh_cross,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # corpus: ids 0-9; two internal dup pairs (0,1) and (2,3)
+    for i in range(10):
+        text = base if i < 4 else base.replace("fox", f"animal{i}").replace(
+            "river", f"place{i}"
+        )
+        rows.append((i, text))
+    # new batch: ids 100-104; 100 dups corpus doc 5's text, 101-102 are
+    # internal near-dups of each other only, 103-104 unrelated
+    rows.append((100, base.replace("fox", "animal5").replace("river", "place5")))
+    rows.append((101, "completely different words about solar panels and wind farms in rural areas"))
+    rows.append((102, "completely different words about solar panels and wind farms in rural zones"))
+    rows.append((103, "unique text one about cooking pasta with garlic and fresh basil leaves"))
+    rows.append((104, "another unique text regarding mountain hiking trails and weather conditions"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where("doc_id >= 100")
+    corpus = df.where("doc_id < 100")
+
+    got = {
+        (r["doc_new"], r["doc_corpus"])
+        for r in minhash_lsh_cross(new, corpus).collect()
+    }
+    # brute force on the union, keep only cross pairs
+    exact = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]))
+        for r in exact_jaccard_pairs(df).collect()
+        if (r["doc_a"] >= 100) != (r["doc_b"] >= 100)
+    }
+    assert got == exact, (got, exact)
+    assert (100, 5) in got                     # the planted cross dup
+    assert all(a >= 100 and b < 100 for a, b in got)

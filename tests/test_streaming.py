@@ -501,3 +501,46 @@ def test_interval_join_stream_matches_batch_and_drops_expired(
     )
     q.awaitTermination(120)
     assert got == expected
+
+
+def test_text_operators_run_on_streams(spark, tmp_path):
+    """The stateless corpus operators (pii_scrub, with_text_stats) are
+    pure projections, so the SAME functions run unchanged inside
+    Structured Streaming — the live-scrubbing ingest path. Micro-batch
+    output must equal the batch result."""
+    from walrus_spark.operators.text import pii_scrub, with_text_stats
+
+    rows = [
+        (1, "reach me at a@b.io or 10.0.0.7 please"),
+        (2, "no pii here, just words."),
+        (3, "call +1 415 555 0100 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["text_scrubbed"], r["n_tokens"])
+        for r in with_text_stats(pii_scrub(df)).collect()
+    }
+    src = tmp_path / "txt_in"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    got = {}
+    q = (
+        with_text_stats(pii_scrub(stream))
+        .writeStream.trigger(availableNow=True)
+        .foreachBatch(
+            lambda b, _i: got.update(
+                {
+                    r["doc_id"]: (r["text_scrubbed"], r["n_tokens"])
+                    for r in b.collect()
+                }
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "txt_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
+    assert "<EMAIL>" in got[1][0] and "<IP>" in got[1][0]
+    assert "<PHONE>" in got[3][0]

@@ -139,6 +139,7 @@ def main() -> None:
     from walrus_spark.operators.dedup import (
         connected_components,
         embedding_lsh_pairs,
+        minhash_lsh_cross,
         minhash_lsh_pairs,
         simhash_pairs,
     )
@@ -167,6 +168,10 @@ def main() -> None:
         ),
         "dedup_clusters (LSH chain, star)": lambda d: connected_components(
             minhash_lsh_pairs(docs(d)).select("doc_a", "doc_b"), method="star"
+        ),
+        "minhash_lsh_cross (odd vs even)": lambda d: minhash_lsh_cross(
+            docs(d).where(F.col("doc_id") % 2 == 1),
+            docs(d).where(F.col("doc_id") % 2 == 0),
         ),
         "repetition_signals": lambda d: repetition_signals(docs(d)),
         "corpus_filter": lambda d: corpus_filter(docs(d)),

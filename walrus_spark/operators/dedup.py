@@ -371,7 +371,9 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -387,8 +389,10 @@ def minhash_lsh_pairs(
     dominant cost — happens one time per dataset. (Spark's cache
     manager is plan-keyed, so repeated calls over the same input reuse
     one entry; at 100 TB this cache is the materialized shingle-set
-    table any multi-pass dedup pipeline would persist explicitly.)"""
-    sets = _shingle_sets(docs).cache()
+    table any multi-pass dedup pipeline would persist explicitly.)
+    Pass ``sets`` to share an already-cached shingle-set frame."""
+    if sets is None:
+        sets = _shingle_sets(docs).cache()
     sig = minhash_signatures(docs, sets=sets)
     r = N_PERM // LSH_BANDS
     bands = F.array(
@@ -427,6 +431,8 @@ def minhash_lsh_cross(
     new: DataFrame,
     corpus: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    sets_new: DataFrame | None = None,
+    sets_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dedup — the incremental-ingest shape: which
     NEW documents near-duplicate something already in the CORPUS
@@ -438,9 +444,15 @@ def minhash_lsh_cross(
     enumerated. Exact Jaccard verify on candidates only.
 
     Output: (doc_new, doc_corpus, jaccard) for verified pairs. Both
-    sides may be 100 TB-scale; nothing is broadcast."""
-    sets_n = _shingle_sets(new).cache()
-    sets_c = _shingle_sets(corpus).cache()
+    sides may be 100 TB-scale; nothing is broadcast. Pass
+    ``sets_new``/``sets_corpus`` to reuse cached shingle-set frames
+    (e.g. filtered views of one corpus-wide frame)."""
+    sets_n = sets_new if sets_new is not None else _shingle_sets(new).cache()
+    sets_c = (
+        sets_corpus
+        if sets_corpus is not None
+        else _shingle_sets(corpus).cache()
+    )
     r = N_PERM // LSH_BANDS
     bands = F.array(
         *[
@@ -510,13 +522,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches: 'all' = the self-join pairs; 'cross' = minhash_lsh_cross
     over a deterministic odd/even doc_id split (odd = the "new batch",
     even = the "existing corpus"), whose output must equal the exact
-    cross-parity pairs — keyed (doc_new, doc_corpus)."""
+    cross-parity pairs — keyed (doc_new, doc_corpus).
+
+    One shingle-set frame is cached and shared by all three pipelines
+    (self-join signatures + both cross sides filter it), so the
+    tokenize scan runs once for the whole entry."""
     docs = load_table(spark, sf_dir, "documents")
-    all_pairs = minhash_lsh_pairs(docs).withColumn("src", F.lit("all"))
+    sets = _shingle_sets(docs).cache()
+    all_pairs = minhash_lsh_pairs(docs, sets=sets).withColumn(
+        "src", F.lit("all")
+    )
     cross = (
         minhash_lsh_cross(
             docs.where(F.col("doc_id") % 2 == 1),
             docs.where(F.col("doc_id") % 2 == 0),
+            sets_new=sets.where(F.col("doc_id") % 2 == 1),
+            sets_corpus=sets.where(F.col("doc_id") % 2 == 0),
         )
         .select(
             F.lit("cross").alias("src"),

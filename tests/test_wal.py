@@ -1032,3 +1032,101 @@ def test_batch_read_predicates_push_down(log, spark):
     pushed = plan[plan.index("PushedFilters") :].split("]")[0]
     assert "EqualTo(topic,t)" in pushed, pushed
     assert "GreaterThan(offset,1)" in pushed, pushed
+
+
+def test_full_chaos_all_operations(spark, tmp_path):
+    """Full-chaos mixed-operation stress (tests/batch_read.rs
+    full-chaos / e2e_longrunning mixed-workload analog): writer,
+    consumer, peeker, and maintenance threads race on overlapping
+    topics for several rounds. Afterwards the log must satisfy every
+    invariant at once: per-topic contiguous offsets from 1, consumed
+    prefix + drained remainder == exactly the appended sequence
+    (strictly-at-once: no loss, no duplication, in order), and
+    maintenance never disturbed any of it."""
+    import threading
+
+    log = WalrusLog(spark, str(tmp_path / "chaos"), max_segment_entries=7)
+    topics = ["a", "b", "c"]
+    appended = {t: [] for t in topics}
+    consumed = {t: [] for t in topics}
+    app_lock = threading.Lock()
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def guard(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                stop.set()
+        return run
+
+    @guard
+    def writer():
+        for j in range(30):
+            t = topics[j % len(topics)]
+            payload = f"{t}-{j}".encode()
+            if j % 7 == 0:
+                log.batch_append(t, [payload, payload + b"+"])
+                with app_lock:
+                    appended[t] += [payload, payload + b"+"]
+            else:
+                log.append(t, payload)
+                with app_lock:
+                    appended[t].append(payload)
+        stop.set()
+
+    @guard
+    def consumer():
+        # strictly-at-once consume in the background; batch_read holds
+        # its own ordering contract
+        while not stop.is_set():
+            for t in topics:
+                consumed[t] += log.batch_read(t, max_entries=3)
+
+    @guard
+    def peeker():
+        while not stop.is_set():
+            for t in topics:
+                log.batch_read(t, checkpoint=False, max_entries=2)
+                log.topic_entry_count(t)
+                log.state(t)
+
+    @guard
+    def maintainer():
+        while not stop.is_set():
+            log.maintenance_sweep()
+
+    threads = [
+        threading.Thread(target=f)
+        for f in (writer, consumer, peeker, maintainer)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    # drain what the background consumer didn't get to
+    for t in topics:
+        while True:
+            batch = log.batch_read(t)
+            if not batch:
+                break
+            consumed[t] += batch
+    for t in topics:
+        assert consumed[t] == appended[t], t
+        n = len(appended[t])
+        assert log.high_watermark(t) == n
+        # maintenance may have legally reclaimed fully-consumed
+        # batches (the log-retention contract): whatever survives must
+        # be a contiguous SUFFIX of 1..n, and the high watermark is
+        # metadata that outlives reclamation
+        offs = [
+            r["offset"]
+            for r in log.topic_df(t).orderBy("offset").collect()
+        ]
+        assert offs == list(range(n - len(offs) + 1, n + 1)), (t, offs)
+    assert log.metrics()["maintenance_errors"] == 0
+    log.close()

@@ -268,6 +268,9 @@ class WalrusLog:
         self.auto_compact_min_batches = auto_compact_min_batches
         self.maintenance_sweeps = 0
         self.maintenance_errors = 0
+        # reads that re-listed the manifest after losing a file race
+        # with concurrent reclamation (surfaced via metrics())
+        self.read_relists = 0
         self._maint_interval = auto_maintenance_seconds
         self._maint_stop = threading.Event()
         self._maint_thread: threading.Thread | None = None
@@ -801,6 +804,38 @@ class WalrusLog:
     def topic_df(self, topic: str) -> DataFrame:
         return self.df().where(F.col("topic") == topic)
 
+    def _read_with_relist(self, attempt, tries: int = 3):
+        """Run a read job, re-listing the manifest on a file-level race.
+
+        A read's plan captures the batch-dir file list at build time; a
+        concurrent vacuum/compact (maintenance daemon, or another
+        thread) may legally delete a fully-consumed or replaced batch
+        before the tasks run, failing the job with a file-not-found —
+        the same stale-snapshot race every table format has, resolved
+        the same way (Delta's stale-snapshot retry): rebuild the plan
+        from the CURRENT manifest and retry. The manifest is the
+        committed source of truth, so the retried read sees exactly the
+        live batches — never partial data (deletion commit point is the
+        record removal). Anything that isn't a file-level race
+        propagates unchanged."""
+        for i in range(tries):
+            try:
+                return attempt()
+            except ChecksumError:
+                raise
+            except Exception as e:  # noqa: BLE001
+                s = str(e)
+                transient = (
+                    "FileNotFoundException" in s
+                    or "does not exist" in s
+                    or "FileReadException" in s
+                    or "No such file" in s
+                )
+                if not transient or i == tries - 1:
+                    raise
+                self.read_relists += 1
+        raise AssertionError("unreachable")
+
     def read_next(self, topic: str, checkpoint: bool = True) -> bytes | None:
         """Next entry at the shared cursor; consume or peek
         (walrus_read.rs:24-345)."""
@@ -831,35 +866,39 @@ class WalrusLog:
         )
         from pyspark.sql.window import Window
 
-        w = Window.orderBy("offset")
-        cand = (
-            self.topic_df(topic)
-            .where(F.col("offset") > cursor)
-            .select(
-                "offset",
-                "value",
-                # per-entry checksum verification on READ, JVM-side
-                # (the FNV-1a verify of src/wal/block.rs:43-77; null
-                # crc = pre-checksum data, skipped)
-                (
-                    F.col("crc").isNull()
-                    | (F.xxhash64("value") == F.col("crc"))
-                ).alias("crc_ok"),
-                F.col("crc").isNotNull().alias("crc_checked"),
+        def attempt():
+            w = Window.orderBy("offset")
+            cand = (
+                self.topic_df(topic)
+                .where(F.col("offset") > cursor)
+                .select(
+                    "offset",
+                    "value",
+                    # per-entry checksum verification on READ, JVM-side
+                    # (the FNV-1a verify of src/wal/block.rs:43-77; null
+                    # crc = pre-checksum data, skipped)
+                    (
+                        F.col("crc").isNull()
+                        | (F.xxhash64("value") == F.col("crc"))
+                    ).alias("crc_ok"),
+                    F.col("crc").isNotNull().alias("crc_checked"),
+                )
+                .orderBy("offset")
+                .limit(min(max_entries, MAX_BATCH_ENTRIES))
+                .withColumn("cum", F.sum(F.length("value")).over(w))
+                .withColumn("rn", F.row_number().over(w))
+                .where(
+                    (F.col("cum") <= max_bytes)
+                    | (F.col("rn") == 1)  # always deliver ≥1
+                )
             )
-            .orderBy("offset")
-            .limit(min(max_entries, MAX_BATCH_ENTRIES))
-            .withColumn("cum", F.sum(F.length("value")).over(w))
-            .withColumn("rn", F.row_number().over(w))
-            .where(
-                (F.col("cum") <= max_bytes)
-                | (F.col("rn") == 1)  # always deliver ≥1
-            )
-        )
-        # Explicit final sort: entry order (and the cursor advance) is a
-        # contract, not an artifact of the window's partitioning — a plan
-        # change must not be able to reorder delivery.
-        rows = cand.orderBy("offset").collect()
+            # Explicit final sort: entry order (and the cursor advance)
+            # is a contract, not an artifact of the window's
+            # partitioning — a plan change must not be able to reorder
+            # delivery.
+            return cand.orderBy("offset").collect()
+
+        rows = self._read_with_relist(attempt)
         bad = [int(r["offset"]) for r in rows if not r["crc_ok"]]
         if bad:
             # loud and BEFORE any cursor advance: a corrupt entry is
@@ -911,6 +950,21 @@ class WalrusLog:
         deployment scale the manifest would additionally carry
         per-batch byte extents so the seek prunes to one batch; the
         parquet min/max offset stats already prune the payload scan."""
+        from pyspark.sql.window import Window
+
+        return self._read_with_relist(
+            lambda: self._batch_read_at_byte_once(
+                topic, byte_start, max_bytes, max_entries
+            )
+        )
+
+    def _batch_read_at_byte_once(
+        self,
+        topic: str,
+        byte_start: int,
+        max_bytes: int,
+        max_entries: int,
+    ) -> list[bytes]:
         from pyspark.sql.window import Window
 
         base_df = self.topic_df(topic).select(
@@ -1073,6 +1127,7 @@ class WalrusLog:
             "verified_reads": dict(self._verified_reads),
             "maintenance_sweeps": self.maintenance_sweeps,
             "maintenance_errors": self.maintenance_errors,
+            "read_relists": self.read_relists,
             "topics": {t: self.state(t) for t in self.topics()},
         }
 

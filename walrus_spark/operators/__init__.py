@@ -3,6 +3,8 @@
 dedup       — exact, n-gram Jaccard, MinHash+LSH, SimHash,
               embedding-cosine, connected-component clustering
 similarity  — brute-force cosine top-k, IVF approximate variant
+sketch      — engine-independent mergeable HyperLogLog (verifiable
+              registers; per-bucket-max merge)
 text        — token stats, quality scoring, language-ID, fingerprinting,
               PII scrubbing (email/IPv4/phone redaction)
 multimodal  — opaque-binary columns + Arrow-batched feature extraction

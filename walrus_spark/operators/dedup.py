@@ -116,26 +116,66 @@ ORDER BY doc_a, doc_b
 
 @register(
     "dq19_dedup_exact",
-    oracle="SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, "
-    "count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY canonical_id",
+    oracle="WITH g AS (SELECT md5(lower(text)) AS fp, "
+    "min(doc_id) AS canonical_id, count(*) AS n_copies "
+    "FROM documents GROUP BY 1), "
+    "r AS (SELECT ('0x' || substring(md5(lower(text)), 1, 3))::BIGINT "
+    "AS bucket, "
+    "('0x' || substring(md5(lower(text)), 4, 13))::BIGINT AS v "
+    "FROM documents), "
+    "reg AS (SELECT bucket, max(CASE WHEN v = 0 THEN 53 "
+    "ELSE 53 - length(bin(v)) END) AS max_rho FROM r GROUP BY bucket) "
+    "SELECT 'group' AS src, fp, canonical_id, n_copies, "
+    "CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS max_rho "
+    "FROM g "
+    "UNION ALL SELECT 'hll' AS src, CAST(NULL AS VARCHAR), "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), bucket, "
+    "CAST(max_rho AS BIGINT) FROM reg "
+    "ORDER BY src, canonical_id, bucket",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ19 + exact dedup in one entry: group on content fingerprint,
-    keep min doc_id as the canonical representative. The distinct-
-    document count DQ19 asked for IS this result's row count (checked by
-    the gate's rows_match); the groups additionally expose every
-    duplicate cluster. One shuffle on a 128-bit key — the same plan at
-    100 TB (fingerprint first so the shuffle never carries document
-    bodies)."""
+    """DQ19 + exact dedup + a verifiable cardinality sketch in one
+    tagged entry. 'group' rows: content-fingerprint groups with the min
+    doc_id as canonical representative (the distinct-document count
+    DQ19 asked for IS this branch's row count). 'hll' rows: the
+    engine-independent HyperLogLog register table over the same
+    fingerprint input (operators/sketch.py) — hash-checked register-
+    for-register against DuckDB recomputing the identical md5-bucket/
+    bit-length construction, so the SKETCH itself is verified, not
+    just trusted. One shuffle per branch (128-bit key / 4096-bucket
+    key); neither ever carries document bodies."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"))
+    lowered = d.select("doc_id", F.lower("text").alias("lt"))
+    groups = (
+        lowered.select(
+            "doc_id", F.md5(F.encode("lt", "UTF-8")).alias("fp")
+        )
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count("*").alias("n_copies"),
         )
-        .orderBy("canonical_id")
+        .select(
+            F.lit("group").alias("src"),
+            "fp",
+            "canonical_id",
+            "n_copies",
+            F.lit(None).cast("long").alias("bucket"),
+            F.lit(None).cast("long").alias("max_rho"),
+        )
+    )
+    from walrus_spark.operators.sketch import hll_registers
+
+    hll = hll_registers(lowered, "lt").select(
+        F.lit("hll").alias("src"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("canonical_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        "bucket",
+        F.col("max_rho").cast("long"),
+    )
+    return groups.unionByName(hll).orderBy(
+        "src", "canonical_id", "bucket"
     )
 
 

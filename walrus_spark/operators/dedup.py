@@ -122,7 +122,7 @@ ORDER BY doc_a, doc_b
     "r AS (SELECT ('0x' || substring(md5(lower(text)), 1, 3))::BIGINT "
     "AS bucket, "
     "('0x' || substring(md5(lower(text)), 4, 13))::BIGINT AS v "
-    "FROM documents), "
+    "FROM documents WHERE text IS NOT NULL), "
     "reg AS (SELECT bucket, max(CASE WHEN v = 0 THEN 53 "
     "ELSE 53 - length(bin(v)) END) AS max_rho FROM r GROUP BY bucket) "
     "SELECT 'group' AS src, fp, canonical_id, n_copies, "

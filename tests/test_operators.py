@@ -1304,3 +1304,29 @@ def test_new_operator_plan_shapes(spark):
 
     p = plan(pii_scrub(docs))
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_shared_shingle_sets_one_cache_entry(spark):
+    """The dedup entries share ONE memoized cached shingle-set frame
+    per (session, dataset): repeated calls return the identical handle
+    (so a 50-entry gate run never materializes a second copy of the
+    tokenize scan — the r4 dedup_clusters bench outlier), a dataset
+    switch evicts the previous frame, and clear_shared_sets() empties
+    the memo entirely."""
+    from walrus_spark.operators.dedup import (
+        _SETS_CACHE,
+        clear_shared_sets,
+        shared_shingle_sets,
+    )
+    from tests.conftest import SF_DIR
+
+    clear_shared_sets()
+    a = shared_shingle_sets(spark, SF_DIR_ORACLE)
+    b = shared_shingle_sets(spark, SF_DIR_ORACLE)
+    assert a is b
+    assert len(_SETS_CACHE) == 1
+    c = shared_shingle_sets(spark, SF_DIR)  # new dataset → evict + replace
+    assert c is not a
+    assert len(_SETS_CACHE) == 1
+    clear_shared_sets()
+    assert len(_SETS_CACHE) == 0

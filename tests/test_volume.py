@@ -1,0 +1,96 @@
+"""Sustained-volume stress — the e2e_longrunning analog (reference
+tests/e2e_longrunning.rs:634-643 pushes ~3 GB and asserts a throughput
+floor). Here ≥1 GiB of payload flows ingest → shared-cursor consume →
+compact → vacuum, with floors asserted at every stage and the numbers
+printed for PERF_r05."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from walrus_spark.log import WalrusLog
+
+N_ROWS = 1_000_000
+PAYLOAD_BYTES = 1024  # 16 × sha2-256 hex = 1024 incompressible-ish chars
+
+
+@pytest.mark.slow
+def test_volume_marathon_1gib(spark, tmp_path):
+    root = str(tmp_path / "volume")
+    log = WalrusLog(spark, root)
+    # 1M × 1 KiB ≈ 1 GiB of payload, two topics, generated JVM-side
+    # (no driver data movement); sha2 chains keep parquet from
+    # compressing the volume away.
+    payload = F.concat(
+        *[
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(k))), 256)
+            for k in range(PAYLOAD_BYTES // 64)
+        ]
+    )
+    src = spark.range(N_ROWS).select(
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("topic"),
+        F.encode(payload, "UTF-8").alias("value"),
+    )
+    t0 = time.perf_counter()
+    log.ingest(src, "topic", "value")
+    ingest_s = time.perf_counter() - t0
+    assert log.high_watermark("t0") == N_ROWS // 2
+    assert log.high_watermark("t1") == N_ROWS // 2
+
+    # consume-once through the SHARED cursor (advances the engine
+    # cursor so vacuum can reclaim) — availableNow drains everything
+    from walrus_spark.streaming import shared_cursor_stream
+
+    seen = [0]
+    t0 = time.perf_counter()
+    q = shared_cursor_stream(
+        spark,
+        log,
+        str(tmp_path / "ckpt"),
+        lambda b, _i: seen.__setitem__(0, seen[0] + b.count()),
+    )
+    q.awaitTermination()
+    consume_s = time.perf_counter() - t0
+    assert seen[0] == N_ROWS
+
+    t0 = time.perf_counter()
+    log.compact()
+    compact_s = time.perf_counter() - t0
+    assert log.df().count() == N_ROWS  # compaction loses nothing
+
+    # everything is consumed → vacuum reclaims the whole compacted set
+    t0 = time.perf_counter()
+    removed = log.vacuum()
+    vacuum_s = time.perf_counter() - t0
+    assert removed >= 1
+    assert log.df().count() == 0
+    assert log.high_watermark("t0") == N_ROWS // 2  # hw survives
+
+    ingest_rps = N_ROWS / ingest_s
+    consume_rps = N_ROWS / consume_s
+    print(
+        "VOLUME_MARATHON "
+        + json.dumps(
+            {
+                "rows": N_ROWS,
+                "payload_gib": round(N_ROWS * PAYLOAD_BYTES / 2**30, 2),
+                "ingest_s": round(ingest_s, 1),
+                "ingest_rows_per_sec": round(ingest_rps),
+                "consume_s": round(consume_s, 1),
+                "consume_rows_per_sec": round(consume_rps),
+                "compact_s": round(compact_s, 1),
+                "vacuum_s": round(vacuum_s, 1),
+            }
+        )
+    )
+    # Throughput floors: BASELINE.md's ingest target is 50k rows/s at
+    # bench payload sizes; at 1 KiB payloads under CI load we assert a
+    # conservative floor the reference's own e2e suite style uses
+    # (e2e_longrunning.rs asserts loose floors, not peak numbers).
+    assert ingest_rps > 20_000, f"ingest too slow: {ingest_rps:.0f} rows/s"
+    assert consume_rps > 25_000, f"consume too slow: {consume_rps:.0f} rows/s"
+    log.close()

@@ -661,29 +661,124 @@ def test_writer_fencing_two_instances(spark, tmp_path):
 
 def test_concurrent_batch_would_block(spark, tmp_path):
     """wait=False mirrors the reference's concurrent-batch fail-fast
-    (tests/batch_writes.rs WouldBlock suite): while one batch holds the
-    writer, a second non-blocking batch raises WouldBlockError instead
-    of queueing; the default still serializes."""
-    import threading
-
+    (tests/batch_writes.rs WouldBlock suite), now at per-topic
+    granularity (the per-key mutex, bucket.rs:60-118): while a batch to
+    topic t is in flight, a second non-blocking batch to t refuses —
+    but a batch to a DIFFERENT topic sails through, and an exclusive
+    ingest/maintenance pass refuses every non-blocking append. The
+    default still serializes."""
     from walrus_spark.log import WouldBlockError
 
     log = WalrusLog(spark, str(tmp_path / "wblock"))
     log.append("t", b"warm")  # JVM warm so timings below are sane
-    entered = threading.Event()
-    release = threading.Event()
-    log._write_lock.acquire()  # simulate an in-flight batch
+    log._topic_lock("t").acquire()  # simulate an in-flight batch to t
     try:
         with pytest.raises(WouldBlockError):
             log.batch_append("t", [b"x"], wait=False)
         with pytest.raises(WouldBlockError):
             log.multi_append({"t": [b"y"]}, wait=False)
+        # per-topic locking: a different topic is NOT blocked
+        assert log.batch_append("u", [b"u1"], wait=False) == (1, 1)
     finally:
-        log._write_lock.release()
-    del entered, release
+        log._topic_lock("t").release()
+    # an exclusive pass (ingest/vacuum/compact) blocks every topic
+    log._rw.acquire_exclusive()
+    try:
+        with pytest.raises(WouldBlockError):
+            log.batch_append("u", [b"u2"], wait=False)
+    finally:
+        log._rw.release_exclusive()
     # default blocking path still works after the contention
     assert log.batch_append("t", [b"z"]) == (2, 2)
     log.close()
+
+
+def test_appends_to_distinct_topics_interleave(spark, tmp_path):
+    """Round-5 directive: appends to distinct topics must proceed
+    concurrently (the reference serializes per wal_key, not globally —
+    distributed-walrus/src/bucket.rs:60-118). Proof by failpoint: while
+    thread A is frozen INSIDE its append to topic a (data written,
+    commit pending), the main thread completes a whole append to topic
+    b — impossible under a global write lock. Offsets stay contiguous
+    per topic afterwards (TLA+ InvSeqOrder)."""
+    import threading
+
+    log = WalrusLog(spark, str(tmp_path / "interleave"))
+    in_hook = threading.Event()
+    release = threading.Event()
+
+    def hook():
+        if threading.current_thread().name == "slow-a":
+            in_hook.set()
+            assert release.wait(timeout=60)
+
+    log._pre_commit_hook = hook
+    err: list[Exception] = []
+
+    def slow_append():
+        try:
+            log.batch_append("a", [b"a1", b"a2"])
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+
+    t = threading.Thread(target=slow_append, name="slow-a")
+    t.start()
+    assert in_hook.wait(timeout=60)  # A is mid-append, holding lock(a)
+    # B's append to a DIFFERENT topic completes while A is in flight
+    assert log.batch_append("b", [b"b1"]) == (1, 1)
+    release.set()
+    t.join(timeout=60)
+    assert not err, err
+    log._pre_commit_hook = None
+    # both topics contiguous from 1
+    for topic, n in (("a", 2), ("b", 1)):
+        offs = [
+            r["offset"]
+            for r in log.topic_df(topic).select("offset").orderBy("offset").collect()
+        ]
+        assert offs == list(range(1, n + 1)), topic
+    log.close()
+
+
+def test_fencing_atomic_under_interleaved_takeover(spark, tmp_path):
+    """ADVICE r4 (D7 TOCTOU): a takeover landing BETWEEN the fenced
+    writer's data write and its manifest rename must prevent the stale
+    commit — the flock makes verify+rename atomic, so the window the
+    old read-then-rename left open is closed. The failpoint lands a
+    full takeover (claim + append) exactly in that window; the fenced
+    instance must raise NotLeaderError and publish NOTHING, and the
+    survivor's log stays gap-free."""
+    from walrus_spark.log import NotLeaderError
+
+    root = str(tmp_path / "fence_toctou")
+    a = WalrusLog(spark, root)
+    a.batch_append("t", [b"a1", b"a2", b"a3"])
+    taken: dict = {}
+
+    def takeover():
+        b = WalrusLog(spark, root)  # claim lands mid-append of A
+        b.batch_append("t", [b"b4", b"b5"])
+        taken["b"] = b
+
+    a._pre_commit_hook = takeover
+    with pytest.raises(NotLeaderError):
+        a.batch_append("t", [b"stale4"])
+    a._pre_commit_hook = None
+    b = taken["b"]
+    # A's stale batch is invisible: exactly b's offsets, contiguous
+    offs = [
+        int(r["offset"])
+        for r in b.topic_df("t").select("offset").orderBy("offset").collect()
+    ]
+    assert offs == [1, 2, 3, 4, 5]
+    vals = [
+        bytes(r["value"])
+        for r in b.topic_df("t").select("offset", "value").orderBy("offset").collect()
+    ]
+    assert vals == [b"a1", b"a2", b"a3", b"b4", b"b5"]
+    assert b.high_watermark("t") == 5
+    a.close()
+    b.close()
 
 
 def test_background_maintenance_reclaims_without_manual_vacuum(
@@ -1130,3 +1225,206 @@ def test_full_chaos_all_operations(spark, tmp_path):
         assert offs == list(range(n - len(offs) + 1, n + 1)), (t, offs)
     assert log.metrics()["maintenance_errors"] == 0
     log.close()
+
+
+def test_batch_read_with_watermark_atomic_lag(spark, tmp_path):
+    """Round-5 directive: the cluster GET reply carries high_watermark
+    alongside the entries (distributed-walrus/src/rpc.rs:17-20) so a
+    consumer learns lag atomically with delivery — one call returns
+    (entries, hw), and metrics()['consumer_lag'] tracks
+    hw − last_delivered per topic."""
+    log = WalrusLog(spark, str(tmp_path / "hwread"))
+    log.batch_append("t", [b"a", b"b", b"c", b"d", b"e"])
+    entries, hw = log.batch_read_with_watermark("t", max_entries=2)
+    assert entries == [b"a", b"b"]
+    assert hw == 5
+    assert log.metrics()["consumer_lag"]["t"] == 3
+    entries, hw = log.batch_read_with_watermark("t")
+    assert entries == [b"c", b"d", b"e"]
+    assert hw == 5
+    assert log.metrics()["consumer_lag"]["t"] == 0
+    # peek variant reports lag without consuming
+    log.batch_append("t", [b"f"])
+    entries, hw = log.batch_read_with_watermark(
+        "t", checkpoint=False, max_entries=1
+    )
+    assert entries == [b"f"] and hw == 6
+    assert log.metrics()["consumer_lag"]["t"] == 0
+    log.close()
+
+
+def test_ingest_unpinned_audit_and_pinned_fallback(spark, tmp_path, monkeypatch):
+    """Round-5 directive: ingest's fast path skips the localCheckpoint
+    (a full-payload materialization that cost ~14% throughput) and
+    instead audits the staged files' offsets before commit. A failed
+    audit — the nondeterministic-source divergence the checkpoint used
+    to pin away — must discard the staged batch and rerun pinned,
+    still committing contiguous offsets exactly once."""
+    log = WalrusLog(spark, str(tmp_path / "ingaudit"))
+    df = spark.createDataFrame(
+        [(f"t{i % 2}", f"p{i}".encode()) for i in range(20)],
+        "topic string, value binary",
+    )
+    # force the audit to fail once: the fallback must kick in
+    real = WalrusLog._offsets_exact
+    calls = {"n": 0}
+
+    def flaky_audit(self, path, ranges):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False
+        return real(self, path, ranges)
+
+    monkeypatch.setattr(WalrusLog, "_offsets_exact", flaky_audit)
+    log.ingest(df, "topic", "value")
+    monkeypatch.undo()
+    assert log.metrics()["ingest_pinned_retries"] == 1
+    # exactly one committed batch, contiguous offsets per topic
+    assert len(log._manifest_records()) == 1
+    for t in ("t0", "t1"):
+        offs = [r["offset"] for r in log.topic_df(t).orderBy("offset").collect()]
+        assert offs == list(range(1, 11)), t
+    # clean ingest takes the fast path: no retry, audit passes
+    log.ingest(df, "topic", "value")
+    assert log.metrics()["ingest_pinned_retries"] == 1
+    for t in ("t0", "t1"):
+        offs = [r["offset"] for r in log.topic_df(t).orderBy("offset").collect()]
+        assert offs == list(range(1, 21)), t
+    log.close()
+
+
+def test_offsets_exact_audit_rejects_bad_layouts(spark, tmp_path):
+    """The pre-commit audit itself: exact interval cover passes;
+    duplicate-offset (with a compensating gap), wrong-bounds, and
+    missing-topic layouts are all rejected."""
+    import pyspark.sql.functions as F
+
+    log = WalrusLog(spark, str(tmp_path / "audit"))
+
+    def stage(rows):
+        p = str(tmp_path / f"staged_{len(rows)}_{rows[0][2]}_{rows[-1][2]}")
+        (
+            spark.createDataFrame(
+                [(t, 0, o, b"x", None) for t, _, o in rows],
+                "topic string, segment long, offset long, value binary, ts timestamp",
+            )
+            .withColumn("crc", F.xxhash64("value"))
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        return p
+
+    good = stage([("t", 0, o) for o in range(1, 6)])
+    assert log._offsets_exact(good, {"t": (1, 5)})
+    dup = stage([("t", 0, o) for o in [1, 2, 2, 4, 5]])  # dup+gap, same n/min/max
+    assert not log._offsets_exact(dup, {"t": (1, 5)})
+    short = stage([("t", 0, o) for o in range(1, 5)])
+    assert not log._offsets_exact(short, {"t": (1, 5)})
+    assert not log._offsets_exact(good, {"t": (1, 5), "u": (1, 1)})
+    log.close()
+
+
+def test_env_var_config(spark, tmp_path, monkeypatch):
+    """Builder env fallbacks (WalrusBuilder analog, src/wal/runtime/
+    builder.rs:26-104): WALRUS_DATA_DIR + WALRUS_INSTANCE_KEY place the
+    log (paths.rs:11-18), WALRUS_MAX_SEGMENT_ENTRIES /
+    WALRUS_FSYNC_SCHEDULE / WALRUS_READ_CONSISTENCY configure it; the
+    key is sanitized exactly as for_key (config.rs:88-104)."""
+    base = str(tmp_path / "envroot")
+    monkeypatch.setenv("WALRUS_DATA_DIR", base)
+    monkeypatch.setenv("WALRUS_INSTANCE_KEY", "prod/tenant a")
+    monkeypatch.setenv("WALRUS_MAX_SEGMENT_ENTRIES", "5")
+    monkeypatch.setenv("WALRUS_FSYNC_SCHEDULE", "no_fsync")
+    monkeypatch.setenv("WALRUS_READ_CONSISTENCY", "at_least_once:7")
+    log = WalrusLog.builder(spark).build()
+    assert log.root == os.path.join(base, "prod_tenant_a")
+    assert log.max_segment_entries == 5
+    assert log.fsync.milliseconds == -1
+    assert log.consistency.persist_every == 7
+    log.batch_append("t", [b"x"] * 7)
+    assert {r["segment"] for r in log.topic_df("t").collect()} == {0, 1}
+    log.close()
+    # explicit setters BYPASS the env entirely
+    other = str(tmp_path / "explicit")
+    log2 = (
+        WalrusLog.builder(spark)
+        .data_dir(other)
+        .key("k")
+        .max_segment_entries(100)
+        .consistency(ReadConsistency.strictly_at_once())
+        .build()
+    )
+    assert log2.root == os.path.join(other, "k")
+    assert log2.max_segment_entries == 100
+    assert log2.consistency.persist_every == 1
+    log2.close()
+
+
+def test_builder_eliminates_env_race(spark, tmp_path):
+    """Mirror of the reference's env-var race regression
+    (tests/env_var_race_condition.rs:27-90): two threads each point
+    WALRUS_DATA_DIR at their own directory before constructing; the
+    env is process-global so the last set wins — but builders with an
+    EXPLICIT data_dir are immune: each thread's log must land in its
+    own directory regardless of env state."""
+    import threading
+
+    d1, d2 = str(tmp_path / "thread1"), str(tmp_path / "thread2")
+    barrier = threading.Barrier(2)
+    results: dict[str, bool] = {}
+
+    def worker(name: str, mine: str):
+        os.environ["WALRUS_DATA_DIR"] = mine  # the racy global write
+        barrier.wait()  # both threads have set the env var now
+        log = WalrusLog.builder(spark).data_dir(mine).key("race_test").build()
+        log.append("t", name.encode())
+        log.close()
+        results[name] = os.path.isdir(os.path.join(mine, "race_test"))
+
+    t1 = threading.Thread(target=worker, args=("t1", d1))
+    t2 = threading.Thread(target=worker, args=("t2", d2))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    os.environ.pop("WALRUS_DATA_DIR", None)
+    assert results == {"t1": True, "t2": True}
+
+
+def test_shared_exclusive_lock_fifo_fair():
+    """The writer gate must be FIFO-fair in BOTH directions: a
+    tight-loop exclusive acquirer (the chaos maintainer) must not
+    starve shared acquirers (appenders), and vice versa — the r5
+    livelock regression. Pure-Python, no Spark."""
+    import threading
+    import time as _t
+
+    from walrus_spark.log.wal import _SharedExclusiveLock
+
+    lk = _SharedExclusiveLock()
+    deadline = _t.monotonic() + 2.0
+    progress = {"s": 0, "x": 0}
+    plock = threading.Lock()
+
+    def excl():
+        while _t.monotonic() < deadline:
+            with lk.exclusive():
+                with plock:
+                    progress["x"] += 1
+
+    def shared():
+        while _t.monotonic() < deadline:
+            assert lk.acquire_shared()
+            try:
+                with plock:
+                    progress["s"] += 1
+            finally:
+                lk.release_shared()
+
+    threads = [threading.Thread(target=excl) for _ in range(2)] + [
+        threading.Thread(target=shared) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    assert progress["s"] > 100, progress
+    assert progress["x"] > 100, progress

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Per-entry variance harness (PERF_r{N}.md evidence).
+
+The driver's per-round bench is a single execution per entry; three
+rounds of ±40% spread between driver and quiet-window captures made
+outliers (r4's dedup_clusters 15.9 s vs 2.5 s steady) indistinguishable
+from machine noise. This harness runs each requested entry N times in
+one session (one unmeasured warmup, then N measured executions, noop
+sink — bench.py's measurement discipline) and reports min/median/max,
+so a future regression is separable from noise in one table.
+
+Usage: python tools/variance.py [entry ...]   (default: the heaviest 5)
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), VARIANCE_N=5
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from walrus_spark.session import get_spark  # noqa: E402
+
+DEFAULT_ENTRIES = [
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_fingerprints",
+    "sim_knn_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n = int(os.environ.get("VARIANCE_N", "5"))
+    entries = sys.argv[1:] or DEFAULT_ENTRIES
+    spark = get_spark("walrus-spark-variance")
+    from walrus_spark.catalog import load_table
+    from walrus_spark.queries import QUERIES
+
+    load_table(spark, sf_dir, "region").count()  # JVM warmup
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in entries:
+        force(QUERIES[name](spark, sf_dir))  # codegen warmup
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            times.append(round(time.perf_counter() - t0, 3))
+        results[name] = {
+            "n": n,
+            "min": min(times),
+            "median": round(statistics.median(times), 3),
+            "max": max(times),
+            "times": times,
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    print("| entry | n | min s | median s | max s |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(
+            f"| {name} | {r['n']} | {r['min']} | {r['median']} | {r['max']} |"
+        )
+    print(json.dumps({"sf_dir": sf_dir, "variance": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ from walrus_spark.log.wal import (  # noqa: F401
     NotLeaderError,
     ReadConsistency,
     WalrusLog,
+    WalrusLogBuilder,
     WouldBlockError,
 )
 from walrus_spark.log.views import (  # noqa: F401

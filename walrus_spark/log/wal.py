@@ -49,11 +49,15 @@ Architecture (Spark-first, NOT a port):
     copy; on an object store this role is played by a manifest-aware
     source (Delta/Iceberg streaming) instead.
 
-Concurrency: appends/ingest/compact/vacuum all serialize on one write
-lock (the reference's per-key async mutex analog, distributed-walrus/
-src/bucket.rs:60-118); maintenance therefore can never race a commit —
+Concurrency: appends serialize PER TOPIC (the reference's per-key async
+mutex, distributed-walrus/src/bucket.rs:60-118) and proceed in parallel
+across distinct topics; only the metadata commit (manifest rename +
+sidecar flush) is a short global section. Ingest/compact/vacuum take a
+whole-log exclusive gate, so maintenance can never race a commit —
 compact snapshots, `replaces` lists, and cleanup all observe one
-consistent manifest. Reads are lock-free Spark scans.
+consistent manifest. Writership verify + commit runs under an OS-level
+fence (flock on <root>/writer.lock), so a takeover can never interleave
+with a commit. Reads are lock-free Spark scans.
 
 Driver-side state is O(topics) metadata only — no data ever passes
 through the driver except the payloads handed to the embedded append API
@@ -62,6 +66,7 @@ itself (at scale, ingestion runs through walrus_spark.streaming instead).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
@@ -69,6 +74,7 @@ import shutil
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -120,12 +126,103 @@ class NotLeaderError(RuntimeError):
 
 
 class WouldBlockError(RuntimeError):
-    """A second in-flight batch was refused instead of queued — the
+    """A conflicting in-flight write was refused instead of queued — the
     reference's WouldBlock fail-fast on concurrent batch appends
-    (tests/batch_writes.rs concurrent-batch rejection suite). Raised
-    only when the caller opts into non-blocking semantics with
-    wait=False; the default mirrors a thread-safe embedded API and
-    serializes."""
+    (tests/batch_writes.rs concurrent-batch rejection suite). A
+    conflict is an in-flight append to the SAME topic (per-topic
+    single-writer, the per-key mutex of distributed-walrus/src/
+    bucket.rs:60-118) or an exclusive maintenance/ingest pass; appends
+    to distinct topics proceed concurrently and never conflict.
+
+    DELIBERATE DEFAULT DIVERGENCE from the reference: there fail-fast
+    is the default; here it is opt-in (wait=False) — the default
+    mirrors a thread-safe embedded API and serializes on the conflict
+    instead."""
+
+
+class _SharedExclusiveLock:
+    """Writer-side readers/writer lock: appends hold SHARED (their real
+    mutual exclusion is the per-topic lock), while ingest / vacuum /
+    compact hold EXCLUSIVE — they mutate or delete state across topics
+    and must observe a quiesced manifest, exactly the invariant the old
+    single global lock provided.
+
+    FIFO-fair: waiters queue in arrival order; a shared request passes
+    only waiters that are themselves shared, an exclusive proceeds only
+    at the queue head. Fairness is load-bearing both ways — a
+    tight-loop maintenance thread re-registering its next exclusive
+    immediately after release must not starve appenders (observed as a
+    chaos-test livelock with a waiting-exclusive-blocks-shared rule),
+    and a steady append stream must not starve maintenance."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._shared = 0
+        self._exclusive = False
+        self._queue: list[tuple[str, int]] = []  # ("s"|"x", ticket)
+        self._next_ticket = 0
+
+    def _may_enter(self, kind: str, ticket: int) -> bool:
+        if self._exclusive:
+            return False
+        if kind == "s":
+            for k, t in self._queue:
+                if t == ticket:
+                    return True
+                if k == "x":
+                    return False
+            raise AssertionError("ticket vanished from queue")
+        return self._shared == 0 and self._queue[0][1] == ticket
+
+    def acquire_shared(self, blocking: bool = True) -> bool:
+        with self._cond:
+            if not blocking:
+                if self._exclusive or any(k == "x" for k, _ in self._queue):
+                    return False
+                self._shared += 1
+                return True
+            me = ("s", self._next_ticket)
+            self._next_ticket += 1
+            self._queue.append(me)
+            try:
+                while not self._may_enter(*me):
+                    self._cond.wait()
+            finally:
+                self._queue.remove(me)
+            self._shared += 1
+            self._cond.notify_all()  # adjacent shared waiters batch in
+            return True
+
+    def release_shared(self) -> None:
+        with self._cond:
+            self._shared -= 1
+            if self._shared == 0:
+                self._cond.notify_all()
+
+    def acquire_exclusive(self) -> None:
+        with self._cond:
+            me = ("x", self._next_ticket)
+            self._next_ticket += 1
+            self._queue.append(me)
+            try:
+                while not self._may_enter(*me):
+                    self._cond.wait()
+            finally:
+                self._queue.remove(me)
+            self._exclusive = True
+
+    def release_exclusive(self) -> None:
+        with self._cond:
+            self._exclusive = False
+            self._cond.notify_all()
+
+    @contextmanager
+    def exclusive(self):
+        self.acquire_exclusive()
+        try:
+            yield
+        finally:
+            self.release_exclusive()
 
 MAX_BATCH_ENTRIES = 2000  # src/wal/config.rs:42
 # Orphan dirs younger than this are presumed to be another live
@@ -184,6 +281,12 @@ class FsyncSchedule:
         return cls(-1)
 
 
+def _sanitize_namespace(key: str) -> str:
+    """Filesystem-safe namespace directory (sanitize_namespace,
+    src/wal/config.rs:88-104): non [A-Za-z0-9._-] chars become '_'."""
+    return re.sub(r"[^A-Za-z0-9._-]", "_", key) or "_"
+
+
 def _atomic_write_json(path: str, obj, durable: bool = True) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -239,12 +342,24 @@ class WalrusLog:
         # (per topic, this process — the corruption-detection coverage
         # counter surfaced by metrics())
         self._verified_reads: dict[str, int] = {}
+        # per-topic hw − last_delivered_offset, snapshotted at delivery
+        # (the GET-reply lag, rpc.rs:17-20); updated by batch_read /
+        # read_next and by shared_cursor_stream's foreachBatch
+        self._consumer_lag: dict[str, int] = {}
         self._txns: set[str] = set()
-        # Serializes offset assignment + manifest commit across threads —
-        # the coarse-grained analog of the reference's per-key async
-        # mutex (distributed-walrus/src/bucket.rs:60-118). Reads are
-        # lock-free Spark scans.
-        self._write_lock = threading.Lock()
+        # Write concurrency mirrors the reference's per-key async mutex
+        # (distributed-walrus/src/bucket.rs:60-118): offset assignment
+        # serializes PER TOPIC, so appends to distinct topics proceed
+        # concurrently. The shared/exclusive gate gives ingest and
+        # maintenance the whole-log exclusion the old global lock
+        # provided; the meta RLock is the short global section guarding
+        # shared metadata (hw/dirty/txns) + its sidecar flush. Reads
+        # are lock-free Spark scans.
+        self._rw = _SharedExclusiveLock()
+        self._topic_locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+        self._meta_lock = threading.RLock()
+        self._pre_commit_hook = None  # test failpoint (see append path)
         # O7 background fsync worker state (background.rs:22-199):
         # sidecar fsyncs are counted (observable in tests/metrics),
         # dirty paths are swept by a lazily-started daemon thread when
@@ -262,6 +377,9 @@ class WalrusLog:
         # protocol; on an object store the final rename becomes a
         # conditional put and the token check is storage-enforced.
         self._writer_path = os.path.join(root, "writer.json")
+        # OS-level advisory lock serializing claim and verify+commit
+        # across PROCESSES (see _fence)
+        self._fence_path = os.path.join(root, "writer.lock")
         self._writer_id = uuid.uuid4().hex
         self._writer_epoch = self._claim_writership()
         # background maintenance daemon state (background.rs:167-194)
@@ -271,6 +389,9 @@ class WalrusLog:
         # reads that re-listed the manifest after losing a file race
         # with concurrent reclamation (surfaced via metrics())
         self.read_relists = 0
+        # unpinned-ingest audits that failed and reran pinned
+        # (nondeterministic source layouts; surfaced via metrics())
+        self.ingest_pinned_retries = 0
         self._maint_interval = auto_maintenance_seconds
         self._maint_stop = threading.Event()
         self._maint_thread: threading.Thread | None = None
@@ -289,8 +410,15 @@ class WalrusLog:
         WALRUS_INSTANCE_KEY analog, src/wal/paths.rs:11-36): the key is
         sanitized to a filesystem-safe directory under base_root, so
         tenants share nothing — not data, not cursors, not metadata."""
-        safe = re.sub(r"[^A-Za-z0-9._-]", "_", key) or "_"
-        return cls(spark, os.path.join(base_root, safe), **kwargs)
+        return cls(
+            spark, os.path.join(base_root, _sanitize_namespace(key)), **kwargs
+        )
+
+    @classmethod
+    def builder(cls, spark: SparkSession) -> "WalrusLogBuilder":
+        """Fluent construction with env-var fallbacks — the
+        WalrusBuilder analog (src/wal/runtime/builder.rs:26-104)."""
+        return WalrusLogBuilder(spark)
 
     # ------------------------------------------------------------------
     # writer fencing (NotLeaderForPartition analog, bucket.rs:110-118)
@@ -304,18 +432,39 @@ class WalrusLog:
                 pass
         return {"epoch": 0, "writer": None}
 
+    @contextmanager
+    def _fence(self):
+        """OS-level advisory lock (flock on <root>/writer.lock) held
+        across writership claims AND across every verify-then-commit
+        section. Closes the cross-process TOCTOU window where a
+        takeover lands between the epoch re-check and the manifest
+        rename — with the fence, a claim and a commit are atomic with
+        respect to each other, so a fenced writer can NEVER publish a
+        batch after the new writer's claim. On a local/NFS filesystem
+        flock provides this; on an object store the same role is played
+        by a conditional-put commit (documented at the module head)."""
+        fd = os.open(self._fence_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _claim_writership(self) -> int:
         """Bump the writer epoch and install this instance as THE
         writer (leader takeover). The previous holder's next mutation
         fails its epoch check — it can never again commit offsets from
-        its now-stale high watermarks."""
-        cur = self._read_writer_record()
-        epoch = int(cur.get("epoch", 0)) + 1
-        _atomic_write_json(
-            self._writer_path,
-            {"epoch": epoch, "writer": self._writer_id},
-        )
-        return epoch
+        its now-stale high watermarks. The read-increment-write runs
+        under the fence, so two racing claimants get distinct epochs."""
+        with self._fence():
+            cur = self._read_writer_record()
+            epoch = int(cur.get("epoch", 0)) + 1
+            _atomic_write_json(
+                self._writer_path,
+                {"epoch": epoch, "writer": self._writer_id},
+            )
+            return epoch
 
     def _verify_writership(self) -> None:
         cur = self._read_writer_record()
@@ -597,25 +746,52 @@ class WalrusLog:
             raise ValueError(f"batch exceeds {MAX_BATCH_BYTES} bytes")
         return self.multi_append({topic: payloads}, wait=wait)[topic]
 
+    def _topic_lock(self, topic: str) -> threading.Lock:
+        with self._locks_guard:
+            lk = self._topic_locks.get(topic)
+            if lk is None:
+                lk = self._topic_locks[topic] = threading.Lock()
+            return lk
+
     def multi_append(
         self, batches: dict[str, list[bytes]], wait: bool = True
     ) -> dict[str, tuple[int, int]]:
         """Atomically append to several topics in ONE commit.
 
-        Thread-safe: concurrent appenders serialize on the write lock
-        by default, so offsets stay per-topic contiguous (the single-
-        writer-per-segment invariant, TLA+ InvSeqOrder). With
-        ``wait=False`` a held lock raises WouldBlockError instead —
-        the reference's concurrent-batch rejection semantics
-        (tests/batch_writes.rs WouldBlock suite)."""
-        if not self._write_lock.acquire(blocking=wait):
+        Thread-safe with per-topic write concurrency (the reference's
+        per-key async mutex, distributed-walrus/src/bucket.rs:60-118):
+        concurrent appenders serialize only when their topic sets
+        overlap — disjoint topics assign offsets and write their
+        parquet concurrently, and only the short metadata commit
+        section is global. Offsets stay per-topic contiguous (the
+        single-writer-per-segment invariant, TLA+ InvSeqOrder) because
+        each topic's high watermark is read and advanced strictly under
+        that topic's lock. With ``wait=False`` a CONFLICTING in-flight
+        write (same topic, or an exclusive ingest/maintenance pass)
+        raises WouldBlockError instead of queueing — the reference's
+        concurrent-batch rejection semantics (tests/batch_writes.rs
+        WouldBlock suite); locks are taken in sorted topic order, so
+        overlapping multi-topic appends cannot deadlock."""
+        if not self._rw.acquire_shared(blocking=wait):
             raise WouldBlockError(
-                "another batch append is in flight (wait=False)"
+                "an exclusive ingest/maintenance pass is in flight "
+                "(wait=False)"
             )
+        acquired: list[threading.Lock] = []
         try:
+            for t in sorted(batches):
+                lk = self._topic_lock(t)
+                if not lk.acquire(blocking=wait):
+                    raise WouldBlockError(
+                        f"another batch append to topic {t!r} is in "
+                        "flight (wait=False)"
+                    )
+                acquired.append(lk)
             return self._multi_append_locked(batches)
         finally:
-            self._write_lock.release()
+            for lk in reversed(acquired):
+                lk.release()
+            self._rw.release_shared()
 
     def _multi_append_locked(
         self, batches: dict[str, list[bytes]]
@@ -647,28 +823,75 @@ class WalrusLog:
             .sortWithinPartitions("topic", "offset")
         )
         df.write.mode("overwrite").parquet(path)
-        # re-check right before the commit point: the slow data write
-        # is where a takeover lands; a fenced writer must not publish
-        # offsets assigned from its stale high watermarks
-        self._verify_writership()
-        # commit point: atomic manifest rename
-        _atomic_write_json(
-            os.path.join(self._manifest_dir, f"{batch_id}.json"),
-            {
-                "batch": batch_id,
-                "path": path,
-                "writer_epoch": self._writer_epoch,
-                "topics": {
-                    t: {"first": r[0], "last": r[1]} for t, r in ranges.items()
+        if self._pre_commit_hook is not None:
+            # failpoint-style injection seam: lets tests land a
+            # takeover exactly in the write→commit window (the TOCTOU
+            # the fence closes)
+            self._pre_commit_hook()
+        # Commit point, made ATOMIC against a takeover by the fence:
+        # the slow data write above is where a takeover lands, and the
+        # flock guarantees no claim can slip between this re-check and
+        # the manifest rename — a fenced writer can never publish
+        # offsets assigned from its stale high watermarks.
+        with self._fence():
+            self._verify_writership()
+            _atomic_write_json(
+                os.path.join(self._manifest_dir, f"{batch_id}.json"),
+                {
+                    "batch": batch_id,
+                    "path": path,
+                    "writer_epoch": self._writer_epoch,
+                    "topics": {
+                        t: {"first": r[0], "last": r[1]}
+                        for t, r in ranges.items()
+                    },
                 },
-            },
-        )
+            )
         self._link_stream(batch_id, path)
-        for topic, (_, last) in ranges.items():
-            self._hw[topic] = last
-            self.mark_topic_dirty(topic, flush=False)
-        self._flush_meta()
+        # short global metadata section (concurrent appends to other
+        # topics serialize only here)
+        with self._meta_lock:
+            for topic, (_, last) in ranges.items():
+                self._hw[topic] = last
+                self.mark_topic_dirty(topic, flush=False)
+            self._flush_meta()
         return ranges
+
+    def _offsets_exact(self, path: str, ranges: dict) -> bool:
+        """Pre-commit audit for the unpinned ingest fast path: the
+        staged files must hold, for every topic, EXACTLY the offsets
+        [first, last] — count, min, max, and distinct-count all agree
+        with the interval, which uniquely pins the multiset (n distinct
+        values inside an n-wide interval is the interval). Scans only
+        the (topic, offset) columns of the just-written batch — ~16
+        bytes/row against full payload bytes, which is what makes this
+        audit cheaper than the localCheckpoint it replaces."""
+        rows = (
+            self.spark.read.schema(LOG_SCHEMA)
+            .parquet(path)
+            .groupBy("topic")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("offset").alias("nd"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+            )
+            .collect()
+        )
+        got = {r["topic"]: r for r in rows}
+        if set(got) != set(ranges):
+            return False
+        for t, (first, last) in ranges.items():
+            r = got[t]
+            n = last - first + 1
+            if (
+                int(r["n"]) != n
+                or int(r["nd"]) != n
+                or int(r["lo"]) != first
+                or int(r["hi"]) != last
+            ):
+                return False
+        return True
 
     def ingest(
         self,
@@ -686,8 +909,13 @@ class WalrusLog:
         ``txn`` makes the commit idempotent: a txn id already present in
         the manifest is skipped, so a replayed streaming micro-batch
         (foreachBatch is at-least-once) commits exactly once — the
-        Delta-style txn-version dedup in miniature."""
-        with self._write_lock:
+        Delta-style txn-version dedup in miniature.
+
+        Runs EXCLUSIVE (no concurrent appends): ingest reads and
+        advances many topics' high watermarks at once, the whole-log
+        exclusion the per-topic append locks deliberately don't
+        provide."""
+        with self._rw.exclusive():
             self._verify_writership()
             self._ingest_locked(df, topic_col, payload_col, txn)
 
@@ -697,6 +925,7 @@ class WalrusLog:
         topic_col: str,
         payload_col: str,
         txn: str | None = None,
+        pin: bool = False,
     ) -> None:
         from pyspark.sql.window import Window
 
@@ -706,25 +935,28 @@ class WalrusLog:
             F.col(topic_col).alias("topic"),
             F.col(payload_col).cast("binary").alias("value"),
         ).withColumn("_pid", F.spark_partition_id())
-        # Pin the partition layout: the two passes below (count, then
-        # assign+write) MUST see identical (_pid, row) placement, which
-        # an arbitrary caller plan (round-robin repartition, upstream
-        # shuffle, task retry between the jobs) does not guarantee.
-        # localCheckpoint materializes the batch once and truncates the
-        # lineage, so divergence is impossible — and an executor loss
-        # mid-ingest fails the job loudly instead of committing corrupt
-        # offsets. (One materialization of the ingest batch is the cost
-        # of exactly-once offset assignment without a per-topic global
-        # window or a post-write re-read.)
-        src = src.localCheckpoint(eager=True)
+        # The two passes below (count, then assign+write) MUST see
+        # identical (_pid, row) placement. FAST PATH (pin=False): trust
+        # the source plan to be deterministic — true for file scans,
+        # the scale ingestion shape — and let pass 1 run column-pruned
+        # against the ORIGINAL source (only the topic column is read,
+        # never payload bytes). Exactly-once is then enforced by the
+        # post-write offset-exactness audit before the commit: if the
+        # layout diverged between the passes (nondeterministic source:
+        # unseeded sample, rand filter, round-robin repartition under
+        # retry), the staged files are discarded and the ingest reruns
+        # PINNED — localCheckpoint materializes the batch once so
+        # divergence is impossible. The r4 always-pin design cost ~14%
+        # ingest throughput materializing payload bytes that a
+        # deterministic source re-scans for free; the audit reads only
+        # the (topic, offset) columns of the just-written files.
+        if pin:
+            src = src.localCheckpoint(eager=True)
         # Pass 1 (metadata-light): per-(source partition, topic) counts.
-        # Column pruning means this scans only the topic column, never
-        # payload bytes. From the counts the driver computes each
-        # (partition, topic) group's offset base — O(partitions×topics)
-        # metadata — so offset assignment below needs NO global
-        # per-topic window (which would serialize each topic through one
-        # task) and NO post-write re-read of the data (which would scan
-        # every ingested byte twice).
+        # From the counts the driver computes each (partition, topic)
+        # group's offset base — O(partitions×topics) metadata — so
+        # offset assignment below needs NO global per-topic window
+        # (which would serialize each topic through one task).
         counts = (
             src.groupBy("_pid", "topic").agg(F.count("*").alias("n")).collect()
         )
@@ -742,8 +974,7 @@ class WalrusLog:
         }
         # Pass 2: assign offsets and write. The row_number window is
         # partitioned by (_pid, topic) — parallelism = source partitions
-        # × topics, not one task per topic. The localCheckpoint above
-        # guarantees both passes read the same materialized layout.
+        # × topics, not one task per topic.
         w = Window.partitionBy("_pid", "topic").orderBy(
             F.monotonically_increasing_id()
         )
@@ -767,6 +998,15 @@ class WalrusLog:
         staged.sortWithinPartitions("topic", "offset").write.mode(
             "overwrite"
         ).parquet(path)
+        if not pin and not self._offsets_exact(path, ranges):
+            # layout diverged between the passes (nondeterministic
+            # source) — nothing was committed; discard the staged files
+            # and rerun with the batch pinned by localCheckpoint
+            shutil.rmtree(path, ignore_errors=True)
+            self.ingest_pinned_retries += 1
+            return self._ingest_locked(
+                df, topic_col, payload_col, txn, pin=True
+            )
         rec = {
             "batch": batch_id,
             "path": path,
@@ -777,18 +1017,21 @@ class WalrusLog:
         }
         if txn is not None:
             rec["txn"] = txn
-        # pre-commit fence re-check (see _multi_append_locked)
-        self._verify_writership()
-        _atomic_write_json(
-            os.path.join(self._manifest_dir, f"{batch_id}.json"), rec
-        )
+        # fenced verify+commit (see _multi_append_locked): no takeover
+        # can land between the re-check and the manifest rename
+        with self._fence():
+            self._verify_writership()
+            _atomic_write_json(
+                os.path.join(self._manifest_dir, f"{batch_id}.json"), rec
+            )
         self._link_stream(batch_id, path)
-        if txn is not None:
-            self._txns.add(txn)
-        for topic, (_, last) in ranges.items():
-            self._hw[topic] = max(self._hw.get(topic, 0), last)
-            self.mark_topic_dirty(topic, flush=False)
-        self._flush_meta()
+        with self._meta_lock:
+            if txn is not None:
+                self._txns.add(txn)
+            for topic, (_, last) in ranges.items():
+                self._hw[topic] = max(self._hw.get(topic, 0), last)
+                self.mark_topic_dirty(topic, flush=False)
+            self._flush_meta()
 
     # ------------------------------------------------------------------
     # read path (O3/O4)
@@ -914,7 +1157,37 @@ class WalrusLog:
         if rows and checkpoint and start_offset is None:
             new_cursor = max(int(r["offset"]) for r in rows)
             self._checkpoint_read(topic, new_cursor, len(rows))
+        if rows:
+            self._consumer_lag[topic] = self._hw.get(topic, 0) - max(
+                int(r["offset"]) for r in rows
+            )
         return [bytes(r["value"]) if r["value"] is not None else b"" for r in rows]
+
+    def batch_read_with_watermark(
+        self,
+        topic: str,
+        max_bytes: int = MAX_BATCH_BYTES,
+        checkpoint: bool = True,
+        start_offset: int | None = None,
+        max_entries: int = MAX_BATCH_ENTRIES,
+    ) -> tuple[list[bytes], int]:
+        """batch_read plus the topic's high watermark in ONE call —
+        the cluster GET reply shape (InternalResp::ReadResult carries
+        `data` and `high_watermark` together, distributed-walrus/src/
+        rpc.rs:17-20), so a consumer learns its lag atomically with
+        delivery instead of issuing a separate, racy high_watermark()
+        call: hw is snapshotted right after the delivered entries are
+        fixed, so `hw − last_delivered_offset` is a consistent lag at
+        delivery time (also surfaced per topic via
+        metrics()['consumer_lag'])."""
+        entries = self.batch_read(
+            topic,
+            max_bytes=max_bytes,
+            checkpoint=checkpoint,
+            start_offset=start_offset,
+            max_entries=max_entries,
+        )
+        return entries, self._hw.get(topic, 0)
 
     def batch_read_at_byte(
         self,
@@ -1118,6 +1391,9 @@ class WalrusLog:
                                  verified on delivery (per topic; the
                                  block.rs:43-77 corruption-check
                                  coverage counter)
+          consumer_lag         — hw − last_delivered_offset per topic,
+                                 snapshotted at delivery time (the GET
+                                 reply's high_watermark, rpc.rs:17-20)
         """
         return {
             "n_topics": len(self._hw),
@@ -1128,22 +1404,27 @@ class WalrusLog:
             "maintenance_sweeps": self.maintenance_sweeps,
             "maintenance_errors": self.maintenance_errors,
             "read_relists": self.read_relists,
+            "ingest_pinned_retries": self.ingest_pinned_retries,
+            "consumer_lag": dict(self._consumer_lag),
             "topics": {t: self.state(t) for t in self.topics()},
         }
 
-    # dirty flags (O12, topic_clean.rs)
+    # dirty flags (O12, topic_clean.rs) — meta_lock is reentrant, so
+    # the commit paths may call these while already holding it
     def mark_topic_dirty(self, topic: str, flush: bool = True) -> None:
-        rec = self._dirty.setdefault(topic, {"dirty": False, "gen": 0})
-        rec["dirty"] = True
-        rec["gen"] += 1
-        if flush:
-            self._flush_meta()
+        with self._meta_lock:
+            rec = self._dirty.setdefault(topic, {"dirty": False, "gen": 0})
+            rec["dirty"] = True
+            rec["gen"] += 1
+            if flush:
+                self._flush_meta()
 
     def mark_topic_clean(self, topic: str) -> None:
-        rec = self._dirty.setdefault(topic, {"dirty": False, "gen": 0})
-        rec["dirty"] = False
-        rec["gen"] += 1
-        self._flush_meta()
+        with self._meta_lock:
+            rec = self._dirty.setdefault(topic, {"dirty": False, "gen": 0})
+            rec["dirty"] = False
+            rec["gen"] += 1
+            self._flush_meta()
 
     def topic_is_clean(self, topic: str) -> bool:
         return not self._dirty.get(topic, {}).get("dirty", False)
@@ -1156,14 +1437,15 @@ class WalrusLog:
         file-reclamation analog (allocator.rs:188-200): a batch is
         removable when all its topics' last offsets are consumed.
 
-        Serializes on the write lock so reclamation can never race a
-        commit's view of the manifest. Live streams that already listed
-        a reclaimed batch have long since processed it (it was fully
-        consumed); a NEW stream starts from the surviving tail — the
-        standard log-retention contract."""
-        with self._write_lock:
+        Runs EXCLUSIVE so reclamation can never race a commit's view
+        of the manifest. Live streams that already listed a reclaimed
+        batch have long since processed it (it was fully consumed); a
+        NEW stream starts from the surviving tail — the standard
+        log-retention contract."""
+        with self._rw.exclusive(), self._fence():
             # reclamation deletes files — a fenced instance must not
-            # destroy data the new writer is serving
+            # destroy data the new writer is serving; the flock makes
+            # the verify + deletions atomic against a takeover
             self._verify_writership()
             removed = 0
             for rec in self._manifest_records():
@@ -1210,8 +1492,14 @@ class WalrusLog:
             survives compaction + restart.
         Crash at any point is safe: before the record rename the old
         records serve reads; after it they are dead (`replaces`) and
-        recover() finishes the cleanup."""
-        with self._write_lock:
+        recover() finishes the cleanup.
+
+        Runs EXCLUSIVE (the whole-log exclusion the old global write
+        lock provided — a concurrent append can neither be missed by
+        the snapshot nor swallowed by the `replaces` list); the fence
+        wraps verify + record rename + cleanup, never the slow rewrite,
+        so a takeover is delayed only by the metadata section."""
+        with self._rw.exclusive():
             self._verify_writership()
             old = self._manifest_records()
             if not old:
@@ -1246,21 +1534,26 @@ class WalrusLog:
             )
             # Commit point: after this rename the old records are dead
             # (filtered via `replaces`), so the cleanup below is pure
-            # garbage collection — a crash anywhere leaves a correct log.
-            _atomic_write_json(
-                os.path.join(self._manifest_dir, f"{batch_id}.json"),
-                {
-                    "batch": batch_id,
-                    "path": out,
-                    "stream": False,
-                    "topics": {
-                        t: {"first": r[0], "last": r[1]}
-                        for t, r in ranges.items()
+            # garbage collection — a crash anywhere leaves a correct
+            # log. Fenced: the slow rewrite above is where a takeover
+            # lands, and the flock makes this re-check + rename atomic
+            # against it.
+            with self._fence():
+                self._verify_writership()
+                _atomic_write_json(
+                    os.path.join(self._manifest_dir, f"{batch_id}.json"),
+                    {
+                        "batch": batch_id,
+                        "path": out,
+                        "stream": False,
+                        "topics": {
+                            t: {"first": r[0], "last": r[1]}
+                            for t, r in ranges.items()
+                        },
+                        "txns": sorted(txns),
+                        "replaces": [rec["batch"] for rec in old],
                     },
-                    "txns": sorted(txns),
-                    "replaces": [rec["batch"] for rec in old],
-                },
-            )
+                )
             for rec in old:
                 p = os.path.join(self._manifest_dir, f"{rec['batch']}.json")
                 if os.path.exists(p):
@@ -1274,3 +1567,102 @@ class WalrusLog:
                     os.path.join(self._stream_dir, rec["batch"]),
                     ignore_errors=True,
                 )
+
+
+class WalrusLogBuilder:
+    """Fluent WalrusLog construction with environment-variable
+    fallbacks — the WalrusBuilder analog (src/wal/runtime/
+    builder.rs:26-104 + paths.rs:11-36).
+
+    Explicit setters BYPASS the environment entirely; that is the
+    builder's reason to exist — the reference added it precisely to
+    eliminate the set_var race when multiple threads construct
+    instances concurrently (tests/env_var_race_condition.rs:27-90).
+    Unset options fall back to env, then to defaults:
+
+      WALRUS_DATA_DIR             root directory  (default "wal_files")
+      WALRUS_INSTANCE_KEY         namespace key under the root
+      WALRUS_MAX_SEGMENT_ENTRIES  segment rollover size
+      WALRUS_FSYNC_SCHEDULE       "sync_each" | "no_fsync" | <int ms>
+      WALRUS_READ_CONSISTENCY     "strictly_at_once" |
+                                  "at_least_once:<N>"
+
+    The first two are the reference's own env vars (src/lib.rs:215-218,
+    config.rs:82-85, paths.rs:11-18); the last three follow the same
+    convention for the knobs this engine exposes as constructor args.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._data_dir: str | None = None
+        self._key: str | None = None
+        self._consistency: ReadConsistency | None = None
+        self._fsync: FsyncSchedule | None = None
+        self._max_segment_entries: int | None = None
+
+    def data_dir(self, d: str) -> "WalrusLogBuilder":
+        self._data_dir = d
+        return self
+
+    def key(self, k: str) -> "WalrusLogBuilder":
+        self._key = k
+        return self
+
+    def consistency(self, c: ReadConsistency) -> "WalrusLogBuilder":
+        self._consistency = c
+        return self
+
+    def fsync_schedule(self, f: FsyncSchedule) -> "WalrusLogBuilder":
+        self._fsync = f
+        return self
+
+    def max_segment_entries(self, n: int) -> "WalrusLogBuilder":
+        self._max_segment_entries = n
+        return self
+
+    def build(self, **kwargs) -> WalrusLog:
+        env = os.environ
+        root = self._data_dir or env.get("WALRUS_DATA_DIR", "wal_files")
+        key = self._key if self._key is not None else env.get(
+            "WALRUS_INSTANCE_KEY"
+        )
+        if key is not None:
+            root = os.path.join(root, _sanitize_namespace(key))
+        mse = self._max_segment_entries
+        if mse is None:
+            mse = int(
+                env.get(
+                    "WALRUS_MAX_SEGMENT_ENTRIES", DEFAULT_MAX_SEGMENT_ENTRIES
+                )
+            )
+        fsync = self._fsync
+        if fsync is None and "WALRUS_FSYNC_SCHEDULE" in env:
+            raw = env["WALRUS_FSYNC_SCHEDULE"].strip().lower()
+            if raw == "sync_each":
+                fsync = FsyncSchedule.sync_each()
+            elif raw == "no_fsync":
+                fsync = FsyncSchedule.no_fsync()
+            else:
+                fsync = FsyncSchedule(int(raw))
+        consistency = self._consistency
+        if consistency is None and "WALRUS_READ_CONSISTENCY" in env:
+            raw = env["WALRUS_READ_CONSISTENCY"].strip().lower()
+            if raw == "strictly_at_once":
+                consistency = ReadConsistency.strictly_at_once()
+            elif raw.startswith("at_least_once:"):
+                consistency = ReadConsistency.at_least_once(
+                    int(raw.split(":", 1)[1])
+                )
+            else:
+                raise ValueError(
+                    f"WALRUS_READ_CONSISTENCY={raw!r}: expected "
+                    "'strictly_at_once' or 'at_least_once:<N>'"
+                )
+        return WalrusLog(
+            self._spark,
+            root,
+            consistency=consistency,
+            fsync=fsync,
+            max_segment_entries=mse,
+            **kwargs,
+        )

@@ -208,6 +208,12 @@ def shared_cursor_stream(
             for r in stats:
                 # sidecar persistence per ReadConsistency.persist_every
                 log._checkpoint_read(r["topic"], int(r["hi"]), int(r["n"]))
+                # consumer lag atomically with delivery (the GET
+                # reply's high_watermark, rpc.rs:17-20) — surfaced via
+                # log.metrics()['consumer_lag']
+                log._consumer_lag[r["topic"]] = log.high_watermark(
+                    r["topic"]
+                ) - int(r["hi"])
         finally:
             batch_df.unpersist()
 

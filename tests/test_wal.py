@@ -1301,8 +1301,11 @@ def test_offsets_exact_audit_rejects_bad_layouts(spark, tmp_path):
 
     log = WalrusLog(spark, str(tmp_path / "audit"))
 
+    staged_n = [0]
+
     def stage(rows):
-        p = str(tmp_path / f"staged_{len(rows)}_{rows[0][2]}_{rows[-1][2]}")
+        staged_n[0] += 1
+        p = str(tmp_path / f"staged_{staged_n[0]}")
         (
             spark.createDataFrame(
                 [(t, 0, o, b"x", None) for t, _, o in rows],
@@ -1315,12 +1318,16 @@ def test_offsets_exact_audit_rejects_bad_layouts(spark, tmp_path):
         return p
 
     good = stage([("t", 0, o) for o in range(1, 6)])
-    assert log._offsets_exact(good, {"t": (1, 5)})
     dup = stage([("t", 0, o) for o in [1, 2, 2, 4, 5]])  # dup+gap, same n/min/max
-    assert not log._offsets_exact(dup, {"t": (1, 5)})
     short = stage([("t", 0, o) for o in range(1, 5)])
-    assert not log._offsets_exact(short, {"t": (1, 5)})
-    assert not log._offsets_exact(good, {"t": (1, 5), "u": (1, 1)})
+    for driver_max in (WalrusLog.AUDIT_DRIVER_MAX_ROWS, 0):
+        # both audit forms — driver-side pyarrow and the distributed
+        # Spark aggregate (forced by a zero driver ceiling) — must agree
+        log.AUDIT_DRIVER_MAX_ROWS = driver_max
+        assert log._offsets_exact(good, {"t": (1, 5)}), driver_max
+        assert not log._offsets_exact(dup, {"t": (1, 5)}), driver_max
+        assert not log._offsets_exact(short, {"t": (1, 5)}), driver_max
+        assert not log._offsets_exact(good, {"t": (1, 5), "u": (1, 1)}), driver_max
     log.close()
 
 

@@ -857,6 +857,12 @@ class WalrusLog:
             self._flush_meta()
         return ranges
 
+    # Above this many rows the audit runs as a distributed Spark job;
+    # below it, a driver-side pyarrow read of the two audit columns is
+    # faster than any Spark job's fixed scheduling cost (~10M rows ×
+    # ~16 B ≈ 160 MB, well inside driver memory).
+    AUDIT_DRIVER_MAX_ROWS = 10_000_000
+
     def _offsets_exact(self, path: str, ranges: dict) -> bool:
         """Pre-commit audit for the unpinned ingest fast path: the
         staged files must hold, for every topic, EXACTLY the offsets
@@ -865,7 +871,13 @@ class WalrusLog:
         values inside an n-wide interval is the interval). Scans only
         the (topic, offset) columns of the just-written batch — ~16
         bytes/row against full payload bytes, which is what makes this
-        audit cheaper than the localCheckpoint it replaces."""
+        audit cheaper than the localCheckpoint it replaces. Below
+        AUDIT_DRIVER_MAX_ROWS the audit is a driver-side pyarrow
+        column read (no Spark job at all — the common streaming
+        micro-batch shape); above it, a distributed aggregate."""
+        expected_rows = sum(last - first + 1 for first, last in ranges.values())
+        if expected_rows <= self.AUDIT_DRIVER_MAX_ROWS:
+            return self._offsets_exact_driver(path, ranges)
         rows = (
             self.spark.read.schema(LOG_SCHEMA)
             .parquet(path)
@@ -892,6 +904,40 @@ class WalrusLog:
             ):
                 return False
         return True
+
+    def _offsets_exact_driver(self, path: str, ranges: dict) -> bool:
+        """Driver-side form of the audit: read (topic, offset) out of
+        the staged parquet with pyarrow and check exact interval cover
+        per topic in numpy — microseconds-scale for streaming-sized
+        batches, zero Spark jobs."""
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(path, format="parquet").to_table(
+            columns=["topic", "offset"]
+        )
+        topics = np.asarray(tbl.column("topic"))
+        offsets = np.asarray(tbl.column("offset"))
+        seen = set()
+        order = np.argsort(topics, kind="stable")
+        topics, offsets = topics[order], offsets[order]
+        bounds = np.searchsorted(
+            topics, np.unique(topics), side="left"
+        ).tolist() + [len(topics)]
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            t = str(topics[lo])
+            if t not in ranges:
+                return False
+            seen.add(t)
+            first, last = ranges[t]
+            offs = np.sort(offsets[lo:hi].astype(np.int64))
+            n = last - first + 1
+            if len(offs) != n or offs[0] != first or offs[-1] != last:
+                return False
+            if n > 1 and (np.diff(offs) != 1).any():
+                return False
+        return seen == set(ranges)
 
     def ingest(
         self,

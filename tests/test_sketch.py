@@ -1,0 +1,141 @@
+"""Sketch-family semantics: Bloom (no false negatives, exact-after-
+verify), Count-Min (containment + mergeability), domain mixing
+(determinism + mixture arithmetic)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR_ORACLE
+from walrus_spark.catalog import load_table
+from walrus_spark.operators.pipeline import (
+    _SPLIT_MOD,
+    _SPLIT_MULT,
+    domain_mix,
+    decontaminate,
+    train_val_split,
+)
+from walrus_spark.operators.sketch import cms_registers
+from walrus_spark.queries.sketch_queries import bloom_decontaminate
+
+
+def _split(spark, sf_dir):
+    d = train_val_split(load_table(spark, sf_dir, "documents"))
+    return (
+        d.where(F.col("split") == "train").drop("split"),
+        d.where(F.col("split") == "val").drop("split"),
+    )
+
+
+def test_bloom_decontam_equals_exact(spark, sf_dir):
+    """Bloom-then-verify is EXACT: candidates ⊇ truth (no false
+    negatives — every member's k probe bits were set by construction)
+    and the verify join removes exactly the false positives. So the
+    contaminated set equals decontaminate()'s, and on eval-vs-eval
+    every probed shingle bloom-passes."""
+    train, ev = _split(spark, sf_dir)
+    _, perdoc, contaminated = bloom_decontaminate(train, ev)
+    got = {r["doc_id"] for r in contaminated.collect()}
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(train, ev).collect()
+        if r["contaminated"]
+    }
+    assert got == exact
+
+    # membership has no false negatives: probe the eval set against
+    # its own filter — every shingle must pass all k probes
+    _, self_funnel, _ = bloom_decontaminate(ev, ev)
+    tot = self_funnel.agg(
+        F.sum("n_probe").alias("p"), F.sum("n_pass").alias("b")
+    ).collect()[0]
+    assert tot["p"] == tot["b"] and tot["p"] > 0
+
+    # scale shape: the probe side never shuffles — k register joins +
+    # the verify join are all broadcast; the ONLY train-sized exchange
+    # is the per-doc rollup
+    plan = perdoc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+
+
+def _md5_positions(token: str, d: int, w: int) -> list[int]:
+    h = hashlib.md5(token.encode()).hexdigest()
+    h1, h2 = int(h[:12], 16), int(h[12:24], 16)
+    return [(h1 + i * h2) % w for i in range(d)]
+
+
+def test_cms_estimate_bounds_and_merge(spark, sf_dir):
+    """Containment: estimate(key) >= true count for every key, with a
+    tiny width forcing real collisions (some estimate strictly above).
+    Mergeability: registers of two disjoint halves, merged by
+    per-(row,bucket) SUM, equal the whole-corpus registers."""
+    from walrus_spark.operators.text import tokens
+
+    d, w = 3, 8
+    tc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    regs = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_registers(tc, "token", "cnt", d=d, w=w).collect()
+    }
+    exact = {r["token"]: r["cnt"] for r in tc.collect()}
+    assert len(exact) > w  # collisions are forced
+    over = 0
+    for tok, cnt in exact.items():
+        est = min(
+            regs[(i, b)] for i, b in enumerate(_md5_positions(tok, d, w))
+        )
+        assert est >= cnt, (tok, est, cnt)
+        over += est > cnt
+    assert over > 0  # at least one collision inflated an estimate
+
+    halves = [
+        tc.where(F.xxhash64("token") % 2 == 0),
+        tc.where(F.xxhash64("token") % 2 != 0),
+    ]
+    merged: dict[tuple[int, int], int] = {}
+    for h in halves:
+        for r in cms_registers(h, "token", "cnt", d=d, w=w).collect():
+            k = (r["row_i"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == regs
+
+
+def test_domain_mix_determinism_and_arithmetic(spark):
+    """Cutoffs match the int-exact formula, kept sets are reproducible,
+    kept ⊆ corpus per source, and a heavier weight never gets a smaller
+    cutoff at equal availability."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    wexpr = F.expr("1 + (CAST(substring(source, 4) AS INT) % 4)")
+    plan, kept = domain_mix(docs, wexpr)
+    rows = {r["source"]: r for r in plan.collect()}
+    t_base = min(r["n_total"] // r["weight"] for r in rows.values())
+    for r in rows.values():
+        assert (
+            r["cutoff"]
+            == (_SPLIT_MOD * t_base * r["weight"]) // r["n_total"]
+        )
+    k1 = sorted((r["doc_id"], r["source"]) for r in kept.collect())
+    _, kept2 = domain_mix(docs, wexpr)
+    assert k1 == sorted((r["doc_id"], r["source"]) for r in kept2.collect())
+    per_src = {}
+    for did, src in k1:
+        per_src[src] = per_src.get(src, 0) + 1
+        assert (did * _SPLIT_MULT) % _SPLIT_MOD < rows[src]["cutoff"]
+    for src, n in per_src.items():
+        assert n <= rows[src]["n_total"]
+    # uniform availability here → cutoff strictly increases with weight
+    by_w = {}
+    for r in rows.values():
+        by_w.setdefault(r["weight"], set()).add(r["cutoff"])
+    ws = sorted(by_w)
+    for a, b in zip(ws, ws[1:]):
+        assert max(by_w[a]) < min(by_w[b])

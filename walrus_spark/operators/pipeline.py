@@ -718,3 +718,129 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing: deterministic proportional downsampling so the output
+# corpus matches target per-source weights — the "data mixture" step
+# every pre-training run executes (web 50% / books 20% / code 30%...).
+
+
+def domain_mix(
+    docs: DataFrame,
+    weight_col: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(plan, kept) for hash-cutoff downsampling to a target mixture.
+
+    ``weight_col`` gives each source's UNNORMALIZED target weight (any
+    positive integers — only ratios matter). The feasible scale is set
+    by the scarcest source: t_base = min_s floor(n_s / w_s); each
+    source keeps ~t_base * w_s docs via the same Knuth multiplicative
+    hash cutoff the train/val split uses — keep doc iff
+    (doc_id * 2654435761) mod 2^32 < floor(2^32 * t_base * w_s / n_s).
+    Deterministic (re-runs and engine-independent re-implementations
+    agree doc-for-doc), stable under reordering, and growing a source
+    only widens its cutoff monotonically.
+
+    Scale shape: per-source counts are a tiny partial-aggregated
+    groupBy; the global min and the cutoffs live in a frame of
+    #sources rows that BROADCAST-joins back to the corpus — one corpus
+    scan, zero shuffles of document rows, no driver collect, no
+    literal plan constants. Cutoff arithmetic is int64:
+    2^32 * t_base * w must stay < 2^63 (t_base*w < 2^31 ≈ 2.1e9 docs
+    per source); past that, swap the multiply to decimal(38,0) — the
+    comparison side is unchanged.
+
+    Returns ``plan`` = (source, n_total, weight, cutoff) and ``kept`` =
+    the surviving (id, source) rows."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    counts = (
+        base.groupBy("source")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("weight", weight_col.cast("long"))
+    )
+    t = counts.agg(
+        F.min(F.expr("n_total DIV weight")).alias("t_base")
+    )
+    plan = counts.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_total",
+        "weight",
+        F.expr(
+            f"(CAST({_SPLIT_MOD} AS BIGINT) * t_base * weight) DIV n_total"
+        ).alias("cutoff"),
+    )
+    kept = base.join(F.broadcast(plan), "source").where(
+        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD))
+        < F.col("cutoff")
+    )
+    return plan, kept
+
+
+# weight derived from the source name itself (src0→1, src1→2, src2→3,
+# src3→4, src4→1, ...) so both engines compute it from data, not a map
+_MIX_W_SQL = "1 + (CAST(substring(source, 4) AS INT) % 4)"
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_total,
+         CAST({_MIX_W_SQL} AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT min(n_total // weight) AS t_base FROM counts
+), plan AS (
+  SELECT source, n_total, weight,
+         ({_SPLIT_MOD}::BIGINT * t.t_base * weight) // n_total AS cutoff
+  FROM counts, t
+), kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN plan p USING (source)
+  WHERE (d.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} < p.cutoff
+), nk AS (
+  SELECT source, count(*) AS n_kept FROM kept GROUP BY 1
+)
+SELECT 'plan' AS src, p.source, p.n_total, p.weight, p.cutoff,
+       COALESCE(nk.n_kept, 0) AS n_kept, CAST(NULL AS BIGINT) AS doc_id
+FROM plan p LEFT JOIN nk USING (source)
+UNION ALL
+SELECT 'doc', source, NULL, NULL, NULL, NULL, doc_id FROM kept
+ORDER BY src, source, doc_id
+"""
+
+
+@register("pipeline_domain_mix", oracle=_MIX_ORACLE)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: mix the 20-source documents fixture to weights
+    cycling 1:2:3:4 by source index. 'plan' rows hash-check the cutoff
+    arithmetic (counts, weights, feasible scale, per-source cutoffs +
+    achieved kept counts); 'doc' rows pin the exact surviving docs —
+    any drift in the hash split or cutoff math flips the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan, kept = domain_mix(docs, F.expr(_MIX_W_SQL))
+    n_kept = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    plan_rows = (
+        plan.join(n_kept, "source", "left")
+        .select(
+            F.lit("plan").alias("src"),
+            "source",
+            "n_total",
+            "weight",
+            "cutoff",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.lit(None).cast("long").alias("doc_id"),
+        )
+    )
+    doc_rows = kept.select(
+        F.lit("doc").alias("src"),
+        "source",
+        F.lit(None).cast("long").alias("n_total"),
+        F.lit(None).cast("long").alias("weight"),
+        F.lit(None).cast("long").alias("cutoff"),
+        F.lit(None).cast("long").alias("n_kept"),
+        "doc_id",
+    )
+    return plan_rows.unionByName(doc_rows).orderBy("src", "source", "doc_id")

@@ -1,4 +1,6 @@
-"""Mergeable cardinality sketches (the "novel sketch" operator class).
+"""Mergeable, cross-engine-verifiable sketches (the "novel sketch"
+operator class): HyperLogLog cardinality, Bloom membership, Count-Min
+frequency.
 
 ``hll_registers`` is a HyperLogLog whose registers are ENGINE-
 INDEPENDENT and integer-exact: the hash is md5 (identical everywhere),
@@ -75,3 +77,95 @@ def hll_estimate(registers, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: engine-independent membership registers.
+#
+# Same design philosophy as hll_registers — Spark ships a built-in
+# BloomFilterAggregate (DataFrameStatFunctions.bloomFilter), but its
+# bit array is engine-private. These registers use md5 double hashing
+# (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m) over 32-bit words,
+# so DuckDB recomputes the identical word table and the gate can
+# hash-check the FILTER ITSELF. Registers merge by per-word bit-OR —
+# across partitions, corpora, days.
+
+BLOOM_M = 1 << 18  # bits (32 KiB of words) — plenty for eval-suite keys
+BLOOM_K = 5  # probes; fpp ~ (1 - e^{-kn/m})^k
+_BLOOM_WORD = 32  # bits per register word (1<<31 stays positive in i64)
+
+
+def bloom_positions(col: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """Array of k bit positions for a value: double hashing over md5.
+
+    h1 = first 48 bits, h2 = next 48 bits of md5(value); position i is
+    (h1 + i*h2) mod m. Exact integer arithmetic both engines:
+    h1 + (k-1)*h2 < 5 * 2^48 < 2^63."""
+    h = F.md5(F.encode(col.cast("string"), "UTF-8"))
+    h1 = _hex_long(h, 1, 12)
+    h2 = _hex_long(h, 13, 12)
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+
+
+def bloom_registers(
+    df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(word, bits) register table of a Bloom filter over ``col``.
+
+    word = pos div 32, bits = bit-OR of (1 << pos mod 32). Only words
+    with at least one set bit appear (sparse form) — membership treats
+    an absent word as all-zeros. Shuffle is O(m/32) words, never rows."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(bloom_positions(F.col(col), m, k)).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "w1"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(w1)").alias("bits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: engine-independent frequency registers.
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+
+
+def cms_positions(col: Column, d: int = CMS_D, w: int = CMS_W) -> Column:
+    """Array of d bucket indices (row i probes bucket arr[i])."""
+    h = F.md5(F.encode(col.cast("string"), "UTF-8"))
+    h1 = _hex_long(h, 1, 12)
+    h2 = _hex_long(h, 13, 12)
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(w)) for i in range(d)])
+
+
+def cms_registers(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(row_i, bucket, cnt) Count-Min register table from an exact
+    per-key count frame (compute the counts once, sketch from them —
+    at 100 TB the count frame is the partial-aggregated token scan).
+
+    Estimate(key) = min over rows i of register[i][bucket_i(key)];
+    always >= the true count (containment). Registers merge by
+    per-(row, bucket) SUM across partitions / corpora / days. Shuffle
+    is O(d*w) registers after map-side partial aggregation."""
+    return (
+        counts.select(
+            F.posexplode(cms_positions(F.col(key_col), d, w)).alias(
+                "row_i", "bucket"
+            ),
+            F.col(cnt_col).alias("c"),
+        )
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("cnt"))
+    )

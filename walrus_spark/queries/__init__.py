@@ -11,6 +11,7 @@ from walrus_spark.queries.registry import QUERIES, ORACLES, register  # noqa: F4
 # driver-green round register FIRST, so even if a harness ever checks a
 # prefix of the registry, the least-proven operators are always inside
 # the window.
+import walrus_spark.queries.sketch_queries  # noqa: F401,E402
 import walrus_spark.operators.similarity  # noqa: F401,E402
 import walrus_spark.operators.multimodal  # noqa: F401,E402
 import walrus_spark.operators.pipeline  # noqa: F401,E402

@@ -140,11 +140,19 @@ def bloom_decontaminate(
     """
     from walrus_spark.operators.dedup import shingles
 
+    # The register table is referenced by K broadcast joins below;
+    # without lineage truncation Spark replans (and so recomputes) the
+    # whole eval tokenize→distinct→aggregate subtree once per join.
+    # localCheckpoint pins the ≤ m/32-row register table (and the
+    # distinct shingle set feeding it + the verify hashes) to computed
+    # blocks — lazily, so entry construction stays plan-only; the
+    # blocks are context-cleaned when the frames go out of scope.
     ev_sh = (
         eval_docs.select(F.explode(shingles(F.col(text_col))).alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    reg = bloom_registers(ev_sh, "s")
+    reg = bloom_registers(ev_sh, "s").localCheckpoint(eager=False)
     ev64 = ev_sh.select(F.xxhash64("s").alias("ev64"))
 
     pr = (

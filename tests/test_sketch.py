@@ -139,3 +139,38 @@ def test_domain_mix_determinism_and_arithmetic(spark):
     ws = sorted(by_w)
     for a, b in zip(ws, ws[1:]):
         assert max(by_w[a]) < min(by_w[b])
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Interpolated estimates land within one bin width of the true
+    percentile, and registers of two disjoint halves merged by per-bin
+    SUM equal the whole-table registers."""
+    import numpy as np
+
+    from walrus_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_registers,
+    )
+
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    reg = histogram_registers(li, "l_extendedprice")
+    regs = {r["bin"]: r["cnt"] for r in reg.collect()}
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {
+        r["p"]: r["est"] for r in histogram_quantiles(reg, ps).collect()
+    }
+    vals = np.array(
+        [r["l_extendedprice"] for r in li.select("l_extendedprice").collect()]
+    )
+    for p in ps:
+        true = float(np.quantile(vals, p))
+        assert abs(est[p] - true) <= 100.0 + 1e-6, (p, est[p], true)
+
+    merged: dict[int, int] = {}
+    for half in (
+        li.where(F.col("l_orderkey") % 2 == 0),
+        li.where(F.col("l_orderkey") % 2 != 0),
+    ):
+        for r in histogram_registers(half, "l_extendedprice").collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == regs

@@ -169,3 +169,94 @@ def cms_registers(
         .groupBy("row_i", "bucket")
         .agg(F.sum("c").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram: engine-independent mergeable quantile registers.
+#
+# Production quantile sketches (t-digest, KLL, GK — what
+# approx_percentile uses) have engine-private state. A fixed-grid
+# histogram trades adaptivity for verifiability: the grid (lo, hi,
+# nbins) is part of the sketch's declared config, bin assignment is
+# exact IEEE arithmetic identical in every engine, registers merge by
+# per-bin SUM, and quantiles come from cumulative interpolation over
+# <= nbins rows. Out-of-range values clamp into the edge bins, so the
+# estimate degrades loudly at the edges instead of failing.
+
+HIST_LO = 0.0
+HIST_HI = 110_000.0
+HIST_BINS = 1100  # width 100.0
+
+
+def histogram_registers(
+    df: DataFrame,
+    col: str,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """(bin, cnt) register table: bin = clamp(floor((x-lo)/width)).
+
+    One scan + one groupBy on an int key with partial aggregation —
+    shuffle volume O(nbins), never rows. Merge across partitions /
+    corpora / days by per-bin SUM (same grid required)."""
+    width = (hi - lo) / nbins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(nbins - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    registers: DataFrame,
+    ps: list[float],
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """(p, est) linear-interpolated quantiles from a register table.
+
+    est = lo + width * (bin + (p*N - cum_prev)/cnt) for the unique bin
+    with cum_prev < p*N <= cum. All arithmetic is over the <= nbins
+    register rows (the single-partition window is bin-bounded, never
+    row-bounded)."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / nbins
+    cum = F.sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = registers.agg(F.sum("cnt").alias("n"))
+    pcol = F.explode(
+        F.array(*[F.lit(float(p)) for p in ps])
+    ).alias("p")
+    t = F.col("p") * F.col("n")
+    return (
+        registers.select("bin", "cnt", cum.alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .select("bin", "cnt", "cum", "n", pcol)
+        .where((F.col("cum") - F.col("cnt") < t) & (t <= F.col("cum")))
+        .select(
+            "p",
+            F.round(
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    F.col("bin")
+                    + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )

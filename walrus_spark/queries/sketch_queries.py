@@ -1,9 +1,10 @@
 """Gate entries for the verifiable sketch family (operators/sketch.py).
 
-Both entries hash-check the SKETCH REGISTERS themselves against DuckDB
-recomputing the identical md5 double-hash construction — the sketch is
-verified, not trusted — and then the decision the sketch drives
-(decontamination candidates / heavy-hitter estimates) alongside.
+Each entry hash-checks the SKETCH REGISTERS themselves against DuckDB
+recomputing the identical construction (md5 double hashing / fixed-grid
+binning) — the sketch is verified, not trusted — and then the decision
+the sketch drives (decontamination candidates, heavy-hitter estimates,
+quantile estimates) alongside.
 """
 
 from __future__ import annotations
@@ -363,3 +364,76 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg_rows.unionByName(hh_rows).orderBy(
         "src", "row_i", "bucket", "token"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram over lineitem prices: the 4th verifiable sketch
+# (cardinality / membership / frequency / quantiles).
+
+_HIST_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+_HIST_ORACLE = """
+WITH reg AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - 0.0::DOUBLE)
+                                   / 100.0::DOUBLE), 0), 1099) AS BIGINT)
+             AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM reg
+), q AS (
+  SELECT p.p, bin, cnt, cum, n
+  FROM c CROSS JOIN (
+    SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                   0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
+  WHERE (cum - cnt) < p.p * n AND p.p * n <= cum
+)
+SELECT 'bin' AS src, bin, CAST(cnt AS BIGINT) AS cnt,
+       CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS est
+FROM reg
+UNION ALL
+SELECT 'q', NULL, NULL, p,
+       round(0.0::DOUBLE + 100.0::DOUBLE
+             * (bin + (p * n - (cum - cnt)) / cnt), 6)
+FROM q
+ORDER BY src, bin, p
+"""
+
+
+@register("sketch_quantile_histogram", oracle=_HIST_ORACLE)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: 'bin' rows = the fixed-grid histogram registers
+    over l_extendedprice (grid [0, 110000) x 1100 declared in the
+    sketch config — hash-checked bin-for-bin); 'q' rows = interpolated
+    quantile estimates at 5 probe points, the identical IEEE
+    arithmetic on both engines. Registers merge by per-bin SUM
+    (test_histogram_quantiles_accuracy_and_merge); the shuffle is
+    O(nbins) after partial aggregation, the quantile math is
+    bin-bounded."""
+    from walrus_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_registers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reg = histogram_registers(li, "l_extendedprice").localCheckpoint(
+        eager=False
+    )
+    bins = reg.select(
+        F.lit("bin").alias("src"),
+        "bin",
+        "cnt",
+        _NULL("double").alias("p"),
+        _NULL("double").alias("est"),
+    )
+    qs = histogram_quantiles(reg, _HIST_PS).select(
+        F.lit("q").alias("src"),
+        _NULL("long").alias("bin"),
+        _NULL("long").alias("cnt"),
+        "p",
+        "est",
+    )
+    return bins.unionByName(qs).orderBy("src", "bin", "p")

@@ -174,3 +174,51 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
         for r in histogram_registers(half, "l_extendedprice").collect():
             merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
     assert merged == regs
+
+
+def test_cms_incremental_maintenance_over_stream(spark, sf_dir, tmp_path):
+    """The production sketch loop: per-micro-batch registers merged by
+    SUM equal the whole-corpus registers — a stream maintains the
+    sketch incrementally, no re-scan of history. Forces >1 micro-batch
+    via maxFilesPerTrigger over a multi-file copy of the corpus."""
+    from walrus_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    def batch_regs(df):
+        tc = (
+            df.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return cms_registers(tc, "token", "cnt")
+
+    merged: dict[tuple[int, int], int] = {}
+    batches = [0]
+
+    def sink(df, _bid):
+        batches[0] += 1
+        for r in batch_regs(df).collect():
+            k = (r["row_i"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in batch_regs(docs).collect()
+    }
+    assert batches[0] > 1
+    assert merged == whole

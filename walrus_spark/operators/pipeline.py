@@ -358,6 +358,21 @@ WITH sp AS (
   SELECT doc_id, shard,
          row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
   FROM sh
+), mcounts AS (
+  SELECT source, count(*) AS n_total,
+         CAST(1 + (CAST(substring(source, 4) AS INT) % 4) AS BIGINT)
+             AS weight
+  FROM documents GROUP BY 1
+), mt AS (
+  SELECT min(n_total // weight) AS t_base FROM mcounts
+), mplan AS (
+  SELECT source, n_total, weight,
+         ({_SPLIT_MOD}::BIGINT * mt.t_base * weight) // n_total AS cutoff
+  FROM mcounts, mt
+), mkept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN mplan p USING (source)
+  WHERE (d.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} < p.cutoff
 )
 SELECT 'split' AS src, split AS key, count(*) AS n_docs,
        CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
@@ -369,6 +384,15 @@ SELECT 'shard' AS src, CAST(shard AS VARCHAR) AS key, count(*) AS n_docs,
        CAST(NULL AS BIGINT) AS n_tokens,
        CAST(sum(pos * doc_id) AS BIGINT) AS ord_checksum
 FROM pos GROUP BY shard
+UNION ALL
+SELECT 'mix_plan' AS src, source AS key, n_total AS n_docs,
+       weight AS n_tokens, cutoff AS ord_checksum
+FROM mplan
+UNION ALL
+SELECT 'mix_kept' AS src, source AS key, count(*) AS n_docs,
+       CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS ord_checksum
+FROM mkept GROUP BY source
 ORDER BY src, key
 """
 
@@ -417,7 +441,38 @@ def pipeline_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord_checksum",
         )
     )
-    return split_side.unionByName(shard_side).orderBy("src", "key")
+    # domain-mix branches (merged tagged entry — the registry is
+    # pinned at 50): 'mix_plan' pins counts/weights/cutoffs, 'mix_kept'
+    # pins the achieved per-source sizes AND the exact surviving
+    # membership via the Σ doc_id checksum.
+    mix_plan, mix_kept = domain_mix(docs, F.expr(_MIX_W_SQL))
+    plan_side = mix_plan.select(
+        F.lit("mix_plan").alias("src"),
+        F.col("source").alias("key"),
+        F.col("n_total").alias("n_docs"),
+        F.col("weight").alias("n_tokens"),
+        F.col("cutoff").alias("ord_checksum"),
+    )
+    kept_side = (
+        mix_kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("ord_checksum"),
+        )
+        .select(
+            F.lit("mix_kept").alias("src"),
+            F.col("source").alias("key"),
+            "n_docs",
+            F.lit(None).cast("long").alias("n_tokens"),
+            "ord_checksum",
+        )
+    )
+    return (
+        split_side.unionByName(shard_side)
+        .unionByName(plan_side)
+        .unionByName(kept_side)
+        .orderBy("src", "key")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -785,62 +840,3 @@ def domain_mix(
 # src3→4, src4→1, ...) so both engines compute it from data, not a map
 _MIX_W_SQL = "1 + (CAST(substring(source, 4) AS INT) % 4)"
 
-_MIX_ORACLE = f"""
-WITH counts AS (
-  SELECT source, count(*) AS n_total,
-         CAST({_MIX_W_SQL} AS BIGINT) AS weight
-  FROM documents GROUP BY 1
-), t AS (
-  SELECT min(n_total // weight) AS t_base FROM counts
-), plan AS (
-  SELECT source, n_total, weight,
-         ({_SPLIT_MOD}::BIGINT * t.t_base * weight) // n_total AS cutoff
-  FROM counts, t
-), kept AS (
-  SELECT d.doc_id, d.source
-  FROM documents d JOIN plan p USING (source)
-  WHERE (d.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} < p.cutoff
-), nk AS (
-  SELECT source, count(*) AS n_kept FROM kept GROUP BY 1
-)
-SELECT 'plan' AS src, p.source, p.n_total, p.weight, p.cutoff,
-       COALESCE(nk.n_kept, 0) AS n_kept, CAST(NULL AS BIGINT) AS doc_id
-FROM plan p LEFT JOIN nk USING (source)
-UNION ALL
-SELECT 'doc', source, NULL, NULL, NULL, NULL, doc_id FROM kept
-ORDER BY src, source, doc_id
-"""
-
-
-@register("pipeline_domain_mix", oracle=_MIX_ORACLE)
-def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate entry: mix the 20-source documents fixture to weights
-    cycling 1:2:3:4 by source index. 'plan' rows hash-check the cutoff
-    arithmetic (counts, weights, feasible scale, per-source cutoffs +
-    achieved kept counts); 'doc' rows pin the exact surviving docs —
-    any drift in the hash split or cutoff math flips the hash."""
-    docs = load_table(spark, sf_dir, "documents")
-    plan, kept = domain_mix(docs, F.expr(_MIX_W_SQL))
-    n_kept = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
-    plan_rows = (
-        plan.join(n_kept, "source", "left")
-        .select(
-            F.lit("plan").alias("src"),
-            "source",
-            "n_total",
-            "weight",
-            "cutoff",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.lit(None).cast("long").alias("doc_id"),
-        )
-    )
-    doc_rows = kept.select(
-        F.lit("doc").alias("src"),
-        "source",
-        F.lit(None).cast("long").alias("n_total"),
-        F.lit(None).cast("long").alias("weight"),
-        F.lit(None).cast("long").alias("cutoff"),
-        F.lit(None).cast("long").alias("n_kept"),
-        "doc_id",
-    )
-    return plan_rows.unionByName(doc_rows).orderBy("src", "source", "doc_id")

@@ -157,7 +157,7 @@ def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq22_asof_join",
+    "dq22_23_temporal_joins",
     oracle="WITH c AS (SELECT event_id, user_id, ts FROM events "
     "WHERE event_type='click'), "
     "v AS (SELECT event_id, user_id, ts FROM events "
@@ -165,19 +165,40 @@ def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j AS (SELECT c.event_id AS click_id, v.event_id AS view_id, "
     "row_number() OVER (PARTITION BY c.event_id "
     "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
-    "FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) "
-    "SELECT c.event_id AS click_id, j.view_id FROM c "
+    "FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts), "
+    "e AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type='error') "
+    "SELECT 'asof' AS src, c.event_id, j.view_id AS matched_id, "
+    "CAST(NULL AS BIGINT) AS n FROM c "
     "LEFT JOIN (SELECT click_id, view_id FROM j WHERE rn = 1) j "
-    "ON j.click_id = c.event_id ORDER BY click_id",
+    "ON j.click_id = c.event_id "
+    "UNION ALL "
+    "SELECT 'range', e.event_id, CAST(NULL AS BIGINT), "
+    "CAST(count(c.user_id) AS BIGINT) "
+    "FROM e LEFT JOIN c ON c.user_id = e.user_id "
+    "AND c.ts >= e.ts - INTERVAL 1 DAY AND c.ts < e.ts "
+    "GROUP BY e.event_id "
+    "ORDER BY src, event_id",
 )
-def dq22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each 'click' event attributed to the same user's
-    latest 'view' at or before it (ties on ts → highest view id).
+def dq22_23_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both temporal-join operators in one tagged entry (merged
+    DQ22+DQ23 — the registry is pinned at 50 entries).
 
-    The oracle is the O(|clicks|·|views| per user) inequality-join
+    'asof' rows: each 'click' event attributed to the same user's
+    latest 'view' at or before it (ties on ts → highest view id). The
+    oracle is the O(|clicks|·|views| per user) inequality-join
     formulation; the Spark side is the union-window algorithm in
     operators/asof.py — one shuffle, no row explosion, the plan a
-    100 TB attribution job needs."""
+    100 TB attribution job needs.
+
+    'range' rows: for every 'error' event, how many clicks the same
+    user made in the preceding 24 hours. The oracle states the naive
+    inequality join DuckDB can afford at fixture scale; the Spark plan
+    is the equi-join on (user, time-bucket) that survives 100 TB
+    (operators/asof.py:range_join). Zero-click errors are kept by
+    left-joining the pair counts back onto the error spine."""
+    from walrus_spark.operators.asof import range_join
+
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -186,7 +207,7 @@ def dq22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "view")
         .select(F.col("event_id").alias("view_id"), "user_id", "ts")
     )
-    joined = asof_join(
+    asof_rows = asof_join(
         clicks,
         views,
         on="user_id",
@@ -194,10 +215,43 @@ def dq22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_tiebreak="view_id",
         right_payload=["view_id"],
+    ).select(
+        F.lit("asof").alias("src"),
+        "event_id",
+        F.col("view_id").alias("matched_id"),
+        F.lit(None).cast("long").alias("n"),
     )
-    return joined.select(
-        F.col("event_id").alias("click_id"), "view_id"
-    ).orderBy("click_id")
+
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    rclicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = range_join(
+        errors,
+        rclicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-86_400_000_000,
+        upper_us=0,
+        right_payload=["click_id"],
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_before")
+    )
+    range_rows = (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            F.lit("range").alias("src"),
+            "event_id",
+            F.lit(None).cast("long").alias("matched_id"),
+            F.coalesce("n_clicks_before", F.lit(0)).alias("n"),
+        )
+    )
+    return asof_rows.unionByName(range_rows).orderBy("src", "event_id")
 
 
 @register(
@@ -235,52 +289,4 @@ def dq26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq23_range_join",
-    oracle="WITH e AS (SELECT event_id, user_id, ts FROM events "
-    "WHERE event_type='error'), "
-    "c AS (SELECT user_id, ts FROM events WHERE event_type='click') "
-    "SELECT e.event_id, CAST(count(c.user_id) AS BIGINT) AS n_clicks_before "
-    "FROM e LEFT JOIN c ON c.user_id = e.user_id "
-    "AND c.ts >= e.ts - INTERVAL 1 DAY AND c.ts < e.ts "
-    "GROUP BY e.event_id ORDER BY e.event_id",
-)
-def dq23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join via the bucketed range_join operator: for every
-    error event, how many clicks the same user made in the preceding
-    24 hours. The oracle states the same thing as the naive
-    inequality join DuckDB can afford at fixture scale; the Spark plan
-    is the equi-join on (user, time-bucket) that survives 100 TB
-    (operators/asof.py:range_join). Zero-click errors are kept by
-    left-joining the pair counts back onto the error spine."""
-    from walrus_spark.operators.asof import range_join
-
-    ev = load_table(spark, sf_dir, "events")
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    pairs = range_join(
-        errors,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        lower_us=-86_400_000_000,
-        upper_us=0,
-        right_payload=["click_id"],
-    )
-    counts = pairs.groupBy("event_id").agg(
-        F.count("*").alias("n_clicks_before")
-    )
-    return (
-        errors.select("event_id")
-        .join(counts, "event_id", "left")
-        .select(
-            "event_id",
-            F.coalesce("n_clicks_before", F.lit(0)).alias("n_clicks_before"),
-        )
-        .orderBy("event_id")
-    )
+# dq23's range join is merged into dq22_23_temporal_joins above.

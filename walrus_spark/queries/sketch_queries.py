@@ -1,10 +1,13 @@
-"""Gate entries for the verifiable sketch family (operators/sketch.py).
+"""Gate entry for the verifiable sketch family (operators/sketch.py).
 
-Each entry hash-checks the SKETCH REGISTERS themselves against DuckDB
-recomputing the identical construction (md5 double hashing / fixed-grid
-binning) — the sketch is verified, not trusted — and then the decision
-the sketch drives (decontamination candidates, heavy-hitter estimates,
-quantile estimates) alongside.
+One tagged entry (the registry is pinned at 50 — new operators merge
+into tagged entries) hash-checks the SKETCH REGISTERS of three sketch
+kinds against DuckDB recomputing the identical construction (md5
+double hashing / declared fixed grids) — the sketch is verified, not
+trusted — and the decision each sketch drives (decontamination funnel
+and flags, heavy-hitter estimates, quantile estimates) alongside.
+The fourth family member, the HLL cardinality sketch, lives in
+dq19_dedup_exact's 'hll' branch.
 """
 
 from __future__ import annotations
@@ -44,79 +47,6 @@ _NULL = lambda t: F.lit(None).cast(t)  # noqa: E731
 
 _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 1 << 32
-
-_BLOOM_ORACLE = f"""
-WITH tagged AS (
-  SELECT doc_id, text,
-         ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 5 AS is_eval
-  FROM documents
-), words AS (
-  SELECT doc_id, is_eval,
-         regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
-  FROM tagged
-), idx AS (
-  SELECT doc_id, is_eval, ws, unnest(generate_series(1, len(ws)-2)) AS i
-  FROM words WHERE len(ws) >= 3
-), sh AS (
-  SELECT DISTINCT doc_id, is_eval,
-         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-  FROM idx
-), ev AS (
-  SELECT DISTINCT s FROM sh WHERE is_eval
-), evpos AS (
-  SELECT (('0x' || substring(md5(s), 1, 12))::BIGINT
-          + i.i * ('0x' || substring(md5(s), 13, 12))::BIGINT)
-         % {BLOOM_M} AS pos
-  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
-), reg AS (
-  SELECT pos // 32 AS word,
-         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS bits
-  FROM evpos GROUP BY 1
-), tr AS (
-  SELECT doc_id, s FROM sh WHERE NOT is_eval
-), trn AS (
-  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1
-), trpos AS (
-  SELECT doc_id, s,
-         (('0x' || substring(md5(s), 1, 12))::BIGINT
-          + i.i * ('0x' || substring(md5(s), 13, 12))::BIGINT)
-         % {BLOOM_M} AS pos
-  FROM tr CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
-), cand AS (
-  SELECT t.doc_id, t.s,
-         (count(*) FILTER (WHERE (COALESCE(r.bits, 0)
-             & ((1::BIGINT) << CAST(t.pos % 32 AS INT))) <> 0))
-         = {BLOOM_K} AS bpass
-  FROM trpos t LEFT JOIN reg r ON r.word = t.pos // 32
-  GROUP BY 1, 2
-), ver AS (
-  SELECT c.doc_id, c.bpass,
-         (c.bpass AND e.s IS NOT NULL) AS ehit
-  FROM cand c LEFT JOIN ev e ON c.bpass AND c.s = e.s
-), perdoc AS (
-  SELECT v.doc_id, any_value(n.n_shingles) AS n_shingles,
-         count(*) AS n_probe,
-         sum(CASE WHEN bpass THEN 1 ELSE 0 END) AS n_pass,
-         sum(CASE WHEN ehit THEN 1 ELSE 0 END) AS n_hit
-  FROM ver v JOIN trn n USING (doc_id) GROUP BY 1
-)
-SELECT 'reg' AS src, word, bits, CAST(NULL AS VARCHAR) AS key,
-       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS doc_id
-FROM reg
-UNION ALL
-SELECT 'stat', NULL, NULL, t.key, t.n, NULL FROM (
-  SELECT 'probe_shingles' AS key, CAST(sum(n_probe) AS BIGINT) AS n
-  FROM perdoc
-  UNION ALL
-  SELECT 'bloom_pass', CAST(sum(n_pass) AS BIGINT) FROM perdoc
-  UNION ALL
-  SELECT 'exact_hits', CAST(sum(n_hit) AS BIGINT) FROM perdoc
-) t
-UNION ALL
-SELECT 'doc', NULL, NULL, NULL, NULL, doc_id FROM perdoc
-WHERE n_hit * 1.0 / nullif(n_shingles, 0) >= 0.5
-ORDER BY src, word, key, doc_id
-"""
 
 
 def bloom_decontaminate(
@@ -210,230 +140,266 @@ def bloom_decontaminate(
     return reg, perdoc, contaminated
 
 
-@register("sketch_bloom_decontam", oracle=_BLOOM_ORACLE)
-def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union hash-checking the whole bloom-decontamination
-    funnel: 'reg' rows = the Bloom register table over the eval split's
-    shingles (the filter itself, word-for-word); 'stat' rows = probed /
-    bloom-pass / exact-hit shingle counts (the false-positive rate is
-    thus pinned cross-engine); 'doc' rows = contaminated train docs —
-    which equal pipeline_decontamination's flags because bloom-then-
-    verify is exact (test_bloom_decontam_equals_exact)."""
-    from walrus_spark.operators.pipeline import train_val_split
+_HIST_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
+# One statement, three sketches. CTE prefixes: b* = bloom over the val
+# split's shingles, c* = count-min over corpus tokens, h* = quantile
+# histogram over lineitem prices. Column superset is tagged by src.
+_FAMILY_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 5 AS is_eval
+  FROM documents
+), words AS (
+  SELECT doc_id, is_eval,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM tagged
+), idx AS (
+  SELECT doc_id, is_eval, ws, unnest(generate_series(1, len(ws)-2)) AS i
+  FROM words WHERE len(ws) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, is_eval,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM idx
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE is_eval
+), evpos AS (
+  SELECT (('0x' || substring(md5(s), 1, 12))::BIGINT
+          + i.i * ('0x' || substring(md5(s), 13, 12))::BIGINT)
+         % {BLOOM_M} AS pos
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
+), breg AS (
+  SELECT pos // 32 AS word,
+         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM evpos GROUP BY 1
+), tr AS (
+  SELECT doc_id, s FROM sh WHERE NOT is_eval
+), trn AS (
+  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1
+), trpos AS (
+  SELECT doc_id, s,
+         (('0x' || substring(md5(s), 1, 12))::BIGINT
+          + i.i * ('0x' || substring(md5(s), 13, 12))::BIGINT)
+         % {BLOOM_M} AS pos
+  FROM tr CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
+), cand AS (
+  SELECT t.doc_id, t.s,
+         (count(*) FILTER (WHERE (COALESCE(r.bits, 0)
+             & ((1::BIGINT) << CAST(t.pos % 32 AS INT))) <> 0))
+         = {BLOOM_K} AS bpass
+  FROM trpos t LEFT JOIN breg r ON r.word = t.pos // 32
+  GROUP BY 1, 2
+), ver AS (
+  SELECT c.doc_id, c.bpass,
+         (c.bpass AND e.s IS NOT NULL) AS ehit
+  FROM cand c LEFT JOIN ev e ON c.bpass AND c.s = e.s
+), perdoc AS (
+  SELECT v.doc_id, any_value(n.n_shingles) AS n_shingles,
+         count(*) AS n_probe,
+         sum(CASE WHEN bpass THEN 1 ELSE 0 END) AS n_pass,
+         sum(CASE WHEN ehit THEN 1 ELSE 0 END) AS n_hit
+  FROM ver v JOIN trn n USING (doc_id) GROUP BY 1
+), ctoks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), ctc AS (
+  SELECT token, count(*) AS exact_cnt FROM ctoks WHERE token <> ''
+  GROUP BY 1
+), cpos AS (
+  SELECT token, exact_cnt, i.i AS row_i,
+         (('0x' || substring(md5(token), 1, 12))::BIGINT
+          + i.i * ('0x' || substring(md5(token), 13, 12))::BIGINT)
+         % {CMS_W} AS bucket
+  FROM ctc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) i
+), creg AS (
+  SELECT row_i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+  FROM cpos GROUP BY 1, 2
+), ctop AS (
+  SELECT token FROM ctc ORDER BY exact_cnt DESC, token LIMIT 20
+), cest AS (
+  SELECT p.token, p.exact_cnt, min(r.cnt) AS cms_est
+  FROM cpos p
+  JOIN ctop t ON t.token = p.token
+  JOIN creg r ON r.row_i = p.row_i AND r.bucket = p.bucket
+  GROUP BY 1, 2
+), hreg AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - 0.0::DOUBLE)
+                                   / 100.0::DOUBLE), 0), 1099) AS BIGINT)
+             AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), hc AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hreg
+), hq AS (
+  SELECT p.p, bin, cnt, cum, n
+  FROM hc CROSS JOIN (
+    SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                   0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
+  WHERE (cum - cnt) < p.p * n AND p.p * n <= cum
+)
+SELECT 'bloom_reg' AS src, word, bits, CAST(NULL AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS row_i, CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS VARCHAR) AS token,
+       CAST(NULL AS BIGINT) AS exact_cnt, CAST(NULL AS BIGINT) AS cms_est,
+       CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS est
+FROM breg
+UNION ALL
+SELECT 'bloom_stat', NULL, NULL, t.key, t.n, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM (
+  SELECT 'probe_shingles' AS key, CAST(sum(n_probe) AS BIGINT) AS n
+  FROM perdoc
+  UNION ALL
+  SELECT 'bloom_pass', CAST(sum(n_pass) AS BIGINT) FROM perdoc
+  UNION ALL
+  SELECT 'exact_hits', CAST(sum(n_hit) AS BIGINT) FROM perdoc
+) t
+UNION ALL
+SELECT 'bloom_doc', NULL, NULL, NULL, NULL, doc_id,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM perdoc
+WHERE n_hit * 1.0 / nullif(n_shingles, 0) >= 0.5
+UNION ALL
+SELECT 'cms_reg', NULL, NULL, NULL, NULL, NULL,
+       row_i, bucket, cnt, NULL, NULL, NULL, NULL, NULL
+FROM creg
+UNION ALL
+SELECT 'cms_hh', NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, token, exact_cnt, CAST(cms_est AS BIGINT),
+       NULL, NULL
+FROM cest
+UNION ALL
+SELECT 'hist_bin', NULL, NULL, NULL, NULL, NULL,
+       NULL, bin, CAST(cnt AS BIGINT), NULL, NULL, NULL, NULL, NULL
+FROM hreg
+UNION ALL
+SELECT 'hist_q', NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, p,
+       round(0.0::DOUBLE + 100.0::DOUBLE
+             * (bin + (p * n - (cum - cnt)) / cnt), 6)
+FROM hq
+ORDER BY src, word, key, doc_id, row_i, bucket, token, p
+"""
+
+_FAMILY_COLS = [
+    "src", "word", "bits", "key", "n", "doc_id", "row_i", "bucket",
+    "cnt", "token", "exact_cnt", "cms_est", "p", "est",
+]
+
+_FAMILY_TYPES = {
+    "word": "long", "bits": "long", "key": "string", "n": "long",
+    "doc_id": "long", "row_i": "long", "bucket": "long", "cnt": "long",
+    "token": "string", "exact_cnt": "long", "cms_est": "long",
+    "p": "double", "est": "double",
+}
+
+
+def _family_rows(src: str, df: DataFrame, **cols) -> DataFrame:
+    """Project df onto the family superset schema with tag ``src``;
+    kwargs map superset column -> source column name."""
+    sel = [F.lit(src).alias("src")]
+    for c in _FAMILY_COLS[1:]:
+        if c in cols:
+            sel.append(F.col(cols[c]).cast(_FAMILY_TYPES[c]).alias(c))
+        else:
+            sel.append(_NULL(_FAMILY_TYPES[c]).alias(c))
+    return df.select(*sel)
+
+
+@register("sketch_family", oracle=_FAMILY_ORACLE)
+def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three verifiable sketches in one tagged entry (the HLL fourth
+    lives in dq19's 'hll' branch). Every branch is hash-checked against
+    DuckDB recomputing the identical registers:
+
+    'bloom_*': Bloom registers over the val split's shingles + the
+    probed/bloom-pass/exact-hit funnel + contaminated train docs —
+    bloom-then-verify decontamination is exact
+    (test_bloom_decontam_equals_exact), the probe is k chained
+    broadcast joins with ONE doc_id exchange (plan-asserted).
+
+    'cms_*': Count-Min registers over corpus token frequencies + the
+    top-20 tokens with exact counts and CMS estimates (containment +
+    mergeability: test_cms_estimate_bounds_and_merge; incremental
+    stream maintenance: test_cms_incremental_maintenance_over_stream).
+
+    'hist_*': fixed-grid quantile registers over l_extendedprice + 5
+    interpolated quantile estimates, identical IEEE arithmetic on both
+    engines (test_histogram_quantiles_accuracy_and_merge)."""
+    from walrus_spark.operators.pipeline import train_val_split
+    from walrus_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_registers,
+    )
+    from walrus_spark.operators.text import tokens
+
+    # --- bloom branch (documents, train vs val split)
     d = train_val_split(load_table(spark, sf_dir, "documents"))
     reg, perdoc, contaminated = bloom_decontaminate(
         d.where(F.col("split") == "train").drop("split"),
         d.where(F.col("split") == "val").drop("split"),
     )
-    reg_rows = reg.select(
-        F.lit("reg").alias("src"),
-        F.col("word"),
-        F.col("bits"),
-        _NULL("string").alias("key"),
-        _NULL("long").alias("n"),
-        _NULL("long").alias("doc_id"),
-    )
-    stat_rows = (
+    bloom_reg = _family_rows("bloom_reg", reg, word="word", bits="bits")
+    bloom_stat = _family_rows(
+        "bloom_stat",
         perdoc.agg(
-            F.sum("n_probe").alias("p"),
+            F.sum("n_probe").alias("pp"),
             F.sum("n_pass").alias("bp"),
             F.sum("n_hit").alias("eh"),
-        )
-        .select(
+        ).select(
             F.expr(
-                "stack(3, 'probe_shingles', p, 'bloom_pass', bp,"
-                " 'exact_hits', eh) AS (key, n)"
+                "stack(3, 'probe_shingles', pp, 'bloom_pass', bp,"
+                " 'exact_hits', eh) AS (k, v)"
             )
-        )
-        .select(
-            F.lit("stat").alias("src"),
-            _NULL("long").alias("word"),
-            _NULL("long").alias("bits"),
-            "key",
-            "n",
-            _NULL("long").alias("doc_id"),
-        )
+        ),
+        key="k",
+        n="v",
     )
-    doc_rows = contaminated.select(
-        F.lit("doc").alias("src"),
-        _NULL("long").alias("word"),
-        _NULL("long").alias("bits"),
-        _NULL("string").alias("key"),
-        _NULL("long").alias("n"),
-        F.col("doc_id"),
-    )
-    return (
-        reg_rows.unionByName(stat_rows)
-        .unionByName(doc_rows)
-        .orderBy("src", "word", "key", "doc_id")
-    )
+    bloom_doc = _family_rows("bloom_doc", contaminated, doc_id="doc_id")
 
-
-# ---------------------------------------------------------------------------
-# Count-Min heavy hitters: verifiable frequency sketch + top-k tokens.
-
-_CMS_ORACLE = f"""
-WITH toks AS (
-  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-  FROM documents
-), tc AS (
-  SELECT token, count(*) AS exact_cnt FROM toks WHERE token <> ''
-  GROUP BY 1
-), pos AS (
-  SELECT token, exact_cnt, i.i AS row_i,
-         (('0x' || substring(md5(token), 1, 12))::BIGINT
-          + i.i * ('0x' || substring(md5(token), 13, 12))::BIGINT)
-         % {CMS_W} AS bucket
-  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) i
-), reg AS (
-  SELECT row_i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
-  FROM pos GROUP BY 1, 2
-), top AS (
-  SELECT token FROM tc ORDER BY exact_cnt DESC, token LIMIT 20
-), est AS (
-  SELECT p.token, p.exact_cnt, min(r.cnt) AS cms_est
-  FROM pos p
-  JOIN top t ON t.token = p.token
-  JOIN reg r ON r.row_i = p.row_i AND r.bucket = p.bucket
-  GROUP BY 1, 2
-)
-SELECT 'reg' AS src, row_i, bucket, cnt, CAST(NULL AS VARCHAR) AS token,
-       CAST(NULL AS BIGINT) AS exact_cnt, CAST(NULL AS BIGINT) AS cms_est
-FROM reg
-UNION ALL
-SELECT 'hh', NULL, NULL, NULL, token, exact_cnt, CAST(cms_est AS BIGINT)
-FROM est
-ORDER BY src, row_i, bucket, token
-"""
-
-
-@register("sketch_cms_heavy_hitters", oracle=_CMS_ORACLE)
-def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union: 'reg' rows = the Count-Min register table over the
-    corpus's token frequencies (hash-checked register-for-register);
-    'hh' rows = the top-20 tokens by exact count with their CMS
-    estimate — estimate >= exact always (containment contract,
-    test_cms_estimate_bounds_and_merge proves it plus mergeability
-    under forced collisions).
-
-    Scale: ONE corpus scan feeds the exact count frame (map-side
-    combined groupBy token); registers derive from the count frame
-    (shuffle O(d*w) = 4096 rows); the estimate probe joins top-k
-    against the broadcast register table. At 100 TB you would persist
-    the count frame once and sketch/rank from it."""
-    from walrus_spark.operators.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
+    # --- count-min branch (documents, token frequencies)
     tc = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("exact_cnt"))
     )
-    reg = cms_registers(tc, "token", "exact_cnt")
+    creg = cms_registers(tc, "token", "exact_cnt")
     top = tc.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
     probe = top.select(
         "token",
         "exact_cnt",
         F.posexplode(cms_positions(F.col("token"))).alias("row_i", "bucket"),
     )
-    est = (
-        probe.join(F.broadcast(reg), ["row_i", "bucket"])
+    cest = (
+        probe.join(F.broadcast(creg), ["row_i", "bucket"])
         .groupBy("token", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
-    reg_rows = reg.select(
-        F.lit("reg").alias("src"),
-        F.col("row_i").cast("long"),
-        F.col("bucket"),
-        F.col("cnt"),
-        _NULL("string").alias("token"),
-        _NULL("long").alias("exact_cnt"),
-        _NULL("long").alias("cms_est"),
+    cms_reg = _family_rows(
+        "cms_reg", creg, row_i="row_i", bucket="bucket", cnt="cnt"
     )
-    hh_rows = est.select(
-        F.lit("hh").alias("src"),
-        _NULL("long").alias("row_i"),
-        _NULL("long").alias("bucket"),
-        _NULL("long").alias("cnt"),
-        "token",
-        "exact_cnt",
-        "cms_est",
-    )
-    return reg_rows.unionByName(hh_rows).orderBy(
-        "src", "row_i", "bucket", "token"
+    cms_hh = _family_rows(
+        "cms_hh", cest, token="token", exact_cnt="exact_cnt",
+        cms_est="cms_est",
     )
 
-
-# ---------------------------------------------------------------------------
-# Quantile histogram over lineitem prices: the 4th verifiable sketch
-# (cardinality / membership / frequency / quantiles).
-
-_HIST_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
-
-_HIST_ORACLE = """
-WITH reg AS (
-  SELECT CAST(least(greatest(floor((l_extendedprice - 0.0::DOUBLE)
-                                   / 100.0::DOUBLE), 0), 1099) AS BIGINT)
-             AS bin,
-         count(*) AS cnt
-  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
-), c AS (
-  SELECT bin, cnt,
-         sum(cnt) OVER (ORDER BY bin) AS cum,
-         sum(cnt) OVER () AS n
-  FROM reg
-), q AS (
-  SELECT p.p, bin, cnt, cum, n
-  FROM c CROSS JOIN (
-    SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
-                   0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
-  WHERE (cum - cnt) < p.p * n AND p.p * n <= cum
-)
-SELECT 'bin' AS src, bin, CAST(cnt AS BIGINT) AS cnt,
-       CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS est
-FROM reg
-UNION ALL
-SELECT 'q', NULL, NULL, p,
-       round(0.0::DOUBLE + 100.0::DOUBLE
-             * (bin + (p * n - (cum - cnt)) / cnt), 6)
-FROM q
-ORDER BY src, bin, p
-"""
-
-
-@register("sketch_quantile_histogram", oracle=_HIST_ORACLE)
-def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union: 'bin' rows = the fixed-grid histogram registers
-    over l_extendedprice (grid [0, 110000) x 1100 declared in the
-    sketch config — hash-checked bin-for-bin); 'q' rows = interpolated
-    quantile estimates at 5 probe points, the identical IEEE
-    arithmetic on both engines. Registers merge by per-bin SUM
-    (test_histogram_quantiles_accuracy_and_merge); the shuffle is
-    O(nbins) after partial aggregation, the quantile math is
-    bin-bounded."""
-    from walrus_spark.operators.sketch import (
-        histogram_quantiles,
-        histogram_registers,
+    # --- quantile-histogram branch (lineitem prices)
+    hreg = histogram_registers(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    ).localCheckpoint(eager=False)
+    hist_bin = _family_rows("hist_bin", hreg, bucket="bin", cnt="cnt")
+    hist_q = _family_rows(
+        "hist_q", histogram_quantiles(hreg, _HIST_PS), p="p", est="est"
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    reg = histogram_registers(li, "l_extendedprice").localCheckpoint(
-        eager=False
+    out = bloom_reg
+    for part in (bloom_stat, bloom_doc, cms_reg, cms_hh, hist_bin, hist_q):
+        out = out.unionByName(part)
+    return out.orderBy(
+        "src", "word", "key", "doc_id", "row_i", "bucket", "token", "p"
     )
-    bins = reg.select(
-        F.lit("bin").alias("src"),
-        "bin",
-        "cnt",
-        _NULL("double").alias("p"),
-        _NULL("double").alias("est"),
-    )
-    qs = histogram_quantiles(reg, _HIST_PS).select(
-        F.lit("q").alias("src"),
-        _NULL("long").alias("bin"),
-        _NULL("long").alias("cnt"),
-        "p",
-        "est",
-    )
-    return bins.unionByName(qs).orderBy("src", "bin", "p")

@@ -222,3 +222,58 @@ def test_cms_incremental_maintenance_over_stream(spark, sf_dir, tmp_path):
     }
     assert batches[0] > 1
     assert merged == whole
+
+
+def test_kmeans_quantized_semantics(spark, sf_dir):
+    """Determinism (re-run identical), completeness (every vector
+    assigned, sizes sum to n), nearest-centroid consistency (each
+    vector's cluster is the argmin over the returned means, python-
+    recomputed), and Lloyd improvement (final SSE <= initial SSE)."""
+    from walrus_spark.catalog import load_table as lt
+    from walrus_spark.operators.cluster import (
+        kmeans_quantized,
+        quantize_vectors,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings")
+    assigned, state = kmeans_quantized(emb)
+    a1 = sorted((r["vec_id"], r["cluster"]) for r in assigned.collect())
+    assigned2, state2 = kmeans_quantized(emb)
+    assert a1 == sorted(
+        (r["vec_id"], r["cluster"]) for r in assigned2.collect()
+    )
+    assert state == state2
+
+    qv = {r["vec_id"]: list(r["qv"]) for r in quantize_vectors(emb).collect()}
+    assert len(a1) == len(qv)
+    means = {c: m for c, _n, m in state}
+
+    def sse(assign_pairs, mdict):
+        tot = 0
+        for vid, c in assign_pairs:
+            tot += sum((x - y) ** 2 for x, y in zip(qv[vid], mdict[c]))
+        return tot
+
+    for vid, c in a1:
+        d_best = min(
+            (sum((x - y) ** 2 for x, y in zip(qv[vid], m)), cid)
+            for cid, m in means.items()
+        )
+        assert d_best[1] == c or d_best[0] == sum(
+            (x - y) ** 2 for x, y in zip(qv[vid], means[c])
+        )
+
+    init = {
+        vid: qv[vid] for vid in qv if vid < len(means)
+    }
+    init_assign = [
+        (
+            vid,
+            min(
+                (sum((x - y) ** 2 for x, y in zip(qv[vid], m)), cid)
+                for cid, m in init.items()
+            )[1],
+        )
+        for vid in qv
+    ]
+    assert sse(a1, means) <= sse(init_assign, init)

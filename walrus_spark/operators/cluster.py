@@ -1,0 +1,128 @@
+"""Deterministic embedding clustering: quantized Lloyd k-means.
+
+The iterative-algorithm operator class, made CROSS-ENGINE EXACT so the
+gate can hash-check it (MLlib's KMeans is seeded/parallel-reduction
+nondeterministic — right for production, unverifiable for a gate):
+
+- vectors quantize to integers first (round(x * 1000) — ~1e-3 grid on
+  unit-ish embeddings, ample for cluster geometry), so every distance
+  is an EXACT int64 sum of squares: no float summation-order drift
+  between engines, no argmin flips on ULP-close distances;
+- centroid means use round-half-up implemented as floor((2S+n)/(2n))
+  — Python's // and DuckDB's // are both floor division, so the
+  driver-side update and the SQL oracle agree bit-for-bit;
+- ties (equal distance) assign to the LOWEST cluster id; empty
+  clusters drop (both engines derive them from the same group-by).
+
+Scale shape: each Lloyd round is ONE scan + one k×dim aggregate
+(map-side combined; the shuffle is O(k·dim) cells, never rows), with
+centroids collected to the driver between rounds — k·dim ints, the
+same bounded-metadata contract as the IVF quantizer
+(similarity.py:136). Assignment is a per-row fold over a literal
+centroid array (fine for gate-scale k; past the literal-plan ceiling
+reuse the IVF pattern: broadcast centroid matrix + Arrow argmin,
+similarity.py:171). int64 headroom: dim·(2·SCALE·max|x|)² per distance
+and 2·S·count per mean — overflow needs |S| ≳ 4.6e18, i.e. ~10^12 rows
+per cluster at this scale; past that, widen the update to decimal.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+KM_SCALE = 1000
+# Uniform offset keeps every quantized coordinate (and so every sum)
+# NON-NEGATIVE: Python's // floors while DuckDB's // truncates toward
+# zero — they agree only on non-negative operands, and the mean
+# formula floor((2S+n)/(2n)) must be bit-identical across engines.
+# Distances are differences, so the offset cancels out of the geometry.
+KM_OFFSET = 10 * KM_SCALE  # supports |x| <= 10
+KM_K = 8
+KM_ITERS = 2
+
+
+def quantize_vectors(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, qv array<long>): round(x * SCALE) + OFFSET per element."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("long")
+        + F.lit(KM_OFFSET),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), qv.alias("qv"))
+
+
+def _sq_dist(qv: Column, mean: list[int]) -> Column:
+    marr = F.array(*[F.lit(int(v)) for v in mean])
+    return F.aggregate(
+        F.zip_with(qv, marr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    q: DataFrame, means: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Add 'cluster' = argmin over means of exact int squared L2
+    (ties -> lowest cluster id, via struct ordering in array_min)."""
+    cands = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("qv"), m).alias("d"),
+                F.lit(int(cid)).cast("long").alias("c"),
+            )
+            for cid, m in means
+        ]
+    )
+    return q.withColumn("cluster", F.array_min(cands)["c"])
+
+
+def _update(assigned: DataFrame, dim: int) -> list[tuple[int, int, list[int]]]:
+    """Collect per-cluster (cluster, n, mean[dim]) — k rows of bounded
+    metadata (the IVF-centroid contract). mean = floor((2S+n)/(2n)),
+    exact round-half-up in integer arithmetic."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)
+    ]
+    rows = assigned.groupBy("cluster").agg(*aggs).collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["cluster"]):
+        n = int(r["n"])
+        out.append(
+            (
+                int(r["cluster"]),
+                n,
+                [(2 * int(r[f"s{i}"]) + n) // (2 * n) for i in range(dim)],
+            )
+        )
+    return out
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, int, list[int]]]]:
+    """Lloyd k-means on quantized vectors. Init = the vectors with the
+    k smallest ids (the deterministic IVF-quantizer convention,
+    similarity.py:136). Returns (final assignment DataFrame under the
+    final means, [(cluster, size, mean_vector)])."""
+    q = quantize_vectors(emb, vec_col, id_col)
+    dim = len(q.select("qv").first()["qv"])
+    init = (
+        q.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cluster"), "qv")
+        .collect()
+    )
+    means = [(int(r["cluster"]), list(r["qv"])) for r in init]
+    state: list[tuple[int, int, list[int]]] = []
+    for _ in range(iters):
+        assigned = kmeans_assign(q, means)
+        state = _update(assigned, dim)
+        means = [(c, m) for c, _n, m in state]
+    return kmeans_assign(q, means), state

@@ -377,17 +377,126 @@ WITH n AS (
   JOIN asgn USING (vec_id)
   JOIN probe ON asgn.cluster = probe.cluster
   CROSS JOIN q
+), kq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT) + 10000) AS qv
+  FROM embeddings
+), km0 AS (
+  SELECT vec_id AS cluster, qv AS m FROM kq WHERE vec_id < 8
+), ka1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km0.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km0.m[i]) * (kq.qv[i] - km0.m[i]))),
+             km0.cluster) AS rn
+    FROM kq CROSS JOIN km0
+  ) t WHERE rn = 1
+), ku1 AS (
+  SELECT a.cluster, i.i AS dim_i, count(*) AS n, sum(kq.qv[i.i]) AS s
+  FROM ka1 a JOIN kq USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+), km1 AS (
+  SELECT cluster,
+         array_agg(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY dim_i) AS m
+  FROM ku1 GROUP BY 1
+), ka2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km1.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km1.m[i]) * (kq.qv[i] - km1.m[i]))),
+             km1.cluster) AS rn
+    FROM kq CROSS JOIN km1
+  ) t WHERE rn = 1
+), ku2 AS (
+  SELECT a.cluster, i.i AS dim_i, count(*) AS n, sum(kq.qv[i.i]) AS s
+  FROM ka2 a JOIN kq USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+), km2 AS (
+  SELECT cluster,
+         array_agg(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY dim_i) AS m
+  FROM ku2 GROUP BY 1
+), ka3 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km2.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km2.m[i]) * (kq.qv[i] - km2.m[i]))),
+             km2.cluster) AS rn
+    FROM kq CROSS JOIN km2
+  ) t WHERE rn = 1
 )
-SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 10
+SELECT 'ivf' AS src, vec_id, CAST(NULL AS BIGINT) AS cluster,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS dim_i,
+       CAST(NULL AS BIGINT) AS m
+FROM (SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 10) t
+UNION ALL
+SELECT 'km_assign', vec_id, cluster, NULL, NULL, NULL FROM ka3
+UNION ALL
+SELECT 'km_centroid', NULL, u.cluster, u.n, u.dim_i,
+       CAST((2*u.s + u.n) // (2*u.n) AS BIGINT)
+FROM ku2 u
+ORDER BY src, vec_id, cluster, dim_i
 """
 
 
 @register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        query_vec_id=1,
-        model_key=sf_dir,
+    """IVF search + the quantizer-fitting iterative algorithm in one
+    tagged entry (merged — the registry is pinned at 50).
+
+    'ivf' rows: top-10 by cosine for query vec 1 through the IVF index.
+    'km_*' rows: deterministic quantized Lloyd k-means
+    (operators/cluster.py, k=8, 2 rounds): the final assignment of
+    every vector and the final integer centroid means with cluster
+    sizes — an ITERATIVE algorithm hash-checked exactly because every
+    distance and mean is int64 arithmetic both engines reproduce."""
+    from walrus_spark.operators.cluster import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(emb, query_vec_id=1, model_key=sf_dir).select(
+        F.lit("ivf").alias("src"),
+        "vec_id",
+        F.lit(None).cast("long").alias("cluster"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("dim_i"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    assigned, state = kmeans_quantized(emb)
+    km_assign = assigned.select(
+        F.lit("km_assign").alias("src"),
+        "vec_id",
+        F.col("cluster"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("dim_i"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    cent_rows = [
+        (int(c), int(nn), i + 1, int(mi))
+        for c, nn, mvec in state
+        for i, mi in enumerate(mvec)
+    ]
+    km_cent = (
+        assigned.sparkSession.createDataFrame(
+            cent_rows, "cluster long, n long, dim_i long, m long"
+        )
+        .select(
+            F.lit("km_centroid").alias("src"),
+            F.lit(None).cast("long").alias("vec_id"),
+            "cluster",
+            "n",
+            "dim_i",
+            "m",
+        )
+    )
+    return (
+        ivf.unionByName(km_assign)
+        .unionByName(km_cent)
+        .orderBy("src", "vec_id", "cluster", "dim_i")
     )
 
 

@@ -129,20 +129,55 @@ def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq08_tumbling_window",
-    oracle="SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n, "
-    "round(sum(value), 4) AS v FROM events GROUP BY 1,2 ORDER BY 1,2",
+    oracle="WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS w, "
+    "count(*) AS n, round(sum(value), 4) AS v FROM events GROUP BY 1,2), "
+    "spans AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM agg "
+    "GROUP BY 1), "
+    "dense AS (SELECT event_type, "
+    "unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w FROM spans) "
+    "SELECT 'agg' AS src, event_type, w, n, v FROM agg "
+    "UNION ALL "
+    "SELECT 'filled', d.event_type, d.w, COALESCE(a.n, 0), "
+    "COALESCE(a.v, 0.0) "
+    "FROM dense d LEFT JOIN agg a USING (event_type, w) "
+    "ORDER BY src, event_type, w",
 )
 def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window counts — the batch-checkable shape of the
-    Structured Streaming windowed agg (walrus_spark.streaming mirrors
-    this with window()+watermark on the live log)."""
-    return (
+    """Tumbling-window counts + dense gap-filled resample, one tagged
+    entry. 'agg' rows are the batch-checkable shape of the Structured
+    Streaming windowed agg (walrus_spark.streaming mirrors this with
+    window()+watermark on the live log). 'filled' rows densify each
+    topic's hourly series over its own [min, max] span — missing hours
+    materialize with n=0, v=0.0 (sequence + explode + left join; the
+    time-series resample every monitoring/feature pipeline needs —
+    window functions and ML featurizers break on implicit gaps).
+
+    Scale shape: the dense axis is built from the per-topic SPAN table
+    (topics × hours rows — metadata-scale next to the event count) and
+    the join back to the aggregate is on (topic, hour) — partial-
+    aggregated on both sides, no scan of raw events for the fill."""
+    agg = (
         _events(spark, sf_dir)
         .withColumn("w", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("event_type", "w")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
-        .orderBy("event_type", "w")
     )
+    spans = agg.groupBy("event_type").agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi")
+    )
+    dense = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("w"),
+    )
+    filled = dense.join(agg, ["event_type", "w"], "left").select(
+        F.lit("filled").alias("src"),
+        "event_type",
+        "w",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("v", F.lit(0.0)).alias("v"),
+    )
+    agg_rows = agg.select(F.lit("agg").alias("src"), "event_type", "w", "n", "v")
+    return agg_rows.unionByName(filled).orderBy("src", "event_type", "w")
 
 
 @register(

@@ -277,3 +277,24 @@ def test_kmeans_quantized_semantics(spark, sf_dir):
         for vid in qv
     ]
     assert sse(a1, means) <= sse(init_assign, init)
+
+
+def test_kmeans_arrow_equals_fold_assignment(spark, sf_dir):
+    """The Arrow (numpy int64) and fold (JVM literal) assignment paths
+    are bit-identical — integer arithmetic has no summation-order
+    freedom, so the fast path IS the oracle-mirrored path."""
+    from walrus_spark.catalog import load_table as lt
+    from walrus_spark.operators.cluster import (
+        KM_K,
+        kmeans_assign,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(lt(spark, sf_dir, "embeddings"))
+    init = q.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("c"), "qv"
+    ).collect()
+    means = [(int(r["c"]), list(r["qv"])) for r in init]
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(q, means, "arrow").collect()}
+    f = {r["vec_id"]: r["cluster"] for r in kmeans_assign(q, means, "fold").collect()}
+    assert a == f and len(a) == q.count()

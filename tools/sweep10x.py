@@ -194,6 +194,51 @@ def main() -> None:
         .agg(F.count("*").alias("n")),
     }
 
+    from walrus_spark.operators.cluster import kmeans_quantized
+    from walrus_spark.operators.pipeline import (
+        _MIX_W_SQL,
+        domain_mix,
+        train_val_split,
+    )
+    from walrus_spark.operators.sketch import (
+        cms_registers,
+        histogram_registers,
+    )
+    from walrus_spark.operators.text import tokens
+    from walrus_spark.queries.sketch_queries import bloom_decontaminate
+
+    def _bloom(d):
+        dd = train_val_split(docs(d))
+        _, perdoc, _ = bloom_decontaminate(
+            dd.where(F.col("split") == "train").drop("split"),
+            dd.where(F.col("split") == "val").drop("split"),
+        )
+        return perdoc
+
+    CASES.update(
+        {
+            "bloom_decontaminate (funnel)": _bloom,
+            "cms_registers (corpus tokens)": lambda d: cms_registers(
+                docs(d)
+                .select(F.explode(tokens(F.col("text"))).alias("t"))
+                .where(F.col("t") != "")
+                .groupBy("t")
+                .agg(F.count("*").alias("c")),
+                "t",
+                "c",
+            ),
+            "histogram_registers (n_chars)": lambda d: histogram_registers(
+                docs(d), "n_chars", 0.0, 2000.0, 200
+            ),
+            "domain_mix (kept side)": lambda d: domain_mix(
+                docs(d), F.expr(_MIX_W_SQL)
+            )[1],
+            "kmeans_quantized (k=8, 2 rounds)": lambda d: kmeans_quantized(
+                emb(d)
+            )[0],
+        }
+    )
+
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 

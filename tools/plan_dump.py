@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Physical-plan shape audit (PLANS_r{N}.md evidence).
+
+For each headline entry, builds the DataFrame at $SPARK_GRAFT_SF_DIR
+and records the executed-plan NODE COUNTS that the scale claims rest
+on: Exchange (shuffles), BroadcastHashJoin / BroadcastNestedLoopJoin,
+SortMergeJoin, WholeStageCodegen spans, Python nodes (BatchEvalPython
+= row-at-a-time — should be ZERO everywhere; ArrowEvalPython /
+MapInPandas = the sanctioned Arrow path), plus whether the parquet
+scan carries PushedFilters. One markdown table; judge-auditable
+without re-running Spark.
+
+Usage: python tools/plan_dump.py [entry ...] (default: headline set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = [
+    "dq11_filter_project",
+    "dq12_hash_agg_q1",
+    "dq13_join_agg_q3",
+    "dq14_broadcast_chain",
+    "dq16_window_rank",
+    "dq22_23_temporal_joins",
+    "dq27_colocated_join",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sketch_family",
+    "sim_ann_ivf",
+    "sim_knn_join",
+    "pipeline_corpus_filter",
+    "pipeline_split_shards",
+    "pipeline_decontamination",
+    "text_fingerprints",
+    "multimodal_decode",
+]
+
+MARKS = {
+    "Exchange": "Exchange",
+    "BHJ": "BroadcastHashJoin",
+    "BNLJ": "BroadcastNestedLoopJoin",
+    "SMJ": "SortMergeJoin",
+    "WSCG": "WholeStageCodegen",
+    "RowPython": "BatchEvalPython",
+    "Arrow": None,  # ArrowEvalPython + MapInPandas, summed below
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    entries = sys.argv[1:] or DEFAULT
+
+    from walrus_spark.queries import QUERIES
+    from walrus_spark.session import get_spark
+
+    spark = get_spark("plan-dump")
+    print(f"| Entry | Exchange | BHJ | BNLJ | SMJ | WSCG | row-Python | Arrow | PushedFilters |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name in entries:
+        df = QUERIES[name](spark, sf_dir)
+        # collect() finalizes THIS DataFrame's own QueryExecution, so
+        # the string shows the AQE FINAL plan (runtime join choices,
+        # coalesced reads, *(n) codegen spans); a noop write would wrap
+        # the plan in a fresh, never-finalized execution. Slice off the
+        # "== Initial Plan ==" tail to avoid double-counting.
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        if "== Initial Plan ==" in p:
+            p = p.split("== Initial Plan ==")[0]
+        c = {k: p.count(v) for k, v in MARKS.items() if v}
+        # Spark 4 prints codegen spans as "*(n) Node"; count distinct ids
+        import re as _re
+
+        c["WSCG"] = len(set(_re.findall(r"\*\((\d+)\)", p)))
+        arrow = p.count("ArrowEvalPython") + p.count("MapInPandas")
+        pushed = "yes" if "PushedFilters: [" in p and not (
+            "PushedFilters: []" in p
+            and p.count("PushedFilters: [") == p.count("PushedFilters: []")
+        ) else "-"
+        print(
+            f"| {name} | {c['Exchange']} | {c['BHJ']} | {c['BNLJ']} |"
+            f" {c['SMJ']} | {c['WSCG']} | {c['RowPython']} | {arrow} |"
+            f" {pushed} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -298,3 +298,76 @@ def test_kmeans_arrow_equals_fold_assignment(spark, sf_dir):
     a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(q, means, "arrow").collect()}
     f = {r["vec_id"]: r["cluster"] for r in kmeans_assign(q, means, "fold").collect()}
     assert a == f and len(a) == q.count()
+
+
+def test_kmeans_degenerate_inputs(spark):
+    """k > distinct points: duplicate-point centroids keep their ids,
+    clusters that lose every member drop from the state (documented
+    drop-empty semantics), and every vector still gets assigned."""
+    import pandas as pd
+
+    from walrus_spark.operators.cluster import kmeans_quantized
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(6)),
+            # two tight groups far apart; ids 0-5 all initial centroids
+            # at k=8 > n=6
+            "embedding": [
+                [0.1, 0.1], [0.1, 0.1], [0.1, 0.11],
+                [0.9, 0.9], [0.9, 0.9], [0.9, 0.91],
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    assigned, state = kmeans_quantized(emb, k=8, iters=2)
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert len(rows) == 6
+    # identical points share a cluster; the two groups never merge
+    assert rows[0] == rows[1] and rows[3] == rows[4]
+    assert rows[0] != rows[3]
+    assert sum(n for _, n, _ in state) == 6
+    assert len(state) <= 6  # empty initial clusters dropped
+
+
+def test_text_edge_cases_match_python(spark):
+    """shingles/tokens on messy input (tabs, newlines, multi-space,
+    unicode, empty, whitespace-only) agree with a literal python
+    reimplementation of the declared semantics — the regexes carry the
+    cross-engine contract, so pin them against an independent model."""
+    import re as _re
+
+    from walrus_spark.operators.dedup import shingles
+    from walrus_spark.operators.text import tokens
+
+    texts = [
+        "a b c d",
+        "  leading and  double  spaces ",
+        "tab\tsep\tand\nnewline mix",
+        "ünïcode wörds hére too",
+        "",
+        "   ",
+        "one",
+        "two words",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_tok = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    got_sh = {
+        r["doc_id"]: sorted(r["s"])
+        for r in df.select(
+            "doc_id", shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want_tok = _re.split(r"\s+", t.strip().lower())
+        assert got_tok[i] == want_tok, (i, got_tok[i], want_tok)
+        ws = [w for w in want_tok if w]
+        want_sh = sorted(
+            {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        )
+        assert got_sh[i] == want_sh, (i, got_sh[i], want_sh)

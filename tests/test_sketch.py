@@ -371,3 +371,32 @@ def test_text_edge_cases_match_python(spark):
             {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
         )
         assert got_sh[i] == want_sh, (i, got_sh[i], want_sh)
+
+
+def test_simhash_caller_supplied_count_skips_count_job(spark, sf_dir):
+    """n_docs= lets a caller that knows its corpus size keep the
+    auto-budget decision plan-only (no count() job), and the result
+    equals the counted path."""
+    from walrus_spark.operators.dedup import (
+        SIMHASH_WIDE_BUDGET_MAX_DOCS,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = simhash_pairs(docs, n_docs=n)  # build: must launch no job
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    got = sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+    want = sorted(
+        (r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()
+    )
+    assert got == want
+    # narrow budget kicks in for a claimed-huge corpus
+    wide_cols = simhash_pairs(docs, n_docs=n).columns
+    narrow = simhash_pairs(
+        docs, n_docs=SIMHASH_WIDE_BUDGET_MAX_DOCS + 1
+    )
+    assert narrow.columns == wide_cols

@@ -734,6 +734,7 @@ def simhash_pairs(
     docs: DataFrame,
     max_hamming: int | None = None,
     sets: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -757,9 +758,17 @@ def simhash_pairs(
     documents — short-doc fixtures have noisy sketches whose true
     near-dups span Hamming up to ~11, and tiny corpora can afford
     quadratic buckets — then the scale-safe narrow budget (3). Pass an
-    explicit budget to override."""
+    explicit budget to override.
+
+    ``n_docs``: corpus size for the auto-budget decision. When omitted
+    the operator runs a count() job — metadata-cheap but still one
+    extra job per call; a 100 TB caller that knows its corpus size
+    (catalog stats, ingest ledger) passes it and the call stays
+    plan-only. Ignored when max_hamming is explicit."""
     if max_hamming is None:
-        max_hamming = simhash_auto_budget(docs.count())
+        max_hamming = simhash_auto_budget(
+            docs.count() if n_docs is None else int(n_docs)
+        )
     m = max_hamming + 1
     widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
     starts = [sum(widths[:i]) for i in range(m)]

@@ -1435,3 +1435,66 @@ def test_shared_exclusive_lock_fifo_fair():
     assert not any(t.is_alive() for t in threads)
     assert progress["s"] > 100, progress
     assert progress["x"] > 100, progress
+
+
+def test_per_topic_persist_every_interleaved(spark, tmp_path):
+    """persist_every counts PER TOPIC (configuration.rs:184-211,
+    test_multiple_topics_different_consistency_behavior): one read on
+    each of two topics at persist_every=2 persists NEITHER cursor, so
+    a successor replays both topics from the start. Persisting more
+    often than the bound (e.g. when another topic's flush sweeps all
+    cursors) is a permitted tightening; persisting less is a bug this
+    test would catch."""
+    root = str(tmp_path / "pt")
+    log = WalrusLog(
+        spark, root, consistency=ReadConsistency.at_least_once(2)
+    )
+    log.append("topic_a", b"a1")
+    log.append("topic_b", b"b1")
+    log.append("topic_a", b"a2")
+    log.append("topic_b", b"b2")
+    assert log.read_next("topic_a") == b"a1"
+    assert log.read_next("topic_b") == b"b1"
+    # no close(): simulate a crash before any persist threshold fires
+    relog = WalrusLog(
+        spark, root, consistency=ReadConsistency.at_least_once(2)
+    )
+    assert relog.read_next("topic_a") == b"a1"
+    assert relog.read_next("topic_b") == b"b1"
+    relog.close()
+
+
+def test_mixed_size_drain_never_stuck(spark, tmp_path):
+    """Mixed tiny/multi-MB entries drained under a small byte budget
+    (repro_issue.rs:6, the stuck-read regression): every entry —
+    including ones far exceeding the budget — is delivered exactly
+    once, in order, and the drain terminates."""
+    root = str(tmp_path / "mix")
+    log = WalrusLog(spark, root)
+    big = b"Y" * (2 * 1024 * 1024)
+    big2 = b"Z" * (1024 * 1024)
+    payloads = [b"X" * 18, big, b"X" * 18, big2]
+    log.batch_append("t", payloads)
+
+    # stateless form from offset 0 with a budget below the big entries
+    got, off, rounds = [], 0, 0
+    while rounds < 20:
+        batch = log.batch_read(
+            "t", max_bytes=64 * 1024, checkpoint=False, start_offset=off
+        )
+        if not batch:
+            break
+        got.extend(batch)
+        off += len(batch)
+        rounds += 1
+    assert got == payloads, [len(p) for p in got]
+
+    # cursor form drains identically
+    got2 = []
+    while True:
+        b = log.batch_read("t", max_bytes=64 * 1024)
+        if not b:
+            break
+        got2.extend(b)
+    assert got2 == payloads
+    log.close()

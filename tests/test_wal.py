@@ -1498,3 +1498,24 @@ def test_mixed_size_drain_never_stuck(spark, tmp_path):
         got2.extend(b)
     assert got2 == payloads
     log.close()
+
+
+def test_extreme_topic_names(spark, tmp_path):
+    """stress_extreme_topic_names (unit.rs:409) — and beyond: because
+    topics are COLUMN VALUES (never filesystem path components), names
+    with dots, dashes, unicode, spaces, and even slashes all work with
+    full isolation; the reference tolerates rejection for some of
+    these, this engine accepts them all."""
+    log = WalrusLog(spark, str(tmp_path / "names"))
+    topics = [
+        "a", "a" * 10, "topic_with_underscores_and_numbers_123",
+        "UPPERCASE_TOPIC", "mixed_Case_Topic_123", "topic.with.dots",
+        "topic-with-dashes", "0123456789", "topic_with_unicode_café",
+        "topic with spaces", "slash/y",
+    ]
+    for i, t in enumerate(topics):
+        log.append(t, f"data_{i}".encode())
+    for i, t in enumerate(topics):
+        assert log.read_next(t) == f"data_{i}".encode()
+        assert log.topic_entry_count(t) == 0  # fully consumed, isolated
+    log.close()

@@ -1519,3 +1519,22 @@ def test_extreme_topic_names(spark, tmp_path):
         assert log.read_next(t) == f"data_{i}".encode()
         assert log.topic_entry_count(t) == 0  # fully consumed, isolated
     log.close()
+
+
+def test_payload_size_boundaries_byte_exact(spark, tmp_path):
+    """stress_boundary_conditions (unit.rs:275): payload sizes around
+    power-of-two boundaries (0, 1, 63..65, 1023..1025, 64Ki±1, 1Mi±1)
+    round-trip byte-exact, each under its own topic."""
+    log = WalrusLog(spark, str(tmp_path / "bounds"))
+    sizes = [0, 1, 63, 64, 65, 1023, 1024, 1025, 65535, 65536, 65537,
+             1024 * 1024 - 1, 1024 * 1024, 1024 * 1024 + 1]
+    payloads = {}
+    batch = {}
+    for i, size in enumerate(sizes):
+        data = bytes(((i + j) % 256) for j in range(size))
+        payloads[f"boundary_{i}"] = data
+        batch[f"boundary_{i}"] = [data]
+    log.multi_append(batch)  # one atomic commit for all 14 topics
+    for t, data in payloads.items():
+        assert log.read_next(t) == data
+    log.close()

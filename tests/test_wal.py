@@ -46,8 +46,8 @@ def test_peek_does_not_consume(log):
 def test_batch_limits(log):
     with pytest.raises(ValueError):
         log.batch_append("t", [b"x"] * (MAX_BATCH_ENTRIES + 1))
-    with pytest.raises(ValueError):
-        log.batch_append("t", [])
+    # empty batch is a successful no-op (test_empty_batch_is_noop),
+    # matching batch_writes.rs:231 — not a limit violation
 
 
 def test_byte_budget_always_one(log):
@@ -1537,4 +1537,18 @@ def test_payload_size_boundaries_byte_exact(spark, tmp_path):
     log.multi_append(batch)  # one atomic commit for all 14 topics
     for t, data in payloads.items():
         assert log.read_next(t) == data
+    log.close()
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    """test_empty_batch (batch_writes.rs:231): an empty batch succeeds
+    as a no-op — empty returned range, no entries, nothing to read —
+    and a subsequent real batch starts exactly where the watermark
+    was."""
+    log = WalrusLog(spark, str(tmp_path / "eb"))
+    first, last = log.batch_append("test_topic", [])
+    assert last == first - 1  # empty range
+    assert log.topic_entry_count("test_topic") == 0
+    assert log.batch_read("test_topic") == []
+    assert log.batch_append("test_topic", [b"x"]) == (1, 1)
     log.close()

@@ -736,9 +736,15 @@ class WalrusLog:
         are unreadable until it — a crash mid-write leaves no visible
         trace (the rollback-by-header-zeroing analog). ``wait=False``
         mirrors the reference's concurrent-batch fail-fast: a second
-        in-flight batch raises WouldBlockError instead of queueing."""
+        in-flight batch raises WouldBlockError instead of queueing.
+
+        An EMPTY batch is a successful no-op (tests/batch_writes.rs:231
+        test_empty_batch accepts it): nothing is written, no offsets are
+        consumed, and the returned range (hw+1, hw) is empty — callers
+        iterating `range(first, last+1)` naturally see zero offsets."""
         if not payloads:
-            raise ValueError("empty batch")
+            hw = self._hw.get(topic, 0)
+            return (hw + 1, hw)
         if len(payloads) > MAX_BATCH_ENTRIES:
             raise ValueError(f"batch exceeds {MAX_BATCH_ENTRIES} entries")
         total = sum(len(p) for p in payloads)

@@ -1552,3 +1552,20 @@ def test_empty_batch_is_noop(spark, tmp_path):
     assert log.batch_read("test_topic") == []
     assert log.batch_append("test_topic", [b"x"]) == (1, 1)
     log.close()
+
+
+def test_batch_read_exact_budget_boundary(spark, tmp_path):
+    """test_batch_read_exact_budget_boundary (batch_read.rs:944):
+    budget-exact consumption over uniform 100-byte entries — exactly
+    floor(budget/size) entries per read, ≥1 under any budget, cursor
+    advancing monotonically."""
+    log = WalrusLog(spark, str(tmp_path / "exact"))
+    log.batch_append("exact_budget", [bytes([i]) * 100 for i in range(20)])
+    assert len(log.batch_read("exact_budget", max_bytes=300)) == 3
+    assert len(log.batch_read("exact_budget", max_bytes=500)) == 5
+    assert len(log.batch_read("exact_budget", max_bytes=1)) == 1
+    assert len(log.batch_read("exact_budget", max_bytes=350)) == 3
+    # 12 consumed; the remaining 8 drain exactly
+    assert len(log.batch_read("exact_budget", max_bytes=10_000)) == 8
+    assert log.batch_read("exact_budget") == []
+    log.close()

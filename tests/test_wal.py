@@ -1569,3 +1569,25 @@ def test_batch_read_exact_budget_boundary(spark, tmp_path):
     assert len(log.batch_read("exact_budget", max_bytes=10_000)) == 8
     assert log.batch_read("exact_budget") == []
     log.close()
+
+
+def test_interleaved_single_and_batch_reads(spark, tmp_path):
+    """test_interleaved_single_and_batch_reads (batch_read.rs:781):
+    alternating read_next and batch_read rounds share ONE cursor —
+    every entry arrives exactly once, in order, regardless of which
+    read form consumed its predecessor."""
+    log = WalrusLog(spark, str(tmp_path / "inter"))
+    want = [f"interleaved_{i:04d}".encode() for i in range(60)]
+    log.batch_append("interleaved", want)
+    got = []
+    round_i = 0
+    while len(got) < len(want) and round_i < 100:
+        if round_i % 2 == 0:
+            nxt = log.read_next("interleaved")
+            if nxt is not None:
+                got.append(nxt)
+        else:
+            got.extend(log.batch_read("interleaved", max_bytes=16 * 5))
+        round_i += 1
+    assert got == want
+    log.close()

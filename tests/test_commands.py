@@ -1,0 +1,72 @@
+"""The reference client protocol end-to-end — the python port of
+distributed-walrus/tests/cli_e2e.rs::cli_end_to_end_roundtrip_and_errors,
+run over a real TCP socket with the reference's length-prefixed
+framing."""
+
+from __future__ import annotations
+
+import json
+
+from walrus_spark.log import CommandClient, CommandServer, CommandShell, WalrusLog
+
+
+def test_cli_end_to_end_roundtrip_and_errors(spark, tmp_path):
+    log = WalrusLog(spark, str(tmp_path / "cli"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    client = CommandClient(host, port)
+    try:
+        # Unknown topic should error (cluster surface requires REGISTER)
+        assert "unknown topic" in client.send("PUT missing payload").lower()
+
+        assert client.send("REGISTER logs") == "OK"
+        # Idempotent register should not fail
+        assert client.send("REGISTER logs") == "OK"
+
+        messages = ["one", "two", "three", "four", "five"]
+        for m in messages:
+            assert client.send(f"PUT logs {m}") == "OK"
+        for m in messages:
+            assert client.send("GET logs") == f"OK {m}"
+
+        # Queue drained -> EMPTY
+        assert client.send("GET logs") == "EMPTY"
+
+        # State returns JSON
+        state = json.loads(client.send("STATE logs"))
+        assert state["high_watermark"] == 5 and state["unconsumed"] == 0
+
+        # Metrics responds with JSON
+        metrics = json.loads(client.send("METRICS"))
+        assert "logs" in metrics["topics"]
+
+        # Garbage command surfaces server error text
+        assert client.send("GARBAGE").upper().startswith("ERR")
+
+        # payload keeps embedded spaces (splitn(3) semantics)
+        client.send("REGISTER sp")
+        assert client.send("PUT sp hello world  twice") == "OK"
+        assert client.send("GET sp") == "OK hello world  twice"
+
+        # framing errors mirror client.rs:40-53
+        assert client.send_raw(b"\xff\xfe METRICS") == "ERR invalid utf-8"
+        assert "ERR" in client.send_raw(b"")  # zero-length frame
+    finally:
+        client.close()
+        server.shutdown()
+        log.close()
+
+
+def test_command_shell_direct(spark, tmp_path):
+    """The in-process shell (no socket) for embedded/tooling use."""
+    log = WalrusLog(spark, str(tmp_path / "sh"))
+    sh = CommandShell(log)
+    assert sh.execute("REGISTER t") == "OK"
+    assert sh.execute("PUT t payload") == "OK"
+    assert sh.execute("GET t") == "OK payload"
+    assert sh.execute("GET t") == "EMPTY"
+    assert sh.execute("STATE nope").startswith("ERR unknown topic")
+    assert sh.execute("PUT") == "ERR PUT requires a topic"
+    assert sh.execute("PUT t") == "ERR PUT requires a payload"
+    assert sh.execute("") == "ERR empty command"
+    log.close()

@@ -15,3 +15,8 @@ from walrus_spark.log.views import (  # noqa: F401
     typed_log_view,
     typed_topic_view,
 )
+from walrus_spark.log.commands import (  # noqa: F401
+    CommandClient,
+    CommandServer,
+    CommandShell,
+)

@@ -1415,6 +1415,18 @@ class WalrusLog:
     def topics(self) -> list[str]:
         return sorted(self._hw)
 
+    def ensure_topic(self, topic: str) -> None:
+        """D1 REGISTER analog (controller ensure_topic): make the topic
+        exist with zero entries. Topics are otherwise implicit-created
+        on first append, like the core engine; this in-memory
+        registration exists for the client protocol's REGISTER command
+        — an unwritten registration does not survive restart (the
+        reference persists it via Raft metadata, a §4 non-goal)."""
+        self._hw.setdefault(topic, 0)
+
+    def has_topic(self, topic: str) -> bool:
+        return topic in self._hw
+
     def state(self, topic: str) -> dict:
         """STATE analog (controller/mod.rs:189-195)."""
         hw = self._hw.get(topic, 0)

@@ -1591,3 +1591,20 @@ def test_interleaved_single_and_batch_reads(spark, tmp_path):
         round_i += 1
     assert got == want
     log.close()
+
+
+def test_nonexistent_topic_and_write_after_exhaustion(spark, tmp_path):
+    """integration_nonexistent_topic + integration_write_after_exhaustion
+    (integration.rs:296, 313): reading a never-written topic yields
+    None/[] (no error, no creation), and a topic written after full
+    consumption delivers the new entry from the advanced cursor."""
+    log = WalrusLog(spark, str(tmp_path / "nx"))
+    assert log.read_next("ghost") is None
+    assert log.batch_read("ghost") == []
+    assert not log.has_topic("ghost")
+    log.append("t", b"a")
+    assert log.read_next("t") == b"a"
+    assert log.read_next("t") is None  # exhausted
+    log.append("t", b"b")
+    assert log.read_next("t") == b"b"
+    log.close()

@@ -544,3 +544,86 @@ def test_text_operators_run_on_streams(spark, tmp_path):
     assert got == batch
     assert "<EMAIL>" in got[1][0] and "<IP>" in got[1][0]
     assert "<PHONE>" in got[3][0]
+
+
+def test_streaming_incremental_corpus_dedup(spark, tmp_path):
+    """The production incremental-dedup loop, end to end on a stream:
+    documents arrive in micro-batches; each batch is near-deduped
+    against the ACCUMULATED corpus with minhash_lsh_cross (equi-join
+    of band buckets — corpus x corpus pairs never enumerated), then
+    only the surviving docs append to the corpus. A later exact
+    near-dup of an already-admitted doc must be rejected; unrelated
+    docs must be admitted. Final invariant: the accumulated corpus
+    has no near-dup pair at all (self-join comes back empty)."""
+    import pyspark.sql.functions as F
+
+    from walrus_spark.operators.dedup import (
+        minhash_lsh_cross,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    batches = [
+        # batch 0: two distinct docs
+        [(0, base), (1, "completely different text about spark engines "
+                        "processing training corpora at large scale daily")],
+        # batch 1: near-dup of doc 0 (one token changed) + a fresh doc
+        [(2, base.replace("lazy", "sleepy")),
+         (3, "third unrelated document mentioning quantile sketches "
+             "bloom filters and count min registers for pipelines")],
+        # batch 2: near-dup of doc 3 + exact dup of doc 1
+        [(4, ("third unrelated document mentioning quantile sketches "
+              "bloom filters and count min registers for pipelines"
+              ).replace("third", "fourth")),
+         (5, "completely different text about spark engines "
+             "processing training corpora at large scale daily")],
+    ]
+    src = str(tmp_path / "in")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    corpus_dir = str(tmp_path / "corpus")
+    admitted: list[int] = []
+
+    def dedup_sink(batch_df, _bid):
+        batch_df = batch_df.localCheckpoint()  # pin the micro-batch
+        import os
+
+        if os.path.exists(corpus_dir):
+            corpus = spark.read.parquet(corpus_dir)
+            dup_ids = {
+                r["doc_new"]
+                for r in minhash_lsh_cross(batch_df, corpus).collect()
+            }
+        else:
+            dup_ids = set()
+        # batch-internal dedup too: keep the lowest id of each clique
+        internal = {
+            r["doc_b"] for r in minhash_lsh_pairs(batch_df).collect()
+        }
+        keep = batch_df.where(
+            ~F.col("doc_id").isin(list(dup_ids | internal) or [-1])
+        )
+        admitted.extend(r["doc_id"] for r in keep.collect())
+        keep.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(admitted) == [0, 1, 3], admitted
+    final = spark.read.parquet(corpus_dir)
+    assert final.count() == 3
+    assert minhash_lsh_pairs(final).count() == 0  # corpus is dup-free

@@ -400,3 +400,47 @@ def test_simhash_caller_supplied_count_skips_count_job(spark, sf_dir):
         docs, n_docs=SIMHASH_WIDE_BUDGET_MAX_DOCS + 1
     )
     assert narrow.columns == wide_cols
+
+
+def test_distribution_matched_sample_flattens(spark):
+    """Uniform-target resampling flattens the length distribution:
+    deterministic, per-bin kept <= available, cutoffs exact per the
+    Fraction formula, and the occupied-bin imbalance (max/min) shrinks
+    toward 1 while the scarcest bin keeps everything (cutoff = 2^32)."""
+    from fractions import Fraction
+
+    from walrus_spark.operators.pipeline import (
+        distribution_matched_sample,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan, kept = distribution_matched_sample(
+        docs, "n_chars", 0.0, 2000.0, 10
+    )
+    rows = {r["bin"]: r for r in plan.collect()}
+    s = min(Fraction(r["n_total"], r["weight"]) for r in rows.values())
+    full = 0
+    for r in rows.values():
+        assert (
+            r["cutoff"]
+            == (_SPLIT_MOD * s * r["weight"]) // r["n_total"]
+        )
+        full += r["cutoff"] == _SPLIT_MOD
+    assert full >= 1  # the scarcest bin is kept wholesale
+
+    k1 = sorted(r["doc_id"] for r in kept.collect())
+    _, kept2 = distribution_matched_sample(docs, "n_chars", 0.0, 2000.0, 10)
+    assert k1 == sorted(r["doc_id"] for r in kept2.collect())
+
+    def imbalance(counts):
+        vals = [v for v in counts.values() if v > 0]
+        return max(vals) / min(vals)
+
+    before = {b: r["n_total"] for b, r in rows.items()}
+    after = {}
+    for r in kept.groupBy("_bin").count().collect():
+        after[r["_bin"]] = r["count"]
+    for b, n in after.items():
+        assert n <= before[b]
+    assert imbalance(after) < imbalance(before)
+    assert imbalance(after) < 2.0  # roughly flat at this corpus size

@@ -840,3 +840,75 @@ def domain_mix(
 # src3→4, src4→1, ...) so both engines compute it from data, not a map
 _MIX_W_SQL = "1 + (CAST(substring(source, 4) AS INT) % 4)"
 
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched resampling: reshape a corpus so a numeric
+# column's histogram matches target per-bin weights — length-balancing
+# a pre-training mix, matching a reference corpus's length profile,
+# flattening a skewed source. Composes the fixed-grid histogram sketch
+# (operators/sketch.py) with the domain_mix hash-cutoff machinery.
+
+
+def distribution_matched_sample(
+    docs: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    target: dict[int, int] | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(plan, kept): downsample so ``value_col``'s histogram matches
+    ``target`` (bin -> unnormalized weight; default: uniform over the
+    corpus's occupied bins, i.e. flatten the distribution).
+
+    Mechanics: bin on the declared grid (clamped, identical to
+    histogram_registers), count per bin (one partial-aggregated
+    groupBy), then compute per-bin hash cutoffs from the EXACT
+    rational feasible scale s = min_b count_b / target_b on the
+    driver — the count table is <= nbins rows of bounded metadata (the
+    k-means-update contract) and Fraction arithmetic avoids both
+    overflow and float drift. Keep doc iff
+    (id * 2654435761) mod 2^32 < floor(2^32 * s * t_b / c_b).
+    Deterministic, engine-independent, one corpus scan; the cutoffs
+    re-enter via a broadcast join, never literals.
+
+    Returns plan = (bin, n_total, weight, cutoff) and kept = the
+    surviving rows of ``docs`` (all original columns)."""
+    from fractions import Fraction
+
+    width = (hi - lo) / nbins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(nbins - 1),
+        )
+        .cast("long")
+        .alias("_bin")
+    )
+    binned = docs.withColumn("_bin", b)
+    counts = {
+        int(r["_bin"]): int(r["n"])
+        for r in binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
+    }
+    tgt = target if target is not None else {bn: 1 for bn in counts}
+    occupied = [bn for bn, w in sorted(tgt.items()) if w > 0 and counts.get(bn)]
+    if not occupied:
+        raise ValueError("no occupied target bins")
+    s = min(Fraction(counts[bn], tgt[bn]) for bn in occupied)
+    plan_rows = []
+    for bn in occupied:
+        cutoff = (_SPLIT_MOD * s * tgt[bn]) // counts[bn]  # exact Fraction
+        plan_rows.append((bn, counts[bn], tgt[bn], int(cutoff)))
+    plan = docs.sparkSession.createDataFrame(
+        plan_rows, "_bin long, n_total long, weight long, cutoff long"
+    )
+    kept = binned.join(F.broadcast(plan), "_bin").where(
+        F.pmod(F.col(id_col) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD))
+        < F.col("cutoff")
+    ).drop("n_total", "weight", "cutoff")
+    return plan.withColumnRenamed("_bin", "bin"), kept

@@ -1330,3 +1330,48 @@ def test_shared_shingle_sets_one_cache_entry(spark):
     assert len(_SETS_CACHE) == 1
     clear_shared_sets()
     assert len(_SETS_CACHE) == 0
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """The session's AQE skew-join claim, executed: a sort-merge join
+    with one hot key (10x the cold keys combined) gets its oversized
+    partition SPLIT at runtime — the final adaptive plan marks the
+    join skew=true — with thresholds scaled down so the behavior is
+    observable at test size. Results stay exact."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"),
+            F.col("id").alias("v"),
+            F.expr("repeat('x', 64)").alias("pad"),
+        )
+        cold = spark.range(20_000).select(
+            (F.col("id") % 100 + 1).alias("k"),
+            F.col("id").alias("v"),
+            F.expr("repeat('x', 64)").alias("pad"),
+        )
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), F.expr("repeat('y', 8)").alias("d")
+        )
+        j = hot.union(cold).join(dim, "k")
+        n = j.count()
+        assert n == 220_000
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        if "== Initial Plan ==" in p:
+            p = p.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, p[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -154,3 +154,67 @@ def test_wire_writes_visible_to_streaming_consumer(spark, tmp_path):
     finally:
         server.shutdown()
         log.close()
+
+
+def test_concurrent_gets_share_cursor_exactly_once(spark, tmp_path):
+    """Code-review regression: two clients GETting one topic race the
+    shared cursor's read-modify-write across a Spark job; the per-topic
+    consume lock must serialize them so every entry is delivered to
+    exactly ONE client — no double delivery, no skips."""
+    import threading
+
+    log = WalrusLog(spark, str(tmp_path / "getrace"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        shell = CommandShell(log)
+        shell.execute("REGISTER q")
+        for i in range(20):
+            shell.execute(f"PUT q m{i}")
+        got, errs = [], []
+
+        def reader():
+            c = CommandClient(host, port)
+            try:
+                while True:
+                    r = c.send("GET q")
+                    if r == "EMPTY":
+                        return
+                    if not r.startswith("OK "):
+                        errs.append(r)
+                        return
+                    got.append(r[3:])
+            finally:
+                c.close()
+
+        ts = [threading.Thread(target=reader) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        assert sorted(got) == sorted(f"m{i}" for i in range(20)), got
+    finally:
+        server.shutdown()
+        log.close()
+
+
+def test_oversized_frame_keeps_connection_usable(spark, tmp_path):
+    """Code-review regression: an oversized frame must be drained (not
+    left in the stream) so later commands on the same connection still
+    parse — the reference desyncs here; we deliberately do not."""
+    log = WalrusLog(spark, str(tmp_path / "bigframe"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        c = CommandClient(host, port)
+        c.send("REGISTER big")
+        payload = b"PUT big " + b"x" * (70 * 1024)  # > 64 KiB frame
+        assert c.send_raw(payload) == "ERR invalid frame length"
+        # the connection must still speak the protocol
+        assert c.send("PUT big small") == "OK"
+        assert c.send("GET big") == "OK small"
+        c.close()
+    finally:
+        server.shutdown()
+        log.close()

@@ -437,9 +437,15 @@ def test_distribution_matched_sample_flattens(spark):
         return max(vals) / min(vals)
 
     before = {b: r["n_total"] for b, r in rows.items()}
+    # kept returns ONLY the original columns — recompute bins
+    assert sorted(kept.columns) == sorted(docs.columns)
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("n_chars") - 0.0) / 200.0), F.lit(0)),
+        F.lit(9),
+    ).cast("long")
     after = {}
-    for r in kept.groupBy("_bin").count().collect():
-        after[r["_bin"]] = r["count"]
+    for r in kept.groupBy(bin_expr.alias("b")).count().collect():
+        after[r["b"]] = r["count"]
     for b, n in after.items():
         assert n <= before[b]
     assert imbalance(after) < imbalance(before)

@@ -106,9 +106,23 @@ class _Handler(socketserver.BaseRequestHandler):
             if hdr is None:
                 return
             frame_len = int.from_bytes(hdr, "little")
-            if frame_len == 0 or frame_len > MAX_FRAME_LEN:
+            if frame_len == 0:  # no body, nothing to desync
                 _send(sock, "ERR invalid frame length")
                 continue
+            if frame_len > MAX_FRAME_LEN:
+                # DRAIN the oversized body before replying, or the next
+                # header read would land mid-payload and desync every
+                # later frame on this connection. (The reference replies
+                # without draining, client.rs:40-44 — a latent desync we
+                # deliberately do not mirror; capped so a hostile length
+                # cannot force an unbounded read.)
+                if frame_len <= 16 * MAX_FRAME_LEN:
+                    if _read_exact(sock, frame_len) is None:
+                        return
+                    _send(sock, "ERR invalid frame length")
+                    continue
+                _send(sock, "ERR invalid frame length")
+                return  # absurd length: close rather than desync
             body = _read_exact(sock, frame_len)
             if body is None:
                 return

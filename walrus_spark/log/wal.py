@@ -357,6 +357,7 @@ class WalrusLog:
         # are lock-free Spark scans.
         self._rw = _SharedExclusiveLock()
         self._topic_locks: dict[str, threading.Lock] = {}
+        self._consume_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
         self._meta_lock = threading.RLock()
         self._pre_commit_hook = None  # test failpoint (see append path)
@@ -759,6 +760,15 @@ class WalrusLog:
                 lk = self._topic_locks[topic] = threading.Lock()
             return lk
 
+    def _consume_lock(self, topic: str) -> threading.Lock:
+        """Per-topic consumer serialization (distinct from the append
+        locks: consuming never blocks appending)."""
+        with self._locks_guard:
+            lk = self._consume_locks.get(topic)
+            if lk is None:
+                lk = self._consume_locks[topic] = threading.Lock()
+            return lk
+
     def multi_append(
         self, batches: dict[str, list[bytes]], wait: bool = True
     ) -> dict[str, tuple[int, int]]:
@@ -1153,7 +1163,31 @@ class WalrusLog:
 
         The scan is a distributed TakeOrdered over `offset > cursor` —
         offset and topic predicates push down to parquet (min/max row-
-        group pruning), so at scale this touches only the tail files."""
+        group pruning), so at scale this touches only the tail files.
+
+        CONSUMING reads (checkpoint=True, no start_offset) serialize
+        per topic: the shared cursor is a read-modify-write spanning a
+        Spark job, so two concurrent consumers of one topic would both
+        read the same cursor and double-deliver (the reference's
+        per-topic reader state is likewise serialized). Peeks and
+        stateless reads touch no cursor and stay lock-free."""
+        if checkpoint and start_offset is None:
+            with self._consume_lock(topic):
+                return self._batch_read_impl(
+                    topic, max_bytes, checkpoint, start_offset, max_entries
+                )
+        return self._batch_read_impl(
+            topic, max_bytes, checkpoint, start_offset, max_entries
+        )
+
+    def _batch_read_impl(
+        self,
+        topic: str,
+        max_bytes: int,
+        checkpoint: bool,
+        start_offset: int | None,
+        max_entries: int,
+    ) -> list[bytes]:
         cursor = (
             int(start_offset)
             if start_offset is not None
@@ -1209,10 +1243,10 @@ class WalrusLog:
         if rows and checkpoint and start_offset is None:
             new_cursor = max(int(r["offset"]) for r in rows)
             self._checkpoint_read(topic, new_cursor, len(rows))
-        if rows:
-            self._consumer_lag[topic] = self._hw.get(topic, 0) - max(
-                int(r["offset"]) for r in rows
-            )
+            # lag tracks the SHARED cursor only: a stateless/pinned
+            # replay (start_offset=) must not clobber a caught-up
+            # consumer's metrics()['consumer_lag']
+            self._consumer_lag[topic] = self._hw.get(topic, 0) - new_cursor
         return [bytes(r["value"]) if r["value"] is not None else b"" for r in rows]
 
     def batch_read_with_watermark(
@@ -1226,12 +1260,17 @@ class WalrusLog:
         """batch_read plus the topic's high watermark in ONE call —
         the cluster GET reply shape (InternalResp::ReadResult carries
         `data` and `high_watermark` together, distributed-walrus/src/
-        rpc.rs:17-20), so a consumer learns its lag atomically with
-        delivery instead of issuing a separate, racy high_watermark()
-        call: hw is snapshotted right after the delivered entries are
-        fixed, so `hw − last_delivered_offset` is a consistent lag at
-        delivery time (also surfaced per topic via
-        metrics()['consumer_lag'])."""
+        rpc.rs:17-20), so a consumer learns its lag in one reply
+        instead of issuing a separate high_watermark() call.
+
+        Snapshot semantics (same as the reference's reply builder,
+        which reads metadata when constructing ReadResult): hw is
+        captured AT REPLY TIME, after the delivered entries are fixed,
+        so hw >= every delivered offset and `hw − last_delivered` is
+        real, non-negative lag — including entries that committed
+        while the read ran, which genuinely are lag. Concurrent
+        consumers of one topic are serialized by the consume lock, so
+        the (entries, hw) pair never reflects a torn cursor."""
         entries = self.batch_read(
             topic,
             max_bytes=max_bytes,
@@ -1421,8 +1460,11 @@ class WalrusLog:
         on first append, like the core engine; this in-memory
         registration exists for the client protocol's REGISTER command
         — an unwritten registration does not survive restart (the
-        reference persists it via Raft metadata, a §4 non-goal)."""
-        self._hw.setdefault(topic, 0)
+        reference persists it via Raft metadata, a §4 non-goal).
+        Takes the meta lock: registration may race a concurrent
+        commit's meta-sidecar serialization of the same dict."""
+        with self._meta_lock:
+            self._hw.setdefault(topic, 0)
 
     def has_topic(self, topic: str) -> bool:
         return topic in self._hw
@@ -1459,19 +1501,22 @@ class WalrusLog:
                                  snapshotted at delivery time (the GET
                                  reply's high_watermark, rpc.rs:17-20)
         """
-        return {
-            "n_topics": len(self._hw),
-            "committed_batches": len(self._manifest_records()),
-            "fsync_count": self.fsync_count,
-            "unpersisted_reads": dict(self._unpersisted_reads),
-            "verified_reads": dict(self._verified_reads),
-            "maintenance_sweeps": self.maintenance_sweeps,
-            "maintenance_errors": self.maintenance_errors,
-            "read_relists": self.read_relists,
-            "ingest_pinned_retries": self.ingest_pinned_retries,
-            "consumer_lag": dict(self._consumer_lag),
-            "topics": {t: self.state(t) for t in self.topics()},
-        }
+        # snapshot under the meta lock: concurrent appends/registrations
+        # mutate these dicts and iteration must not see a resize
+        with self._meta_lock:
+            return {
+                "n_topics": len(self._hw),
+                "committed_batches": len(self._manifest_records()),
+                "fsync_count": self.fsync_count,
+                "unpersisted_reads": dict(self._unpersisted_reads),
+                "verified_reads": dict(self._verified_reads),
+                "maintenance_sweeps": self.maintenance_sweeps,
+                "maintenance_errors": self.maintenance_errors,
+                "read_relists": self.read_relists,
+                "ingest_pinned_retries": self.ingest_pinned_retries,
+                "consumer_lag": dict(self._consumer_lag),
+                "topics": {t: self.state(t) for t in self.topics()},
+            }
 
     # dirty flags (O12, topic_clean.rs) — meta_lock is reentrant, so
     # the commit paths may call these while already holding it

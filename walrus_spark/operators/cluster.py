@@ -77,6 +77,8 @@ def kmeans_assign(
     IVF literal-vs-matrix strategy (similarity.py:171) applied here.
     method='fold': JVM-side zip_with/aggregate literal expressions —
     the formulation the SQL oracle mirrors term by term."""
+    if not means:
+        raise ValueError("kmeans_assign: no centroids")
     if method == "fold":
         cands = F.array(
             *[
@@ -147,11 +149,16 @@ def kmeans_quantized(
     final means, [(cluster, size, mean_vector)])."""
     q = quantize_vectors(emb, vec_col, id_col)
     dim = len(q.select("qv").first()["qv"])
+    # the k SMALLEST ids — not `vec_id < k`, which silently under-seeds
+    # (or matches nothing) when ids are sparse or not 0-based
     init = (
-        q.where(F.col("vec_id") < k)
+        q.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").alias("cluster"), "qv")
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_quantized: empty input")
     means = [(int(r["cluster"]), list(r["qv"])) for r in init]
     state: list[tuple[int, int, list[int]]] = []
     for _ in range(iters):

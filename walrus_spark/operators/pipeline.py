@@ -888,12 +888,16 @@ def distribution_matched_sample(
             F.lit(nbins - 1),
         )
         .cast("long")
-        .alias("_bin")
+        .alias("__dms_bin")
     )
-    binned = docs.withColumn("_bin", b)
+    if "__dms_bin" in docs.columns:
+        raise ValueError("docs already has a __dms_bin column")
+    binned = docs.withColumn("__dms_bin", b)
     counts = {
-        int(r["_bin"]): int(r["n"])
-        for r in binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
+        int(r["__dms_bin"]): int(r["n"])
+        for r in binned.groupBy("__dms_bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     tgt = target if target is not None else {bn: 1 for bn in counts}
     occupied = [bn for bn, w in sorted(tgt.items()) if w > 0 and counts.get(bn)]
@@ -905,10 +909,16 @@ def distribution_matched_sample(
         cutoff = (_SPLIT_MOD * s * tgt[bn]) // counts[bn]  # exact Fraction
         plan_rows.append((bn, counts[bn], tgt[bn], int(cutoff)))
     plan = docs.sparkSession.createDataFrame(
-        plan_rows, "_bin long, n_total long, weight long, cutoff long"
+        plan_rows, "__dms_bin long, n_total long, weight long, cutoff long"
     )
-    kept = binned.join(F.broadcast(plan), "_bin").where(
-        F.pmod(F.col(id_col) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD))
-        < F.col("cutoff")
-    ).drop("n_total", "weight", "cutoff")
-    return plan.withColumnRenamed("_bin", "bin"), kept
+    kept = (
+        binned.join(F.broadcast(plan), "__dms_bin")
+        .where(
+            F.pmod(F.col(id_col) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD))
+            < F.col("cutoff")
+        )
+        # the contract is "the surviving rows of docs, all original
+        # columns" — internal plumbing columns must not leak
+        .drop("n_total", "weight", "cutoff", "__dms_bin")
+    )
+    return plan.withColumnRenamed("__dms_bin", "bin"), kept

@@ -383,7 +383,7 @@ WITH n AS (
                         x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT) + 10000) AS qv
   FROM embeddings
 ), km0 AS (
-  SELECT vec_id AS cluster, qv AS m FROM kq WHERE vec_id < 8
+  SELECT vec_id AS cluster, qv AS m FROM kq ORDER BY vec_id LIMIT 8
 ), ka1 AS (
   SELECT vec_id, cluster FROM (
     SELECT kq.vec_id, km0.cluster,

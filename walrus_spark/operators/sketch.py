@@ -230,7 +230,12 @@ def histogram_quantiles(
     est = lo + width * (bin + (p*N - cum_prev)/cnt) for the unique bin
     with cum_prev < p*N <= cum. All arithmetic is over the <= nbins
     register rows (the single-partition window is bin-bounded, never
-    row-bounded)."""
+    row-bounded). Probe points must lie in (0, 1]: p=0 has no bin with
+    cum_prev < 0 and would silently return no row — rejected loudly
+    instead (ask for the minimum via the first bin's lower edge)."""
+    bad = [p for p in ps if not (0.0 < float(p) <= 1.0)]
+    if bad:
+        raise ValueError(f"quantile probes must be in (0, 1]: {bad}")
     from pyspark.sql.window import Window
 
     width = (hi - lo) / nbins

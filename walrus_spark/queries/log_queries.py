@@ -161,6 +161,10 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("event_type", "w")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        # referenced three times below (agg branch, span table, fill
+        # join); without lineage truncation each reference replans the
+        # events scan+aggregate — pin it once
+        .localCheckpoint(eager=False)
     )
     spans = agg.groupBy("event_type").agg(
         F.min("w").alias("lo"), F.max("w").alias("hi")

@@ -32,6 +32,14 @@ from walrus_spark.queries.registry import register
 
 _NULL = lambda t: F.lit(None).cast(t)  # noqa: E731
 
+# Split-hash constants for the oracle f-string. Importing them from
+# operators.pipeline at module level is a circular import (pipeline →
+# queries.registry → this module), so they are declared here and the
+# entry ASSERTS agreement with pipeline's canonical values at runtime —
+# tuning the split hash in one place cannot silently desync the other.
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 1 << 32
+
 
 # ---------------------------------------------------------------------------
 # Bloom-gated decontamination: the 100 TB shape of pipeline_decontamination.
@@ -44,10 +52,6 @@ _NULL = lambda t: F.lit(None).cast(t)  # noqa: E731
 # scan stage, and exact-verify only bloom-passing candidates. The
 # entry emits the funnel (probed / bloom-pass / exact-hit counts) so
 # the false-positive behavior itself is hash-checked cross-engine.
-
-_SPLIT_MULT = 2654435761
-_SPLIT_MOD = 1 << 32
-
 
 def bloom_decontaminate(
     train: DataFrame,
@@ -329,7 +333,12 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     'hist_*': fixed-grid quantile registers over l_extendedprice + 5
     interpolated quantile estimates, identical IEEE arithmetic on both
     engines (test_histogram_quantiles_accuracy_and_merge)."""
+    from walrus_spark.operators import pipeline as _pl
     from walrus_spark.operators.pipeline import train_val_split
+
+    assert (_pl._SPLIT_MULT, _pl._SPLIT_MOD) == (_SPLIT_MULT, _SPLIT_MOD), (
+        "split-hash constants drifted from operators.pipeline"
+    )
     from walrus_spark.operators.sketch import (
         histogram_quantiles,
         histogram_registers,

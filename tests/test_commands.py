@@ -68,7 +68,14 @@ def test_command_shell_direct(spark, tmp_path):
     assert sh.execute("STATE nope").startswith("ERR unknown topic")
     assert sh.execute("PUT") == "ERR PUT requires a topic"
     assert sh.execute("PUT t") == "ERR PUT requires a payload"
-    assert sh.execute("") == "ERR empty command"
+    # client.rs:55 trims ALL trailing whitespace before dispatch, and an
+    # empty line reaches splitn's catch-all -> "ERR unknown command".
+    assert sh.execute("") == "ERR unknown command"
+    assert sh.execute("   \t ") == "ERR unknown command"
+    assert sh.execute("PUT t padded   \t") == "OK"
+    assert sh.execute("GET t") == "OK padded"  # trailing ws stripped
+    assert sh.execute("PUT t a b  ") == "OK"
+    assert sh.execute("GET t") == "OK a b"  # interior spaces kept
     log.close()
 
 

@@ -330,6 +330,74 @@ def test_kmeans_degenerate_inputs(spark):
     assert len(state) <= 6  # empty initial clusters dropped
 
 
+def test_kmeans_update_plan_is_dim_independent(spark):
+    """The centroid update at embedding dim 512: the posexplode cell
+    formulation keeps the plan O(1) in dim — exactly one sum aggregate
+    and one explode regardless of dimensionality (the per-dimension
+    SUM-column formulation would put 512 aggregate expressions in the
+    plan) — and the means still match a python recomputation."""
+    import pandas as pd
+
+    from walrus_spark.operators.cluster import (
+        _update,
+        _update_cells,
+        kmeans_quantized,
+        quantize_vectors,
+    )
+
+    dim, n = 512, 12
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [((i * 31 + j * 7) % 19) / 10.0 for j in range(dim)],
+        }
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    q = quantize_vectors(emb).withColumn("cluster", F.col("vec_id") % 3)
+    plan = _update_cells(q)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sum(") == 1, plan
+    assert plan.count("count(") == 1, plan
+    assert "s511" not in plan and "qv[511]" not in plan
+
+    # means agree with a literal python recompute of floor((2S+n)/(2n))
+    state = _update(q)
+    qv = {r["vec_id"]: list(r["qv"]) for r in quantize_vectors(emb).collect()}
+    for c, cn, mean in state:
+        members = [qv[i] for i in qv if i % 3 == c]
+        assert cn == len(members)
+        assert len(mean) == dim
+        for j in range(dim):
+            s = sum(m[j] for m in members)
+            assert mean[j] == (2 * s + cn) // (2 * cn)
+
+    # the full iteration still runs at dim 512 (no literal-plan blowup
+    # in the update path; assignment uses the Arrow matrix path)
+    assigned, st = kmeans_quantized(emb, k=3, iters=1)
+    assert assigned.count() == n and sum(x for _, x, _ in st) == n
+
+
+def test_kmeans_empty_input_raises_value_error(spark):
+    """Empty input raises the intended ValueError, not a TypeError from
+    probing dim on a None row (ADVICE r5)."""
+    import pytest
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+    from pyspark.sql.types import StructField, StructType
+
+    from walrus_spark.operators.cluster import kmeans_quantized
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_quantized(empty)
+
+
 def test_text_edge_cases_match_python(spark):
     """shingles/tokens on messy input (tabs, newlines, multi-space,
     unicode, empty, whitespace-only) agree with a literal python
@@ -450,3 +518,35 @@ def test_distribution_matched_sample_flattens(spark):
         assert n <= before[b]
     assert imbalance(after) < imbalance(before)
     assert imbalance(after) < 2.0  # roughly flat at this corpus size
+
+
+def test_distribution_matched_sample_infeasible_target_raises(spark):
+    """An explicit target requesting a bin the corpus cannot supply
+    degrades LOUDLY (ADVICE r5) — the infeasible bins are named in the
+    error instead of silently dropping out of the feasible scale."""
+    import pytest
+
+    from walrus_spark.operators.pipeline import (
+        distribution_matched_sample,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    # discover the occupied bins from a default (flatten) run
+    base_plan, _ = distribution_matched_sample(docs, "n_chars", 0.0, 2000.0, 10)
+    occupied = sorted(r["bin"] for r in base_plan.collect())
+    assert occupied
+    # ask also for bin 999 (outside the grid — cannot exist)
+    target = {b: 1 for b in occupied}
+    target[999] = 5
+    with pytest.raises(ValueError, match="999"):
+        distribution_matched_sample(
+            docs, "n_chars", 0.0, 2000.0, 10, target=target
+        )
+    # weight-0 bins remain legal (explicitly excluded, not infeasible)
+    target0 = {b: 1 for b in occupied[:1]}
+    target0[999] = 0
+    plan, kept = distribution_matched_sample(
+        docs, "n_chars", 0.0, 2000.0, 10, target=target0
+    )
+    assert {r["bin"] for r in plan.collect()} == {occupied[0]}
+    assert kept.count() > 0

@@ -693,6 +693,48 @@ def test_concurrent_batch_would_block(spark, tmp_path):
     log.close()
 
 
+def test_default_wait_serializes_with_one_shot_divergence_warning(
+    spark, tmp_path
+):
+    """Pins the SHIPPED default (r5 directive #7): wait=True serializes
+    concurrent batch appends — a documented divergence from the
+    reference's WouldBlock fail-fast — and the FIRST real contention
+    under that default emits one RuntimeWarning naming the divergence;
+    later contention stays silent (one-shot per instance). Uncontended
+    appends never warn."""
+    import threading
+    import warnings as _warnings
+
+    log = WalrusLog(spark, str(tmp_path / "wdefault"))
+    with _warnings.catch_warnings(record=True) as quiet:
+        _warnings.simplefilter("always")
+        log.append("t", b"uncontended")
+    assert not [w for w in quiet if issubclass(w.category, RuntimeWarning)]
+
+    def contended_round():
+        lk = log._topic_lock("t")
+        lk.acquire()  # simulate an in-flight batch
+        release = threading.Timer(0.2, lk.release)
+        release.start()
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            log.batch_append("t", [b"serialized"])  # default wait=True
+        release.join()
+        return [
+            w for w in caught if issubclass(w.category, RuntimeWarning)
+        ]
+
+    first = contended_round()
+    assert len(first) == 1
+    msg = str(first[0].message)
+    assert "WouldBlock" in msg and "wait=False" in msg
+    # one-shot: the second contention under the same instance is silent
+    assert contended_round() == []
+    # and the data all landed, serialized, offsets contiguous
+    assert log.high_watermark("t") == 3
+    log.close()
+
+
 def test_appends_to_distinct_topics_interleave(spark, tmp_path):
     """Round-5 directive: appends to distinct topics must proceed
     concurrently (the reference serializes per wal_key, not globally —

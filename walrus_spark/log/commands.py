@@ -49,7 +49,10 @@ class CommandShell:
 
     def execute(self, line: str) -> str:
         try:
-            return self._dispatch(line.rstrip("\r\n"))
+            # Reference dispatches on text.trim_end() (client.rs:55) —
+            # ALL trailing whitespace stripped, including a PUT payload's
+            # trailing spaces/tabs — not just the \r\n line ending.
+            return self._dispatch(line.rstrip())
         except Exception as e:  # noqa: BLE001 — "ERR <e>" contract
             return f"ERR {e}"
 
@@ -57,7 +60,9 @@ class CommandShell:
         parts = line.split(" ", 2)
         op = parts[0] if parts else ""
         if not op:
-            raise ValueError("empty command")
+            # client.rs:66's splitn always yields a first element, so an
+            # empty line reaches the catch-all: "ERR unknown command".
+            raise ValueError("unknown command")
         if op == "REGISTER":
             if len(parts) < 2:
                 raise ValueError("REGISTER requires a topic")
@@ -171,18 +176,22 @@ class CommandClient:
 
     def send(self, line: str) -> str:
         _send(self.sock, line)
-        hdr = _read_exact(self.sock, 4)
-        assert hdr is not None, "server closed connection"
-        body = _read_exact(self.sock, int.from_bytes(hdr, "little"))
-        assert body is not None, "server closed mid-frame"
-        return body.decode("utf-8")
+        return self._recv_reply()
 
     def send_raw(self, frame: bytes) -> str:
         self.sock.sendall(len(frame).to_bytes(4, "little") + frame)
+        return self._recv_reply()
+
+    def _recv_reply(self) -> str:
+        # Explicit checks, not asserts: under `python -O` asserts are
+        # stripped and a closed socket would surface as an unrelated
+        # TypeError from int.from_bytes(None, ...).
         hdr = _read_exact(self.sock, 4)
-        assert hdr is not None
+        if hdr is None:
+            raise ConnectionError("server closed connection")
         body = _read_exact(self.sock, int.from_bytes(hdr, "little"))
-        assert body is not None
+        if body is None:
+            raise ConnectionError("server closed mid-frame")
         return body.decode("utf-8")
 
     def close(self) -> None:

@@ -360,6 +360,7 @@ class WalrusLog:
         self._consume_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
         self._meta_lock = threading.RLock()
+        self._wouldblock_warned = False  # one-shot divergence warning
         self._pre_commit_hook = None  # test failpoint (see append path)
         # O7 background fsync worker state (background.rs:22-199):
         # sidecar fsyncs are counted (observable in tests/metrics),
@@ -753,6 +754,30 @@ class WalrusLog:
             raise ValueError(f"batch exceeds {MAX_BATCH_BYTES} bytes")
         return self.multi_append({topic: payloads}, wait=wait)[topic]
 
+    def _warn_wouldblock_divergence(self, topic: str) -> None:
+        """One-shot (per instance) surfacing of the documented default
+        divergence: the reference fails concurrent batch appends fast
+        with WouldBlock (tests/batch_writes.rs concurrent-batch
+        rejection suite); this engine's default serializes on the
+        per-topic lock instead. A migrating user who RELIED on the
+        fail-fast should hear about the difference the first time it
+        actually matters — i.e. under real contention — not never."""
+        if self._wouldblock_warned:
+            return
+        self._wouldblock_warned = True
+        import warnings
+
+        warnings.warn(
+            "concurrent batch append contention on topic "
+            f"{topic!r}: the reference engine fails fast with "
+            "WouldBlock here; this engine's default (wait=True) "
+            "serializes the writers instead. Pass wait=False for the "
+            "reference's fail-fast semantics. (This warning is raised "
+            "once per WalrusLog instance.)",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+
     def _topic_lock(self, topic: str) -> threading.Lock:
         with self._locks_guard:
             lk = self._topic_locks.get(topic)
@@ -797,11 +822,14 @@ class WalrusLog:
         try:
             for t in sorted(batches):
                 lk = self._topic_lock(t)
-                if not lk.acquire(blocking=wait):
-                    raise WouldBlockError(
-                        f"another batch append to topic {t!r} is in "
-                        "flight (wait=False)"
-                    )
+                if not lk.acquire(blocking=False):
+                    if not wait:
+                        raise WouldBlockError(
+                            f"another batch append to topic {t!r} is in "
+                            "flight (wait=False)"
+                        )
+                    self._warn_wouldblock_divergence(t)
+                    lk.acquire()
                 acquired.append(lk)
             return self._multi_append_locked(batches)
         finally:

@@ -115,24 +115,37 @@ def kmeans_assign(
     return q.mapInPandas(fn, schema)
 
 
-def _update(assigned: DataFrame, dim: int) -> list[tuple[int, int, list[int]]]:
-    """Collect per-cluster (cluster, n, mean[dim]) — k rows of bounded
-    metadata (the IVF-centroid contract). mean = floor((2S+n)/(2n)),
-    exact round-half-up in integer arithmetic."""
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)
-    ]
-    rows = assigned.groupBy("cluster").agg(*aggs).collect()
+def _update_cells(assigned: DataFrame) -> DataFrame:
+    """Per-(cluster, dim_i) sum/count cells — the dim-scalable update.
+
+    posexplode keeps the plan's expression count O(1) in dim (one
+    explode + two aggregates, vs one SUM column per dimension, which at
+    embedding dim 768+ puts hundreds of aggregate expressions in a
+    single plan). The shuffle is O(k·dim) cells after map-side combine;
+    n rides along per cell (identical within a cluster) so one pass
+    yields both count and sums."""
+    return (
+        assigned.select("cluster", F.posexplode("qv").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, int, list[int]]]:
+    """Collect per-cluster (cluster, n, mean[dim]) — k·dim cells of
+    bounded metadata (the IVF-centroid contract). mean =
+    floor((2S+n)/(2n)), exact round-half-up in integer arithmetic."""
+    rows = _update_cells(assigned).collect()
+    by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        cells = by_cluster.setdefault(int(r["cluster"]), {})
+        cells[int(r["i"])] = (int(r["n"]), int(r["s"]))
     out = []
-    for r in sorted(rows, key=lambda r: r["cluster"]):
-        n = int(r["n"])
-        out.append(
-            (
-                int(r["cluster"]),
-                n,
-                [(2 * int(r[f"s{i}"]) + n) // (2 * n) for i in range(dim)],
-            )
-        )
+    for c in sorted(by_cluster):
+        cells = by_cluster[c]
+        n = cells[0][0]
+        mean = [(2 * cells[i][1] + n) // (2 * n) for i in range(len(cells))]
+        out.append((c, n, mean))
     return out
 
 
@@ -148,9 +161,10 @@ def kmeans_quantized(
     similarity.py:136). Returns (final assignment DataFrame under the
     final means, [(cluster, size, mean_vector)])."""
     q = quantize_vectors(emb, vec_col, id_col)
-    dim = len(q.select("qv").first()["qv"])
     # the k SMALLEST ids — not `vec_id < k`, which silently under-seeds
-    # (or matches nothing) when ids are sparse or not 0-based
+    # (or matches nothing) when ids are sparse or not 0-based. The init
+    # collect doubles as the empty-input check and the dim source — no
+    # separate first() probe job.
     init = (
         q.orderBy("vec_id")
         .limit(k)
@@ -163,6 +177,6 @@ def kmeans_quantized(
     state: list[tuple[int, int, list[int]]] = []
     for _ in range(iters):
         assigned = kmeans_assign(q, means)
-        state = _update(assigned, dim)
+        state = _update(assigned)
         means = [(c, m) for c, _n, m in state]
     return kmeans_assign(q, means), state

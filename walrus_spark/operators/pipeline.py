@@ -900,7 +900,19 @@ def distribution_matched_sample(
         .collect()
     }
     tgt = target if target is not None else {bn: 1 for bn in counts}
-    occupied = [bn for bn, w in sorted(tgt.items()) if w > 0 and counts.get(bn)]
+    # Degrade loudly (the module convention): an explicit target that
+    # asks for a bin the corpus cannot supply would otherwise silently
+    # fall out of the feasible-scale computation and the achieved
+    # histogram would deviate from the request with no error.
+    infeasible = sorted(
+        bn for bn, w in tgt.items() if w > 0 and not counts.get(bn)
+    )
+    if infeasible:
+        raise ValueError(
+            "distribution_matched_sample: target requests bins with no "
+            f"available rows: {infeasible}"
+        )
+    occupied = [bn for bn, w in sorted(tgt.items()) if w > 0]
     if not occupied:
         raise ValueError("no occupied target bins")
     s = min(Fraction(counts[bn], tgt[bn]) for bn in occupied)

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from walrus_spark.log import CommandClient, CommandServer, CommandShell, WalrusLog
 
 
@@ -204,6 +206,123 @@ def test_concurrent_gets_share_cursor_exactly_once(spark, tmp_path):
     finally:
         server.shutdown()
         log.close()
+
+
+def test_get_readahead_soak_and_speedup(spark, tmp_path):
+    """r5 directive #3 soak: the wire GET plane serves frames from the
+    per-topic read-ahead buffer (one Spark peek job amortized over up
+    to 256 frames + metadata-only cursor commits). 1200 wire GETs must
+    deliver every entry exactly once IN ORDER, then EMPTY, at >=100x
+    the one-Spark-job-per-GET baseline rate — both rates measured in
+    this test on this host, so machine drift cancels (the protocol
+    analog of the reference's smoke perf floor,
+    tests/e2e_longrunning.rs:634-643)."""
+    import time
+
+    log = WalrusLog(spark, str(tmp_path / "soak"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        shell = CommandShell(log)
+        N = 1200
+        shell.execute("REGISTER s")
+        shell.execute("REGISTER b")
+        log.batch_append("s", [f"p{i}".encode() for i in range(N)])
+        log.batch_append("b", [f"q{i}".encode() for i in range(8)])
+
+        # baseline: the r5 path — one full Spark job per delivered
+        # entry (batch_read(max_entries=1) with a consuming cursor)
+        t0 = time.monotonic()
+        for i in range(5):
+            assert log.batch_read("b", max_entries=1) == [f"q{i}".encode()]
+        base_rate = 5 / (time.monotonic() - t0)
+
+        client = CommandClient(host, port)
+        t0 = time.monotonic()
+        got = []
+        for _ in range(N):
+            r = client.send("GET s")
+            assert r.startswith("OK "), r
+            got.append(r[3:])
+        wire_rate = N / (time.monotonic() - t0)
+        assert client.send("GET s") == "EMPTY"
+        client.close()
+
+        # exact, ordered, exactly-once delivery across the whole soak
+        assert got == [f"p{i}" for i in range(N)]
+        assert log.cursor("s") == N
+        assert wire_rate >= 100 * base_rate, (wire_rate, base_rate)
+    finally:
+        server.shutdown()
+        log.close()
+
+
+def test_get_readahead_coheres_with_library_consumer(spark, tmp_path):
+    """A library-API consumer advancing the shared cursor between wire
+    GETs must invalidate the server's read-ahead buffer (optimistic
+    expect-commit): no entry is delivered twice, none skipped, and the
+    union of both consumers is exactly the topic."""
+    log = WalrusLog(spark, str(tmp_path / "cohere"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        shell = CommandShell(log)
+        shell.execute("REGISTER t")
+        log.batch_append("t", [f"e{i}".encode() for i in range(30)])
+        client = CommandClient(host, port)
+
+        wire = [client.send("GET t")[3:] for _ in range(5)]
+        assert wire == [f"e{i}" for i in range(5)]
+        # the buffer now holds peeked-but-uncommitted entries e5..;
+        # a direct library consumer takes the next 10
+        lib = log.batch_read("t", max_entries=10)
+        assert lib == [f"e{i}".encode() for i in range(5, 15)]
+        # next wire GET must RESYNC (stale buffer dropped), not replay
+        rest = []
+        while True:
+            r = client.send("GET t")
+            if r == "EMPTY":
+                break
+            rest.append(r[3:])
+        assert rest == [f"e{i}" for i in range(15, 30)]
+        client.close()
+
+        # appends after EMPTY are picked up by the next GET
+        log.append("t", b"late")
+        c2 = CommandClient(host, port)
+        assert c2.send("GET t") == "OK late"
+        assert c2.send("GET t") == "EMPTY"
+        c2.close()
+    finally:
+        server.shutdown()
+        log.close()
+
+
+def test_commit_cursor_contract(spark, tmp_path):
+    """commit_cursor: expect-mismatch refuses (returns False), rewinds
+    refuse, past-high-watermark errors, and a successful commit
+    advances lag/counters exactly like a consuming read."""
+    log = WalrusLog(spark, str(tmp_path / "cc"))
+    log.batch_append("t", [b"a", b"b", b"c"])
+    assert log.cursor("t") == 0
+    assert log.commit_cursor("t", 1) is True
+    assert log.cursor("t") == 1
+    assert log.topic_entry_count("t") == 2
+    # expect mismatch: someone else moved the cursor
+    assert log.commit_cursor("t", 3, expect=0) is False
+    assert log.cursor("t") == 1
+    # rewind refused
+    assert log.commit_cursor("t", 1) is False
+    assert log.commit_cursor("t", 0) is False
+    # past high watermark is loud
+    with pytest.raises(ValueError, match="high watermark"):
+        log.commit_cursor("t", 99)
+    # committed cursor survives restart (persist per StrictlyAtOnce)
+    log.close()
+    log2 = WalrusLog(spark, str(tmp_path / "cc"))
+    assert log2.cursor("t") == 1
+    assert log2.batch_read("t", max_entries=10) == [b"b", b"c"]
+    log2.close()
 
 
 def test_oversized_frame_keeps_connection_usable(spark, tmp_path):

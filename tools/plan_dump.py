@@ -30,6 +30,7 @@ DEFAULT = [
     "dq27_colocated_join",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "sketch_bloom_decontam",
     "sketch_family",
     "sim_ann_ivf",
     "sim_knn_join",

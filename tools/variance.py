@@ -31,7 +31,37 @@ DEFAULT_ENTRIES = [
     "dedup_simhash",
     "text_fingerprints",
     "sim_knn_join",
+    "ingest_events",
 ]
+
+
+def _ingest_trial(spark, sf_dir: str) -> float:
+    """One ingest_events trial: events → canonical log table in one
+    atomic commit to a FRESH root (bench.py's measurement, r5 directive
+    #6 — the driver's single ingest number needs an in-suite N=5 band
+    so it stops being the arbiter of throughput drift)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from walrus_spark.catalog import load_table
+    from walrus_spark.log import WalrusLog
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("topic"),
+        F.encode(F.col("props"), "UTF-8").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="wal_var_ingest_")
+    try:
+        log = WalrusLog(spark, root)
+        t0 = time.perf_counter()
+        log.ingest(ev, "topic", "value")
+        dt = time.perf_counter() - t0
+        log.close()
+        return dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -49,6 +79,24 @@ def main() -> None:
 
     results = {}
     for name in entries:
+        if name == "ingest_events":
+            _ingest_trial(spark, sf_dir)  # warmup (codegen + JVM paths)
+            times = [
+                round(_ingest_trial(spark, sf_dir), 3) for _ in range(n)
+            ]
+            ev_rows = load_table(spark, sf_dir, "events").count()
+            results[name] = {
+                "n": n,
+                "min": min(times),
+                "median": round(statistics.median(times), 3),
+                "max": max(times),
+                "times": times,
+                "rows_per_sec_at_median": round(
+                    ev_rows / statistics.median(times), 1
+                ),
+            }
+            print(f"# {name}: {results[name]}", file=sys.stderr)
+            continue
         force(QUERIES[name](spark, sf_dir))  # codegen warmup
         times = []
         for _ in range(n):

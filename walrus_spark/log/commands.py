@@ -29,6 +29,13 @@ frame, 64 KiB max, "ERR invalid frame length" / "ERR invalid utf-8"
 replies mirroring client.rs:40-53. The server is a stdlib threaded
 socketserver — suitable for tests and local tooling; at scale the
 driver process hosting the WalrusLog would host this listener too.
+
+GET is served through a per-topic read-ahead buffer (_TopicReadAhead):
+one Spark peek job amortizes across up to READAHEAD_ENTRIES frames,
+each frame committing the shared cursor by exactly one entry
+(metadata-only, crash-safe, coherent with library-API consumers via
+optimistic expect-commits). The wire CONTRACT is unchanged — one entry
+per GET, consumed, "EMPTY" when caught up.
 """
 
 from __future__ import annotations
@@ -37,8 +44,81 @@ import json
 import socket
 import socketserver
 import threading
+from collections import deque
 
 MAX_FRAME_LEN = 64 * 1024
+
+# GET read-ahead batch: one Spark job peeks this many entries; each GET
+# frame then pops one and commits the cursor with a metadata-only
+# advance. 256 amortizes the ~100 ms job across ~256 frames while
+# keeping the buffered (peeked-but-uncommitted) window small.
+READAHEAD_ENTRIES = 256
+# Byte budget for the peek — wire payloads are ≤64 KiB frames, so cap
+# the buffered bytes rather than inheriting batch_read's 10 GiB limit.
+READAHEAD_BYTES = 4 * 1024 * 1024
+
+
+class _TopicReadAhead:
+    """Per-topic server-side GET buffer: peek-then-commit.
+
+    The r5 wire plane ran one full Spark job per GET frame
+    (batch_read(max_entries=1)) — correct but single-digit GET/s. This
+    buffer amortizes ONE stateless peek (batch_read with
+    start_offset=cursor, checkpoint=False) across up to
+    READAHEAD_ENTRIES frames; each delivered frame advances the shared
+    cursor by exactly one entry via WalrusLog.commit_cursor — a
+    metadata-only operation, no job.
+
+    Delivery semantics are unchanged from the unbuffered path:
+    buffered entries are PEEKED, not consumed — the cursor only ever
+    advances one delivered entry at a time, and the commit lands
+    BEFORE the reply frame leaves (the reference's consume order:
+    advance, persist per policy, then return — walrus_read.rs:124-188).
+    A server crash therefore loses nothing buffered; a restart resumes
+    from the last committed cursor.
+
+    Coherence with other consumers: per-topic offsets are contiguous
+    (InvSeqOrder), so the i-th peeked entry is at cursor+1+i. Every pop
+    commits with ``expect=`` optimistic concurrency — if a library-API
+    consumer advanced the shared cursor meanwhile, the commit refuses,
+    the stale buffer drops, and the next frame re-peeks. No entry is
+    ever double-delivered through this path.
+    """
+
+    def __init__(self, log, topic: str) -> None:
+        self.log = log
+        self.topic = topic
+        self.lock = threading.Lock()
+        self.base = 0  # cursor value when the buffer was filled
+        self.delivered = 0  # entries popped since the fill
+        self.buf: deque[bytes] = deque()
+
+    def get_next(self) -> bytes | None:
+        with self.lock:
+            while True:
+                cur = self.log.cursor(self.topic)
+                if self.buf and self.base + self.delivered == cur:
+                    payload = self.buf[0]
+                    if self.log.commit_cursor(
+                        self.topic, cur + 1, expect=cur
+                    ):
+                        self.buf.popleft()
+                        self.delivered += 1
+                        return payload
+                    # lost a race to another consumer — resync below
+                self.buf.clear()
+                self.delivered = 0
+                self.base = self.log.cursor(self.topic)
+                rows = self.log.batch_read(
+                    self.topic,
+                    max_bytes=READAHEAD_BYTES,
+                    checkpoint=False,
+                    start_offset=self.base,
+                    max_entries=READAHEAD_ENTRIES,
+                )
+                if not rows:
+                    return None
+                self.buf.extend(rows)
 
 
 class CommandShell:
@@ -46,6 +126,15 @@ class CommandShell:
 
     def __init__(self, log) -> None:
         self.log = log
+        self._readahead: dict[str, _TopicReadAhead] = {}
+        self._ra_guard = threading.Lock()
+
+    def _topic_readahead(self, topic: str) -> _TopicReadAhead:
+        with self._ra_guard:
+            ra = self._readahead.get(topic)
+            if ra is None:
+                ra = self._readahead[topic] = _TopicReadAhead(self.log, topic)
+            return ra
 
     def execute(self, line: str) -> str:
         try:
@@ -80,10 +169,10 @@ class CommandShell:
             if len(parts) < 2:
                 raise ValueError("GET requires a topic")
             self._known(parts[1])
-            batch = self.log.batch_read(parts[1], max_entries=1)
-            if not batch:
+            entry = self._topic_readahead(parts[1]).get_next()
+            if entry is None:
                 return "EMPTY"
-            return "OK " + batch[0].decode("utf-8", errors="replace")
+            return "OK " + entry.decode("utf-8", errors="replace")
         if op == "STATE":
             if len(parts) < 2:
                 raise ValueError("STATE requires a topic")

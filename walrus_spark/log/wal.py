@@ -1453,6 +1453,46 @@ class WalrusLog:
             pend = 0
         self._unpersisted_reads[topic] = pend
 
+    def cursor(self, topic: str) -> int:
+        """The shared consume cursor (last consumed offset; 0 = nothing
+        consumed). The read-side half of the peek-then-commit consumer
+        pattern (commit_cursor is the write side)."""
+        return self._cursors.get(topic, 0)
+
+    def commit_cursor(
+        self, topic: str, offset: int, expect: int | None = None
+    ) -> bool:
+        """Advance the shared cursor to ``offset`` WITHOUT a read job —
+        the delivery-commit half of a peek-then-commit consumer (the
+        wire plane's read-ahead buffer peeks a batch statelessly, then
+        commits one entry per delivered GET frame). Persistence follows
+        the ReadConsistency policy exactly like a consuming read
+        (should_persist, walrus_read.rs:347-366).
+
+        ``expect``: optimistic-concurrency guard — the commit applies
+        only if the current cursor still equals ``expect`` (i.e. no
+        other consumer advanced it since the caller peeked). Returns
+        False on mismatch so the caller can drop its stale buffer and
+        re-peek; the check+advance is atomic under the per-topic
+        consume lock. Rewinds are refused (replay is what stateless
+        ``start_offset`` reads are for) and offsets past the high
+        watermark are an error."""
+        with self._consume_lock(topic):
+            cur = self._cursors.get(topic, 0)
+            if expect is not None and cur != expect:
+                return False
+            if offset <= cur:
+                return False
+            hw = self._hw.get(topic, 0)
+            if offset > hw:
+                raise ValueError(
+                    f"commit_cursor past high watermark: {offset} > {hw} "
+                    f"for topic {topic!r}"
+                )
+            self._checkpoint_read(topic, offset, offset - cur)
+            self._consumer_lag[topic] = hw - offset
+            return True
+
     # ------------------------------------------------------------------
     # metadata ops (O9-O12, D4, high_watermark)
     # ------------------------------------------------------------------

@@ -1,8 +1,8 @@
 """DQ1–DQ10: the reference's log semantics, encoded relationally.
 (Same-machinery queries are merged into tagged/wide entries —
-dq01_02_topic_counts, dq03_05_07_topic_state, dq09_10_dedup_latest —
-so the whole surface fits the driver's 50-entry correctness window
-with every value still hash-checked.)
+dq01_02_03_05_07_topic_stats, dq09_10_dedup_latest — so the whole
+surface fits the driver's 50-entry correctness window with every value
+still hash-checked.)
 
 Model (SURVEY.md §2.5 / FIXTURES.md): the ``events`` fixture is a topic
 log — ``event_type`` is the topic (reference src/wal/block.rs:14-19
@@ -33,34 +33,6 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq01_02_topic_counts",
-    oracle="SELECT 'cursor' AS part, 'click' AS topic, count(*) AS cnt "
-    "FROM events WHERE event_type = 'click' AND event_id >= 1000 "
-    "UNION ALL SELECT 'all' AS part, event_type AS topic, count(*) AS cnt "
-    "FROM events GROUP BY 1, 2 "
-    "ORDER BY part, topic",
-)
-def dq01_02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O9 get_topic_entry_count + O10 get_topic_entry_counts
-    (walrus.rs:129-142) in one tagged entry: the 'cursor' row counts
-    unconsumed entries past a cursor for one topic (both predicates push
-    down to the parquet scan), the 'all' rows are the per-topic counts.
-    One fixture scan feeds both branches."""
-    ev = _events(spark, sf_dir)
-    cursor = (
-        ev.where((F.col("event_type") == "click") & (F.col("event_id") >= 1000))
-        .agg(F.count("*").alias("cnt"))
-        .select(F.lit("cursor").alias("part"), F.lit("click").alias("topic"), "cnt")
-    )
-    all_counts = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.lit("all").alias("part"), F.col("event_type").alias("topic"), "cnt")
-    )
-    return cursor.unionByName(all_counts).orderBy("part", "topic")
-
-
-@register(
     "dq04_cursor_batch_read",
     oracle="SELECT event_id, event_type, value FROM events "
     "WHERE event_type='view' AND event_id > 500 "
@@ -80,30 +52,67 @@ def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq03_05_07_topic_state",
-    oracle="SELECT event_type, min(event_id) AS first_off, "
-    "max(event_id) AS high_watermark, count(*) AS n, "
-    "CAST(sum(length(props)) AS BIGINT) AS bytes FROM events "
-    "GROUP BY event_type ORDER BY event_type",
+    "dq01_02_03_05_07_topic_stats",
+    oracle="SELECT 'cursor' AS part, 'click' AS topic, "
+    "CAST(NULL AS BIGINT) AS first_off, "
+    "CAST(NULL AS BIGINT) AS high_watermark, count(*) AS n, "
+    "CAST(NULL AS BIGINT) AS bytes "
+    "FROM events WHERE event_type = 'click' AND event_id >= 1000 "
+    "UNION ALL SELECT 'state' AS part, event_type AS topic, "
+    "min(event_id) AS first_off, max(event_id) AS high_watermark, "
+    "count(*) AS n, CAST(sum(length(props)) AS BIGINT) AS bytes "
+    "FROM events GROUP BY event_type "
+    "ORDER BY part, topic",
 )
-def dq03_05_07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O11 get_topic_size + D4 STATE + high watermark (walrus.rs:144-178,
-    controller/mod.rs:189-195, distributed-walrus/src/rpc.rs:17-20) as
-    ONE wide per-topic aggregate. The merged form is the better plan at
-    any scale: one fixture scan, one map-side-combined shuffle carrying
-    five partials per (partition, topic) instead of three separate scans
-    of the same data."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
+def dq01_02_03_05_07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole metadata/inspection surface in one tagged
+    entry — O9 get_topic_entry_count, O10 get_topic_entry_counts, O11
+    get_topic_size, D4 STATE, and the high watermark (walrus.rs:129-178,
+    controller/mod.rs:189-195, distributed-walrus/src/rpc.rs:17-20):
+
+      part='cursor' — unconsumed entries past a cursor for one topic
+        (O9; both predicates push down to the parquet scan);
+      part='state'  — ONE wide per-topic aggregate carrying first
+        offset, high watermark, entry count (O10's per-topic counts ARE
+        the n column), and byte size.
+
+    The merged form is the better plan at any scale: one map-side-
+    combined shuffle carrying five partials per (partition, topic)
+    instead of separate scans per inspection op. (Merged r6 to free a
+    registry slot for the sketch_family split — the registry is pinned
+    at 50.)"""
+    ev = _events(spark, sf_dir)
+    _null = lambda: F.lit(None).cast("long")  # noqa: E731
+    cursor = (
+        ev.where((F.col("event_type") == "click") & (F.col("event_id") >= 1000))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cursor").alias("part"),
+            F.lit("click").alias("topic"),
+            _null().alias("first_off"),
+            _null().alias("high_watermark"),
+            "n",
+            _null().alias("bytes"),
+        )
+    )
+    state = (
+        ev.groupBy("event_type")
         .agg(
             F.min("event_id").alias("first_off"),
             F.max("event_id").alias("high_watermark"),
             F.count("*").alias("n"),
             F.sum(F.length("props")).alias("bytes"),
         )
-        .orderBy("event_type")
+        .select(
+            F.lit("state").alias("part"),
+            F.col("event_type").alias("topic"),
+            "first_off",
+            "high_watermark",
+            "n",
+            "bytes",
+        )
     )
+    return cursor.unionByName(state).orderBy("part", "topic")
 
 
 @register(

@@ -1,17 +1,33 @@
-"""Gate entry for the verifiable sketch family (operators/sketch.py).
+"""Gate entries for the verifiable sketch family (operators/sketch.py).
 
-One tagged entry (the registry is pinned at 50 — new operators merge
-into tagged entries) hash-checks the SKETCH REGISTERS of three sketch
-kinds against DuckDB recomputing the identical construction (md5
-double hashing / declared fixed grids) — the sketch is verified, not
-trusted — and the decision each sketch drives (decontamination funnel
-and flags, heavy-hitter estimates, quantile estimates) alongside.
+Two tagged entries (split r6 — the 37-Exchange single union was the
+suite's slowest analytic entry; the registry stays pinned at 50 via
+the dq01_02_03_05_07 log-stats merge) hash-check the SKETCH REGISTERS
+of three sketch kinds against DuckDB recomputing the identical
+construction (md5 double hashing / declared fixed grids) — the sketch
+is verified, not trusted — and the decision each sketch drives
+(decontamination funnel and flags, heavy-hitter estimates, quantile
+estimates) alongside:
+
+  sketch_bloom_decontam — Bloom registers + bloom-gated exact
+    decontamination funnel + contaminated docs;
+  sketch_family         — Count-Min registers/heavy hitters + fixed-
+    grid quantile histogram registers/estimates.
+
 The fourth family member, the HLL cardinality sketch, lives in
 dq19_dedup_exact's 'hll' branch.
+
+Register frames that multiple joins/branches reference are MEMOIZED
+per (session, dataset) — the shared_shingle_sets pattern
+(operators/dedup.py:281) — so in-session reruns reuse one cached frame
+instead of leaking a fresh lazily-checkpointed one per call (the r5
+PERF §8 finding).
 """
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -41,6 +57,46 @@ _SPLIT_MULT = 2654435761
 _SPLIT_MOD = 1 << 32
 
 
+# One cached frame per (dataset, frame-name), shared across entry
+# reruns in a session. Keyed handles + explicit eviction: entering a
+# new dataset (or session) unpersists everything stale, so a long-lived
+# session holds at most one generation of sketch register frames —
+# reruns stop leaking lazily-checkpointed frames (r5 PERF §8).
+_FRAME_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _memo_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    base = os.path.abspath(sf_dir)
+    hit = _FRAME_CACHE.get((base, name))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for (b, n), (s, df) in list(_FRAME_CACHE.items()):
+        if b != base or s is not spark:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001  # session already stopped
+                pass
+            del _FRAME_CACHE[(b, n)]
+    df = build().cache()
+    _FRAME_CACHE[(base, name)] = (spark, df)
+    return df
+
+
+def clear_sketch_frames() -> None:
+    """Unpersist and drop every memoized sketch register frame."""
+    for k, (_, df) in list(_FRAME_CACHE.items()):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+        del _FRAME_CACHE[k]
+
+
 # ---------------------------------------------------------------------------
 # Bloom-gated decontamination: the 100 TB shape of pipeline_decontamination.
 #
@@ -59,6 +115,8 @@ def bloom_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     frac_threshold: float = 0.5,
+    eval_shingles: DataFrame | None = None,
+    registers: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(registers, per_doc_funnel, contaminated_docs) via bloom-gated
     exact verification.
@@ -72,22 +130,34 @@ def bloom_decontaminate(
     The only exchange is the per-doc rollup, same as decontaminate()
     (pipeline.py:430). Bloom guarantees no false negatives, so
     candidates ⊇ truth and the verified result is EXACT.
+
+    ``eval_shingles`` / ``registers``: pre-built (typically cached)
+    distinct eval shingle frame (column 's') and its Bloom register
+    table — the gate entry passes memoized ones so reruns share a
+    single pinned generation of frames. When absent, the frames are
+    pinned per call via lazy localCheckpoint.
     """
     from walrus_spark.operators.dedup import shingles
 
     # The register table is referenced by K broadcast joins below;
     # without lineage truncation Spark replans (and so recomputes) the
     # whole eval tokenize→distinct→aggregate subtree once per join.
-    # localCheckpoint pins the ≤ m/32-row register table (and the
-    # distinct shingle set feeding it + the verify hashes) to computed
-    # blocks — lazily, so entry construction stays plan-only; the
-    # blocks are context-cleaned when the frames go out of scope.
-    ev_sh = (
-        eval_docs.select(F.explode(shingles(F.col(text_col))).alias("s"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    reg = bloom_registers(ev_sh, "s").localCheckpoint(eager=False)
+    # A cached/checkpointed ev_sh pins the distinct shingle set (and
+    # the verify hashes deriving from it) to computed blocks.
+    if eval_shingles is not None:
+        ev_sh = eval_shingles
+        reg = (
+            registers
+            if registers is not None
+            else bloom_registers(ev_sh, "s").localCheckpoint(eager=False)
+        )
+    else:
+        ev_sh = (
+            eval_docs.select(F.explode(shingles(F.col(text_col))).alias("s"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        reg = bloom_registers(ev_sh, "s").localCheckpoint(eager=False)
     ev64 = ev_sh.select(F.xxhash64("s").alias("ev64"))
 
     pr = (
@@ -146,10 +216,9 @@ def bloom_decontaminate(
 
 _HIST_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
-# One statement, three sketches. CTE prefixes: b* = bloom over the val
-# split's shingles, c* = count-min over corpus tokens, h* = quantile
-# histogram over lineitem prices. Column superset is tagged by src.
-_FAMILY_ORACLE = f"""
+# Bloom entry oracle: bloom registers over the val split's shingles,
+# the probe funnel, and the contaminated doc set. Tagged by src.
+_BLOOM_ORACLE = f"""
 WITH tagged AS (
   SELECT doc_id, text,
          ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 5 AS is_eval
@@ -203,7 +272,30 @@ WITH tagged AS (
          sum(CASE WHEN bpass THEN 1 ELSE 0 END) AS n_pass,
          sum(CASE WHEN ehit THEN 1 ELSE 0 END) AS n_hit
   FROM ver v JOIN trn n USING (doc_id) GROUP BY 1
-), ctoks AS (
+)
+SELECT 'bloom_reg' AS src, word, bits, CAST(NULL AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS doc_id
+FROM breg
+UNION ALL
+SELECT 'bloom_stat', NULL, NULL, t.key, t.n, NULL FROM (
+  SELECT 'probe_shingles' AS key, CAST(sum(n_probe) AS BIGINT) AS n
+  FROM perdoc
+  UNION ALL
+  SELECT 'bloom_pass', CAST(sum(n_pass) AS BIGINT) FROM perdoc
+  UNION ALL
+  SELECT 'exact_hits', CAST(sum(n_hit) AS BIGINT) FROM perdoc
+) t
+UNION ALL
+SELECT 'bloom_doc', NULL, NULL, NULL, NULL, doc_id
+FROM perdoc
+WHERE n_hit * 1.0 / nullif(n_shingles, 0) >= 0.5
+ORDER BY src, word, key, doc_id
+"""
+
+# Family entry oracle: count-min over corpus tokens + quantile
+# histogram over lineitem prices. Tagged by src.
+_FAMILY_ORACLE = f"""
+WITH ctoks AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
   FROM documents
 ), ctc AS (
@@ -244,53 +336,32 @@ WITH tagged AS (
                    0.9::DOUBLE, 0.99::DOUBLE]) AS p) p
   WHERE (cum - cnt) < p.p * n AND p.p * n <= cum
 )
-SELECT 'bloom_reg' AS src, word, bits, CAST(NULL AS VARCHAR) AS key,
-       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS doc_id,
-       CAST(NULL AS BIGINT) AS row_i, CAST(NULL AS BIGINT) AS bucket,
-       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS VARCHAR) AS token,
-       CAST(NULL AS BIGINT) AS exact_cnt, CAST(NULL AS BIGINT) AS cms_est,
+SELECT 'cms_reg' AS src, row_i, bucket, cnt,
+       CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS exact_cnt,
+       CAST(NULL AS BIGINT) AS cms_est,
        CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS est
-FROM breg
-UNION ALL
-SELECT 'bloom_stat', NULL, NULL, t.key, t.n, NULL,
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM (
-  SELECT 'probe_shingles' AS key, CAST(sum(n_probe) AS BIGINT) AS n
-  FROM perdoc
-  UNION ALL
-  SELECT 'bloom_pass', CAST(sum(n_pass) AS BIGINT) FROM perdoc
-  UNION ALL
-  SELECT 'exact_hits', CAST(sum(n_hit) AS BIGINT) FROM perdoc
-) t
-UNION ALL
-SELECT 'bloom_doc', NULL, NULL, NULL, NULL, doc_id,
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
-FROM perdoc
-WHERE n_hit * 1.0 / nullif(n_shingles, 0) >= 0.5
-UNION ALL
-SELECT 'cms_reg', NULL, NULL, NULL, NULL, NULL,
-       row_i, bucket, cnt, NULL, NULL, NULL, NULL, NULL
 FROM creg
 UNION ALL
-SELECT 'cms_hh', NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, NULL, token, exact_cnt, CAST(cms_est AS BIGINT),
-       NULL, NULL
+SELECT 'cms_hh', NULL, NULL, NULL, token, exact_cnt,
+       CAST(cms_est AS BIGINT), NULL, NULL
 FROM cest
 UNION ALL
-SELECT 'hist_bin', NULL, NULL, NULL, NULL, NULL,
-       NULL, bin, CAST(cnt AS BIGINT), NULL, NULL, NULL, NULL, NULL
+SELECT 'hist_bin', NULL, bin, CAST(cnt AS BIGINT), NULL, NULL, NULL,
+       NULL, NULL
 FROM hreg
 UNION ALL
-SELECT 'hist_q', NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, NULL, NULL, NULL, NULL, p,
+SELECT 'hist_q', NULL, NULL, NULL, NULL, NULL, NULL, p,
        round(0.0::DOUBLE + 100.0::DOUBLE
              * (bin + (p * n - (cum - cnt)) / cnt), 6)
 FROM hq
-ORDER BY src, word, key, doc_id, row_i, bucket, token, p
+ORDER BY src, row_i, bucket, token, p
 """
 
+_BLOOM_COLS = ["src", "word", "bits", "key", "n", "doc_id"]
+
 _FAMILY_COLS = [
-    "src", "word", "bits", "key", "n", "doc_id", "row_i", "bucket",
-    "cnt", "token", "exact_cnt", "cms_est", "p", "est",
+    "src", "row_i", "bucket", "cnt", "token", "exact_cnt", "cms_est",
+    "p", "est",
 ]
 
 _FAMILY_TYPES = {
@@ -301,58 +372,64 @@ _FAMILY_TYPES = {
 }
 
 
-def _family_rows(src: str, df: DataFrame, **cols) -> DataFrame:
-    """Project df onto the family superset schema with tag ``src``;
+def _tag_rows(src: str, df: DataFrame, cols: list[str], **m) -> DataFrame:
+    """Project df onto the superset schema ``cols`` with tag ``src``;
     kwargs map superset column -> source column name."""
     sel = [F.lit(src).alias("src")]
-    for c in _FAMILY_COLS[1:]:
-        if c in cols:
-            sel.append(F.col(cols[c]).cast(_FAMILY_TYPES[c]).alias(c))
+    for c in cols[1:]:
+        if c in m:
+            sel.append(F.col(m[c]).cast(_FAMILY_TYPES[c]).alias(c))
         else:
             sel.append(_NULL(_FAMILY_TYPES[c]).alias(c))
     return df.select(*sel)
 
 
-@register("sketch_family", oracle=_FAMILY_ORACLE)
-def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three verifiable sketches in one tagged entry (the HLL fourth
-    lives in dq19's 'hll' branch). Every branch is hash-checked against
-    DuckDB recomputing the identical registers:
+@register("sketch_bloom_decontam", oracle=_BLOOM_ORACLE)
+def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch, verified register-for-register, plus
+    the decision it drives (split out of sketch_family r6 — the
+    37-Exchange union was the suite's slowest analytic entry):
 
-    'bloom_*': Bloom registers over the val split's shingles + the
-    probed/bloom-pass/exact-hit funnel + contaminated train docs —
-    bloom-then-verify decontamination is exact
-    (test_bloom_decontam_equals_exact), the probe is k chained
-    broadcast joins with ONE doc_id exchange (plan-asserted).
-
-    'cms_*': Count-Min registers over corpus token frequencies + the
-    top-20 tokens with exact counts and CMS estimates (containment +
-    mergeability: test_cms_estimate_bounds_and_merge; incremental
-    stream maintenance: test_cms_incremental_maintenance_over_stream).
-
-    'hist_*': fixed-grid quantile registers over l_extendedprice + 5
-    interpolated quantile estimates, identical IEEE arithmetic on both
-    engines (test_histogram_quantiles_accuracy_and_merge)."""
+    'bloom_reg': registers over the val split's shingles — fixed
+    32 KiB broadcast regardless of eval size.
+    'bloom_stat': the probed/bloom-pass/exact-hit funnel, so the
+    false-positive behavior itself is hash-checked cross-engine.
+    'bloom_doc': contaminated train docs — bloom-then-verify
+    decontamination is exact (test_bloom_decontam_equals_exact); the
+    probe is k chained broadcast joins with ONE doc_id exchange
+    (plan-asserted)."""
     from walrus_spark.operators import pipeline as _pl
+    from walrus_spark.operators.dedup import shingles
     from walrus_spark.operators.pipeline import train_val_split
 
     assert (_pl._SPLIT_MULT, _pl._SPLIT_MOD) == (_SPLIT_MULT, _SPLIT_MOD), (
         "split-hash constants drifted from operators.pipeline"
     )
-    from walrus_spark.operators.sketch import (
-        histogram_quantiles,
-        histogram_registers,
-    )
-    from walrus_spark.operators.text import tokens
 
-    # --- bloom branch (documents, train vs val split)
     d = train_val_split(load_table(spark, sf_dir, "documents"))
-    reg, perdoc, contaminated = bloom_decontaminate(
-        d.where(F.col("split") == "train").drop("split"),
-        d.where(F.col("split") == "val").drop("split"),
+    ev_docs = d.where(F.col("split") == "val").drop("split")
+    ev_sh = _memo_frame(
+        spark,
+        sf_dir,
+        "bloom_eval_shingles",
+        lambda: ev_docs.select(
+            F.explode(shingles(F.col("text"))).alias("s")
+        ).distinct(),
     )
-    bloom_reg = _family_rows("bloom_reg", reg, word="word", bits="bits")
-    bloom_stat = _family_rows(
+    reg = _memo_frame(
+        spark, sf_dir, "bloom_registers",
+        lambda: bloom_registers(ev_sh, "s"),
+    )
+    _, perdoc, contaminated = bloom_decontaminate(
+        d.where(F.col("split") == "train").drop("split"),
+        ev_docs,
+        eval_shingles=ev_sh,
+        registers=reg,
+    )
+    bloom_reg = _tag_rows(
+        "bloom_reg", reg, _BLOOM_COLS, word="word", bits="bits"
+    )
+    bloom_stat = _tag_rows(
         "bloom_stat",
         perdoc.agg(
             F.sum("n_probe").alias("pp"),
@@ -364,18 +441,55 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 'exact_hits', eh) AS (k, v)"
             )
         ),
+        _BLOOM_COLS,
         key="k",
         n="v",
     )
-    bloom_doc = _family_rows("bloom_doc", contaminated, doc_id="doc_id")
+    bloom_doc = _tag_rows(
+        "bloom_doc", contaminated, _BLOOM_COLS, doc_id="doc_id"
+    )
+    return (
+        bloom_reg.unionByName(bloom_stat)
+        .unionByName(bloom_doc)
+        .orderBy("src", "word", "key", "doc_id")
+    )
 
-    # --- count-min branch (documents, token frequencies)
-    tc = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").alias("exact_cnt"))
+
+@register("sketch_family", oracle=_FAMILY_ORACLE)
+def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min + quantile-histogram sketches in one tagged entry
+    (Bloom split into sketch_bloom_decontam r6; the HLL fourth lives in
+    dq19's 'hll' branch). Every branch is hash-checked against DuckDB
+    recomputing the identical registers:
+
+    'cms_*': Count-Min registers over corpus token frequencies + the
+    top-20 tokens with exact counts and CMS estimates (containment +
+    mergeability: test_cms_estimate_bounds_and_merge; incremental
+    stream maintenance: test_cms_incremental_maintenance_over_stream).
+
+    'hist_*': fixed-grid quantile registers over l_extendedprice + 5
+    interpolated quantile estimates, identical IEEE arithmetic on both
+    engines (test_histogram_quantiles_accuracy_and_merge)."""
+    from walrus_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_registers,
+    )
+    from walrus_spark.operators.text import tokens
+
+    # --- count-min branch (documents, token frequencies). tc feeds
+    # three consumers (registers, top-20, probe) — memoized so the
+    # tokenize scan runs once per dataset per session.
+    tc = _memo_frame(
+        spark,
+        sf_dir,
+        "cms_token_counts",
+        lambda: (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("exact_cnt"))
+        ),
     )
     creg = cms_registers(tc, "token", "exact_cnt")
     top = tc.orderBy(F.col("exact_cnt").desc(), "token").limit(20)
@@ -389,26 +503,34 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
-    cms_reg = _family_rows(
-        "cms_reg", creg, row_i="row_i", bucket="bucket", cnt="cnt"
+    cms_reg = _tag_rows(
+        "cms_reg", creg, _FAMILY_COLS,
+        row_i="row_i", bucket="bucket", cnt="cnt",
     )
-    cms_hh = _family_rows(
-        "cms_hh", cest, token="token", exact_cnt="exact_cnt",
-        cms_est="cms_est",
-    )
-
-    # --- quantile-histogram branch (lineitem prices)
-    hreg = histogram_registers(
-        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
-    ).localCheckpoint(eager=False)
-    hist_bin = _family_rows("hist_bin", hreg, bucket="bin", cnt="cnt")
-    hist_q = _family_rows(
-        "hist_q", histogram_quantiles(hreg, _HIST_PS), p="p", est="est"
+    cms_hh = _tag_rows(
+        "cms_hh", cest, _FAMILY_COLS,
+        token="token", exact_cnt="exact_cnt", cms_est="cms_est",
     )
 
-    out = bloom_reg
-    for part in (bloom_stat, bloom_doc, cms_reg, cms_hh, hist_bin, hist_q):
+    # --- quantile-histogram branch (lineitem prices); hreg feeds both
+    # the bin rows and the quantile interpolation
+    hreg = _memo_frame(
+        spark,
+        sf_dir,
+        "hist_registers",
+        lambda: histogram_registers(
+            load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+        ),
+    )
+    hist_bin = _tag_rows(
+        "hist_bin", hreg, _FAMILY_COLS, bucket="bin", cnt="cnt"
+    )
+    hist_q = _tag_rows(
+        "hist_q", histogram_quantiles(hreg, _HIST_PS), _FAMILY_COLS,
+        p="p", est="est",
+    )
+
+    out = cms_reg
+    for part in (cms_hh, hist_bin, hist_q):
         out = out.unionByName(part)
-    return out.orderBy(
-        "src", "word", "key", "doc_id", "row_i", "bucket", "token", "p"
-    )
+    return out.orderBy("src", "row_i", "bucket", "token", "p")

@@ -160,8 +160,13 @@ def main() -> None:
     def events(d):
         return load_table(spark, d, "events")
 
+    from walrus_spark.operators.dedup import substring_dedup_pairs
+
     CASES = {
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),
+        "substring_dedup_pairs (w=8)": lambda d: substring_dedup_pairs(
+            docs(d)
+        ),
         "simhash_pairs (auto budget)": lambda d: simhash_pairs(docs(d)),
         "dedup_clusters (LSH chain, propagate)": lambda d: connected_components(
             minhash_lsh_pairs(docs(d)).select("doc_a", "doc_b")

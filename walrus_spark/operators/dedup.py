@@ -1440,3 +1440,118 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id"), F.col("component"))
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the "long exact match" class: two documents
+# sharing a verbatim run of >= W consecutive tokens — train-set
+# contamination and boilerplate detection use this where set-similarity
+# families miss it: a 40-token quote inside two otherwise-unrelated
+# documents has near-zero Jaccard but is exactly the leakage a
+# pretraining pipeline must find).
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs of docs sharing >= 1 verbatim run of ``window_tokens``
+    consecutive tokens, with the shared-window count and the LONGEST
+    shared run length (in tokens) per pair.
+
+    Columns: (doc_a, doc_b, n_shared_windows, max_run_tokens),
+    doc_a < doc_b, deterministic.
+
+    Shape — hash-banded candidates, then exact verify (the minhash /
+    bloom discipline):
+
+      1. one scan explodes each doc into its token windows as POSITIONED
+         64-bit hashes (xxhash64 of the joined window) — strings are
+         dropped at scan time, the explode carries ~16 B/window;
+      2. one shuffle groups window hashes; only buckets holding >= 2
+         distinct docs enumerate candidate pairs (_bucket_pairs);
+      3. candidates verify EXACTLY: window strings are re-derived for
+         candidate docs only (semi-join pushes the candidate set into
+         the scan) and equi-joined on the actual string, so a 64-bit
+         hash collision can never fabricate a pair;
+      4. runs: shared windows at positions (ia, ib) chain along the
+         diagonal d = ia - ib; a gaps-and-islands window (row_number
+         over (pair, d) ordered by ia) turns each maximal chain into a
+         group, and max_run_tokens = longest chain + W - 1.
+
+    At scale the explode is corpus-token-count rows of 16 bytes — the
+    same order as the tokenize pass any dedup makes — and steps 3-4
+    touch only candidate docs. Ties to the reference's capability set:
+    none (the reference stores opaque bytes); this is north-star
+    LLM-pipeline surface (SURVEY.md §2.5)."""
+    from pyspark.sql.window import Window
+
+    w = window_tokens
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("ts")
+    ).where(F.size("ts") >= w)
+    # positioned windows: (doc_id, i, window-string); i is 1-based
+    win = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (w - 1)),
+                lambda i: F.array_join(F.slice("ts", i, w), " "),
+            )
+        ).alias("i0", "ws"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "ws")
+
+    # 1-2: hash-banded candidate pairs (distinct windows per doc so a
+    # doc-internal repeat can't self-pair)
+    hashed = win.select("doc_id", F.xxhash64("ws").alias("wh")).distinct()
+    cand = (
+        _bucket_pairs(hashed, ["wh"], F.struct("doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # 3: exact verify on the window STRING, candidate docs only
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select("doc_b")
+    ).distinct()
+    vw = win.join(F.broadcast(cand_docs), "doc_id")
+    shared = (
+        vw.alias("x")
+        .join(vw.alias("y"), F.col("x.ws") == F.col("y.ws"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(
+            F.broadcast(cand),
+            (F.col("x.doc_id") == F.col("doc_a"))
+            & (F.col("y.doc_id") == F.col("doc_b")),
+            "leftsemi",
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.i").alias("ia"),
+            F.col("y.i").alias("ib"),
+        )
+        .distinct()
+    )
+
+    # 4: gaps-and-islands along each diagonal -> longest run
+    diag = shared.withColumn("d", F.col("ia") - F.col("ib"))
+    wnd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")
+    runs = (
+        diag.withColumn("grp", F.col("ia") - F.row_number().over(wnd))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(F.count("*").alias("chain"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("chain").alias("n_shared_windows"),
+            (F.max("chain") + F.lit(w - 1)).alias("max_run_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -325,6 +325,55 @@ def test_commit_cursor_contract(spark, tmp_path):
     log2.close()
 
 
+def test_wire_rollover_read_across_sealed_segments(spark, tmp_path):
+    """Mirror of the reference cluster e2e rollover_read_test.py
+    (distributed-walrus/scripts/rollover_read_test.py:193-230) at
+    single-storage scope: 60 wire PUTs into a topic with 10-entry
+    segments seal 5 segments (STATE reports them with exact counts,
+    the TopicState shape of metadata.rs:19-31); 60 wire GETs then
+    deliver every message IN ORDER across all six segment boundaries —
+    with a mid-stream compact() (the sealed-segment maintenance a
+    cluster performs while consumers run) — and drain to EMPTY."""
+    log = WalrusLog(spark, str(tmp_path / "roll"), max_segment_entries=10)
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        client = CommandClient(host, port)
+        assert client.send("REGISTER rollover_demo") == "OK"
+        messages = [f"msg-{i}" for i in range(60)]
+        for m in messages:
+            assert client.send(f"PUT rollover_demo {m}") == "OK"
+
+        state = json.loads(client.send("STATE rollover_demo"))
+        assert state["current_segment"] == 5
+        assert state["high_watermark"] == 60
+        assert state["sealed_segments"] == {str(s): 10 for s in range(5)}
+        assert state["last_sealed_entry_offset"] == 50
+
+        read_back = []
+        for i in range(60):
+            if i == 30:
+                log.compact()  # maintenance races mid-consumption
+            r = client.send("GET rollover_demo")
+            assert r.startswith("OK "), r
+            read_back.append(r[3:])
+        assert client.send("GET rollover_demo") == "EMPTY"
+        assert read_back == messages  # ordered, exactly once, no gaps
+
+        # post-compaction appends force a FRESH peek over the compacted
+        # manifest + new batches (the first 60 were buffered pre-compact)
+        for m in ("late-0", "late-1", "late-2"):
+            assert client.send(f"PUT rollover_demo {m}") == "OK"
+        assert client.send("GET rollover_demo") == "OK late-0"
+        assert client.send("GET rollover_demo") == "OK late-1"
+        assert client.send("GET rollover_demo") == "OK late-2"
+        assert client.send("GET rollover_demo") == "EMPTY"
+        client.close()
+    finally:
+        server.shutdown()
+        log.close()
+
+
 def test_oversized_frame_keeps_connection_usable(spark, tmp_path):
     """Code-review regression: an oversized frame must be drained (not
     left in the stream) so later commands on the same connection still

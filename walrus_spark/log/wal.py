@@ -1538,12 +1538,21 @@ class WalrusLog:
         return topic in self._hw
 
     def state(self, topic: str) -> dict:
-        """STATE analog (controller/mod.rs:189-195)."""
+        """STATE analog (controller/mod.rs:189-195): the TopicState
+        shape (metadata.rs:19-31) minus the cluster-only leader maps —
+        current segment, sealed segments with their entry counts, and
+        the last sealed offset, all derived from metadata (offsets are
+        per-topic contiguous, so sealed segment s holds exactly
+        [s·N+1, (s+1)·N] — no data scan)."""
         hw = self._hw.get(topic, 0)
+        n = self.max_segment_entries
+        cur_seg = max(0, (hw - 1)) // n
         return {
             "topic": topic,
             "high_watermark": hw,
-            "current_segment": max(0, (hw - 1)) // self.max_segment_entries,
+            "current_segment": cur_seg,
+            "sealed_segments": {str(s): n for s in range(cur_seg)},
+            "last_sealed_entry_offset": cur_seg * n,
             "cursor": self._cursors.get(topic, 0),
             "unconsumed": self.topic_entry_count(topic),
             "dirty": self._dirty.get(topic, {}).get("dirty", False),

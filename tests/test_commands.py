@@ -374,6 +374,88 @@ def test_wire_rollover_read_across_sealed_segments(spark, tmp_path):
         log.close()
 
 
+def test_wire_put_stress_group_commit(spark, tmp_path):
+    """Mirror of the reference's cluster stress e2e
+    (distributed-walrus/scripts/stress_test.py: N threads hammer 1 KiB
+    PUTs through persistent connections, assert non-zero writes and
+    report throughput) at single-storage scope — plus the engine-side
+    proof that GROUP COMMIT actually engaged: concurrent PUTs must
+    share commits (entries per manifest commit > 1.5 on average), and
+    every committed entry must be present, contiguous, and correct."""
+    import threading
+    import time
+
+    log = WalrusLog(spark, str(tmp_path / "stress"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        shell = server.shell
+        shell.execute("REGISTER stress_test_topic")
+        base_commits = log.metrics()["committed_batches"]
+        payload = "x" * 1024
+        n_threads, per_thread = 8, 25
+        counts = [0] * n_threads
+        errors = []
+        barrier = threading.Barrier(n_threads)
+
+        def worker(k: int) -> None:
+            c = CommandClient(host, port)
+            try:
+                barrier.wait()
+                for i in range(per_thread):
+                    r = c.send(f"PUT stress_test_topic {k}:{i}:{payload}")
+                    if r == "OK":
+                        counts[k] += 1
+                    else:
+                        errors.append(r)
+            finally:
+                c.close()
+
+        ts = [
+            threading.Thread(target=worker, args=(k,))
+            for k in range(n_threads)
+        ]
+        t0 = time.monotonic()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        elapsed = time.monotonic() - t0
+
+        total = sum(counts)
+        assert not errors, errors[:3]
+        assert total == n_threads * per_thread
+        # group-commit proof: the 200 concurrent entries shared commits
+        commits = log.metrics()["committed_batches"] - base_commits
+        assert commits < total / 1.5, (commits, total)
+        # nothing lost, nothing duplicated, offsets contiguous
+        assert log.high_watermark("stress_test_topic") == total
+        rows = log.batch_read("stress_test_topic", max_entries=2000)
+        assert len(rows) == total
+        seen = sorted(r.decode().split(":")[:2] for r in rows)
+        assert seen == sorted(
+            [str(k), str(i)]
+            for k in range(n_threads)
+            for i in range(per_thread)
+        )
+        # per-connection PUT order is preserved within each thread
+        order = {}
+        for r in [x.decode() for x in rows]:
+            k, i, _ = r.split(":", 2)
+            order.setdefault(k, []).append(int(i))
+        for k, idxs in order.items():
+            assert idxs == sorted(idxs), (k, idxs)
+        print(
+            f"\nstress: {total} PUTs, {n_threads} threads, "
+            f"{elapsed:.2f}s = {total / elapsed:.0f} ops/s, "
+            f"{commits} commits ({total / max(1, commits):.1f} "
+            "entries/commit)"
+        )
+    finally:
+        server.shutdown()
+        log.close()
+
+
 def test_oversized_frame_keeps_connection_usable(spark, tmp_path):
     """Code-review regression: an oversized frame must be drained (not
     left in the stream) so later commands on the same connection still

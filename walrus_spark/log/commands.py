@@ -34,8 +34,12 @@ GET is served through a per-topic read-ahead buffer (_TopicReadAhead):
 one Spark peek job amortizes across up to READAHEAD_ENTRIES frames,
 each frame committing the shared cursor by exactly one entry
 (metadata-only, crash-safe, coherent with library-API consumers via
-optimistic expect-commits). The wire CONTRACT is unchanged — one entry
-per GET, consumed, "EMPTY" when caught up.
+optimistic expect-commits). PUT goes through natural group commit
+(_GroupCommitter): everything queued while the previous commit ran
+lands as ONE atomic multi_append, and each frame replies OK only after
+its own entry is durably committed. The wire CONTRACT is unchanged —
+one entry per GET (consumed; "EMPTY" when caught up), OK-after-commit
+per PUT.
 """
 
 from __future__ import annotations
@@ -121,6 +125,84 @@ class _TopicReadAhead:
                 self.buf.extend(rows)
 
 
+class _GroupCommitter:
+    """Write-side twin of the read-ahead buffer: PUT group commit.
+
+    One Spark commit per PUT frame caps the wire plane at single-digit
+    PUT/s per connection and — worse — N concurrent connections queue N
+    sequential commits on the per-topic lock. The reference's write
+    plane batches at two levels (io_uring submits a whole batch in one
+    syscall, writer.rs:343-528; the fsync worker group-commits
+    durability, background.rs:22-154); the engine analog is NATURAL
+    group commit: a single committer thread drains everything queued
+    while the previous commit ran and lands it as ONE atomic
+    multi_append (per-topic contiguous offsets preserved — offsets are
+    assigned under the topic locks inside multi_append).
+
+    Reply discipline is unchanged: a PUT frame replies OK only after
+    ITS entry is durably committed (reply-after-commit, exactly like
+    the unbatched path). A lone client therefore sees the same latency
+    (its batch is just size 1), while N concurrent clients share one
+    commit — throughput scales with concurrency instead of serializing.
+    A commit failure (e.g. NotLeaderError after a takeover) propagates
+    to every waiter whose entry rode that commit.
+    """
+
+    # cap a drained batch well under multi_append's 2000-entry/topic
+    # limit so one drain can never trip it
+    MAX_DRAIN = 1000
+
+    def __init__(self, log) -> None:
+        self.log = log
+        self._lock = threading.Lock()
+        self._pending: list[tuple[str, bytes, dict]] = []
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, topic: str, payload: bytes) -> None:
+        """Enqueue one entry; returns after ITS commit lands (or
+        raises what that commit raised)."""
+        waiter = {"evt": threading.Event(), "err": None}
+        with self._lock:
+            self._pending.append((topic, payload, waiter))
+        self._wake.set()
+        if not waiter["evt"].wait(timeout=300):
+            raise TimeoutError("group commit did not complete in 300 s")
+        if waiter["err"] is not None:
+            raise waiter["err"]
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    def _run(self) -> None:
+        while True:
+            self._wake.wait()
+            with self._lock:
+                batch = self._pending[: self.MAX_DRAIN]
+                del self._pending[: self.MAX_DRAIN]
+                if not self._pending:
+                    self._wake.clear()
+            if self._stop and not batch:
+                return
+            if not batch:
+                continue
+            batches: dict[str, list[bytes]] = {}
+            for t, p, _w in batch:
+                batches.setdefault(t, []).append(p)
+            try:
+                self.log.multi_append(batches)
+                err = None
+            except Exception as e:  # noqa: BLE001 — relayed per waiter
+                err = e
+            for _t, _p, w in batch:
+                w["err"] = err
+                w["evt"].set()
+
+
 class CommandShell:
     """Execute one reference-protocol command line against a WalrusLog."""
 
@@ -128,6 +210,20 @@ class CommandShell:
         self.log = log
         self._readahead: dict[str, _TopicReadAhead] = {}
         self._ra_guard = threading.Lock()
+        self._committer: _GroupCommitter | None = None
+        self._gc_guard = threading.Lock()
+
+    def _group_committer(self) -> _GroupCommitter:
+        with self._gc_guard:
+            if self._committer is None:
+                self._committer = _GroupCommitter(self.log)
+            return self._committer
+
+    def close(self) -> None:
+        with self._gc_guard:
+            if self._committer is not None:
+                self._committer.close()
+                self._committer = None
 
     def _topic_readahead(self, topic: str) -> _TopicReadAhead:
         with self._ra_guard:
@@ -163,7 +259,8 @@ class CommandShell:
             if len(parts) < 3:
                 raise ValueError("PUT requires a payload")
             self._known(parts[1])
-            self.log.append(parts[1], parts[2].encode("utf-8"))
+            # group commit: reply lands only after THIS entry's commit
+            self._group_committer().submit(parts[1], parts[2].encode("utf-8"))
             return "OK"
         if op == "GET":
             if len(parts) < 2:
@@ -250,6 +347,10 @@ class CommandServer(socketserver.ThreadingTCPServer):
     def __init__(self, log, host: str = "127.0.0.1", port: int = 0) -> None:
         super().__init__((host, port), _Handler)
         self.shell = CommandShell(log)
+
+    def shutdown(self) -> None:  # drain the group committer too
+        super().shutdown()
+        self.shell.close()
 
     def start_background(self) -> tuple[str, int]:
         t = threading.Thread(target=self.serve_forever, daemon=True)

@@ -65,6 +65,11 @@ def main() -> None:
         committed.append([int(first), int(last)])
         _atomic(state, {"ranges": committed, "fenced": False})
         i += 1
+        # pace the stream: with the driver-side small-batch fast path an
+        # unpaced loop commits ~600 batches/s and the takeover test
+        # spends its time scanning thousands of tiny files instead of
+        # exercising the fence
+        time.sleep(0.05)
     else:
         _atomic(state, {"ranges": committed, "fenced": False, "timeout": True})
 

@@ -160,7 +160,12 @@ def test_two_process_takeover_fences_writer_and_loses_nothing(
         ver = WalrusLog(spark, root)
         try:
             assert ver.cursor("t") == 2
-            delivered = ver.batch_read("t", max_entries=2000)
+            delivered = []
+            while True:  # drain in <=2000-entry batches (the O4 cap)
+                batch = ver.batch_read("t", max_entries=2000)
+                if not batch:
+                    break
+                delivered.extend(batch)
             assert [d.decode() for d in delivered] == [
                 entries[off] for off in range(3, hw + 1)
             ]

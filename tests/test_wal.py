@@ -1650,3 +1650,63 @@ def test_nonexistent_topic_and_write_after_exhaustion(spark, tmp_path):
     log.append("t", b"b")
     assert log.read_next("t") == b"b"
     log.close()
+
+
+def test_xxhash64_python_matches_spark(spark):
+    """The driver-side append path stamps crc with a pure-python XXH64;
+    Spark's xxhash64 verifies it on EVERY delivery — so the two must be
+    bit-identical across every length class of the algorithm (empty,
+    <4, 4-7, 8-31, exactly 32, >32, large, all-byte-values)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from walrus_spark.log.wal import _xxhash64_py
+
+    rnd = random.Random(0xFEED)
+    payloads = [b"", b"a", b"ab", b"abc", b"abcd", b"abcdefg",
+                b"x" * 8, b"x" * 31, b"x" * 32, b"x" * 33,
+                bytes(range(256)), b"\x00" * 100, b"\xff" * 1000]
+    payloads += [
+        bytes(rnd.getrandbits(8) for _ in range(rnd.randrange(0, 5000)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, v binary"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", F.xxhash64("v").alias("h")).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _xxhash64_py(p), (i, len(p))
+
+
+def test_driver_and_spark_append_paths_interleave(spark, tmp_path):
+    """Batches written by the driver-side pyarrow fast path and by the
+    Spark job path interleave freely in one manifest: reads (with
+    JVM-side crc verification — the cross-writer parity proof), cursor
+    consumption, state, and restart recovery see ONE consistent log."""
+    log = WalrusLog(spark, str(tmp_path / "dual"))
+    log.batch_append("t", [b"drv-1", b"drv-2"])  # driver path
+    log.DRIVER_APPEND_MAX_ROWS = 0  # force the Spark path
+    log.batch_append("t", [b"spk-3", b"spk-4"])
+    del log.DRIVER_APPEND_MAX_ROWS  # back to the class default
+    log.batch_append("t", [b"drv-5", b""])  # driver path, empty payload
+
+    # JVM-side crc verify runs inside batch_read — a python/JVM hash
+    # divergence in either writer fails loudly here
+    assert log.batch_read("t", max_entries=10, checkpoint=False) == [
+        b"drv-1", b"drv-2", b"spk-3", b"spk-4", b"drv-5", b"",
+    ]
+    assert log.high_watermark("t") == 6
+    st = log.state("t")
+    assert st["high_watermark"] == 6 and st["current_segment"] == 0
+
+    # consume across the writer boundary, restart, resume exactly
+    assert log.batch_read("t", max_entries=3) == [b"drv-1", b"drv-2", b"spk-3"]
+    log.close()
+    log2 = WalrusLog(spark, str(tmp_path / "dual"))
+    assert log2.batch_read("t", max_entries=10) == [b"spk-4", b"drv-5", b""]
+    assert log2.topic_entry_count("t") == 0
+    log2.close()

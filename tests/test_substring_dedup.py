@@ -152,3 +152,30 @@ def test_substring_pairs_on_fixture_corpus(spark, sf_dir):
         )
         assert found, (a, b)
         assert run >= 8
+
+
+def test_substring_pairs_random_corpus_vs_oracle(spark):
+    """Randomized corpus from a tiny vocabulary (dense window
+    collisions, partial overlaps, repeated tokens) vs the brute-force
+    oracle — the property-style sweep in one Spark job."""
+    import random
+
+    rnd = random.Random(0xD0C5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = {}
+    for i in range(18):
+        n = rnd.randrange(0, 30)
+        docs[i] = " ".join(rnd.choice(vocab) for _ in range(n))
+    # plant one guaranteed long shared run between two random docs
+    run = "p q r s t u v w"
+    docs[100] = f"{docs[3]} {run}"
+    docs[101] = f"{run} {docs[7]}"
+    for w in (3, 5):
+        got = _run(spark, docs, w)
+        want = _py_oracle(docs, w)
+        assert got == want, (w, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) ^ set(want) | {
+                k for k in got if got[k] != want.get(k)
+            }
+        })

@@ -1018,7 +1018,24 @@ class WalrusLog:
             }
         )
         os.makedirs(path, exist_ok=True)
-        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        part = os.path.join(path, "part-00000.parquet")
+        pq.write_table(table, part)
+        # The manifest rename is the commit point; the data bytes and
+        # their dirent must be durable BEFORE it, or a power loss could
+        # leave a committed manifest pointing at a hole. (Strictly
+        # stronger than the distributed write path, which inherits the
+        # local filesystem's page-cache semantics from the Hadoop
+        # committer.)
+        fd = os.open(part, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # Above this many rows the audit runs as a distributed Spark job;
     # below it, a driver-side pyarrow read of the two audit columns is

@@ -116,6 +116,67 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # wire-plane throughput: PUT group commit + GET read-ahead over a
+    # live CommandServer (the reference's client protocol path)
+    wire_put_per_sec = wire_get_per_sec = None
+    if os.environ.get("BENCH_SKIP_WIRE", "0") != "1":
+        try:
+            import threading
+
+            from walrus_spark.log import CommandClient, CommandServer
+
+            wroot = tempfile.mkdtemp(prefix="wal_bench_wire_")
+            wlog = WalrusLog(spark, wroot)
+            server = CommandServer(wlog)
+            host, port = server.start_background()
+            try:
+                shell = server.shell
+                shell.execute("REGISTER w")
+                n_put, n_thr = 400, 8
+                done = [0] * n_thr
+                barrier = threading.Barrier(n_thr + 1)
+
+                def put_worker(k: int) -> None:
+                    c = CommandClient(host, port)
+                    try:
+                        barrier.wait()
+                        for i in range(n_put // n_thr):
+                            if c.send(f"PUT w {k}:{i}") == "OK":
+                                done[k] += 1
+                    finally:
+                        c.close()
+
+                ts = [
+                    threading.Thread(target=put_worker, args=(k,))
+                    for k in range(n_thr)
+                ]
+                for t in ts:
+                    t.start()
+                barrier.wait()
+                t0 = time.perf_counter()
+                for t in ts:
+                    t.join()
+                dt = time.perf_counter() - t0
+                if sum(done) == n_put:
+                    wire_put_per_sec = round(n_put / dt, 1)
+
+                c = CommandClient(host, port)
+                t0 = time.perf_counter()
+                got = 0
+                for _ in range(n_put):
+                    if c.send("GET w").startswith("OK "):
+                        got += 1
+                dt = time.perf_counter() - t0
+                c.close()
+                if got == n_put:
+                    wire_get_per_sec = round(n_put / dt, 1)
+            finally:
+                server.shutdown()
+                wlog.close()
+                shutil.rmtree(wroot, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            errors["_wire_plane"] = f"{type(e).__name__}: {e}"[:300]
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -127,6 +188,8 @@ def main() -> None:
                 "sf": sf,
                 "ingest_rows_per_sec": rows_per_sec,
                 "stream_consume_rows_per_sec": stream_rows_per_sec,
+                "wire_put_per_sec": wire_put_per_sec,
+                "wire_get_per_sec": wire_get_per_sec,
                 "n_queries": len(timings),
                 "errors": errors,
             }

@@ -76,6 +76,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    # release the query phase's memoized frames (shared shingle sets,
+    # sketch registers) before the ingest/stream/wire phases — storage
+    # memory back to the pool, and the lifecycle hooks get exercised
+    from walrus_spark.operators.dedup import clear_shared_sets
+    from walrus_spark.queries.sketch_queries import clear_sketch_frames
+
+    clear_shared_sets()
+    clear_sketch_frames()
+
     # ingest throughput: events → canonical log table, one atomic commit
     import pyspark.sql.functions as F
 
@@ -120,6 +129,7 @@ def main() -> None:
     # live CommandServer (the reference's client protocol path)
     wire_put_per_sec = wire_get_per_sec = None
     if os.environ.get("BENCH_SKIP_WIRE", "0") != "1":
+        wroot = wlog = server = None
         try:
             import threading
 
@@ -172,10 +182,18 @@ def main() -> None:
                     wire_get_per_sec = round(n_put / dt, 1)
             finally:
                 server.shutdown()
-                wlog.close()
-                shutil.rmtree(wroot, ignore_errors=True)
+                server = None
         except Exception as e:  # noqa: BLE001
             errors["_wire_plane"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            # cleanup must run even when setup failed mid-way (a bind
+            # failure must not leak the temp root or the writer claim)
+            if server is not None:
+                server.shutdown()
+            if wlog is not None:
+                wlog.close()
+            if wroot is not None:
+                shutil.rmtree(wroot, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     print(

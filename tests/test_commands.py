@@ -456,6 +456,35 @@ def test_wire_put_stress_group_commit(spark, tmp_path):
         log.close()
 
 
+def test_wire_get_delivers_entries_committed_by_another_instance(
+    spark, tmp_path
+):
+    """Code-review regression (r6): a serving instance's in-process
+    high watermark only tracks its OWN appends, but the read-ahead
+    peek sees other writers' commits through the live manifest scan —
+    commit_cursor must refresh the watermark from the sidecar/manifest
+    instead of erroring, or every GET after an external append replies
+    'ERR commit_cursor past high watermark' forever (the CLI `serve` +
+    batch-job-writer deployment, and every post-takeover reader)."""
+    root = str(tmp_path / "xproc")
+    a = WalrusLog(spark, root)
+    sh = CommandShell(a)
+    assert sh.execute("REGISTER t") == "OK"
+    b = WalrusLog(spark, root)  # second instance takes writership
+    b.batch_append("t", [b"x1", b"x2"])
+    try:
+        assert sh.execute("GET t") == "OK x1"
+        assert sh.execute("GET t") == "OK x2"
+        assert sh.execute("GET t") == "EMPTY"
+        # and again after ANOTHER external append (hw refresh repeats)
+        b.batch_append("t", [b"x3"])
+        assert sh.execute("GET t") == "OK x3"
+    finally:
+        sh.close()
+        b.close()
+        a.close()
+
+
 def test_oversized_frame_keeps_connection_usable(spark, tmp_path):
     """Code-review regression: an oversized frame must be drained (not
     left in the stream) so later commands on the same connection still

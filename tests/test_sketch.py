@@ -330,6 +330,33 @@ def test_kmeans_degenerate_inputs(spark):
     assert len(state) <= 6  # empty initial clusters dropped
 
 
+def test_sketch_frame_memo_lifecycle(spark):
+    """The sketch register frames are memoized per (session, dataset):
+    repeated entry runs return identical handles (no per-call frame
+    leak — the r5 PERF §8 finding), a dataset switch evicts the stale
+    generation, and clear_sketch_frames() empties the memo (the
+    explicit lifecycle hook bench.py calls between phases)."""
+    from tests.conftest import SF_DIR
+
+    from walrus_spark.queries.sketch_queries import (
+        _FRAME_CACHE,
+        _memo_frame,
+        clear_sketch_frames,
+    )
+
+    clear_sketch_frames()
+    build = lambda: spark.range(5).toDF("n")  # noqa: E731
+    a = _memo_frame(spark, SF_DIR_ORACLE, "probe", build)
+    b = _memo_frame(spark, SF_DIR_ORACLE, "probe", build)
+    assert a is b
+    c = _memo_frame(spark, SF_DIR_ORACLE, "probe2", build)
+    assert c is not a and len(_FRAME_CACHE) == 2
+    d = _memo_frame(spark, SF_DIR, "probe", build)  # dataset switch
+    assert d is not a and len(_FRAME_CACHE) == 1
+    clear_sketch_frames()
+    assert len(_FRAME_CACHE) == 0
+
+
 def test_kmeans_update_plan_is_dim_independent(spark):
     """The centroid update at embedding dim 512: the posexplode cell
     formulation keeps the plan O(1) in dim — exactly one sum aggregate

@@ -17,8 +17,11 @@ socket-only.
 
 Connection strategy divergence (observable only in timing): the
 reference CLI dials a fresh TCP connection per command
-(cli_client.rs:44-52); the REPL here keeps one connection and
-re-dials on failure. The framed protocol is identical either way.
+(cli_client.rs:44-52); the REPL here keeps one connection, and on a
+mid-command connection loss reports the failure WITHOUT resending
+(the server replies after commit, so a blind retry could duplicate a
+PUT) and re-dials for the next command. The framed protocol is
+identical either way.
 
 Usage:
   python -m walrus_spark.cli [--addr HOST:PORT] register <topic>
@@ -96,18 +99,25 @@ def _repl(addr: str) -> int:
                 return 0
             try:
                 print(client.send(line))
-            except (ConnectionError, OSError):
-                # the target went away mid-session — re-dial once, like
-                # the per-command-connection reference would implicitly
+            except (ConnectionError, OSError) as e:
+                # The target went away mid-command. Do NOT resend: the
+                # server may have committed a PUT before the connection
+                # died (reply-after-commit), so a blind retry would
+                # duplicate the entry. Report, re-dial for the NEXT
+                # command, and let the user decide.
+                print(
+                    f"connection lost ({e}); command NOT retried — "
+                    "verify with GET/STATE before re-issuing writes",
+                    file=sys.stderr,
+                )
                 try:
                     client.close()
                 except OSError:
                     pass
                 try:
                     client = _client(addr)
-                    print(client.send(line))
-                except SystemExit as e:
-                    print(e, file=sys.stderr)
+                except SystemExit as e2:
+                    print(e2, file=sys.stderr)
                     return 1
     finally:
         try:

@@ -176,7 +176,10 @@ class _GroupCommitter:
     def close(self) -> None:
         self._stop = True
         self._wake.set()
-        self._thread.join(timeout=10)
+        # generous: a drain in flight must finish (waiters are blocked
+        # on it) — returning early would let a commit land after the
+        # caller thinks the plane is quiesced
+        self._thread.join(timeout=120)
 
     def _run(self) -> None:
         while True:
@@ -212,18 +215,25 @@ class CommandShell:
         self._ra_guard = threading.Lock()
         self._committer: _GroupCommitter | None = None
         self._gc_guard = threading.Lock()
+        self._closed = False
 
     def _group_committer(self) -> _GroupCommitter:
         with self._gc_guard:
+            if self._closed:
+                # a handler thread racing server shutdown must NOT
+                # resurrect a committer that would append against a
+                # log the owner is about to close
+                raise RuntimeError("server is shutting down")
             if self._committer is None:
                 self._committer = _GroupCommitter(self.log)
             return self._committer
 
     def close(self) -> None:
         with self._gc_guard:
-            if self._committer is not None:
-                self._committer.close()
-                self._committer = None
+            self._closed = True
+            committer, self._committer = self._committer, None
+        if committer is not None:
+            committer.close()
 
     def _topic_readahead(self, topic: str) -> _TopicReadAhead:
         with self._ra_guard:

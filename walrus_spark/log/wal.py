@@ -828,9 +828,10 @@ class WalrusLog:
         per-topic lock instead. A migrating user who RELIED on the
         fail-fast should hear about the difference the first time it
         actually matters — i.e. under real contention — not never."""
-        if self._wouldblock_warned:
-            return
-        self._wouldblock_warned = True
+        with self._locks_guard:  # atomic test-and-set: truly one-shot
+            if self._wouldblock_warned:
+                return
+            self._wouldblock_warned = True
         import warnings
 
         warnings.warn(
@@ -1031,11 +1032,15 @@ class WalrusLog:
             os.fsync(fd)
         finally:
             os.close(fd)
-        dfd = os.open(path, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        # the part file's dirent lives in the batch dir; the batch
+        # dir's OWN dirent lives in _data_dir — both must be journaled
+        # before the manifest rename can claim the data exists
+        for d in (path, self._data_dir):
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
 
     # Above this many rows the audit runs as a distributed Spark job;
     # below it, a driver-side pyarrow read of the two audit columns is
@@ -1621,6 +1626,15 @@ class WalrusLog:
                 return False
             hw = self._hw.get(topic, 0)
             if offset > hw:
+                # The in-process _hw only tracks THIS instance's
+                # appends + its recover(); a reader-side process (e.g.
+                # a CLI `serve` whose writership was taken over) sees
+                # new entries through the live manifest scan long
+                # before its _hw does. Refresh from the meta sidecar —
+                # the writer flushes it on every commit — before
+                # declaring the offset out of range.
+                hw = max(hw, self._sidecar_hw(topic))
+            if offset > hw:
                 raise ValueError(
                     f"commit_cursor past high watermark: {offset} > {hw} "
                     f"for topic {topic!r}"
@@ -1628,6 +1642,28 @@ class WalrusLog:
             self._checkpoint_read(topic, offset, offset - cur)
             self._consumer_lag[topic] = hw - offset
             return True
+
+    def _sidecar_hw(self, topic: str) -> int:
+        """Re-read the topic's high watermark as another process sees
+        it: the meta sidecar (the writer flushes it right after its
+        manifest rename), falling back to a scan of the manifest
+        records themselves (authoritative — the same source a live
+        peek read the entries from, closing the rename→flush window).
+        Returns 0 when nothing is visible."""
+        hw = 0
+        try:
+            with open(self._meta_path) as f:
+                hw = int(json.load(f).get("hw", {}).get(topic, 0))
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        try:
+            for rec in self._manifest_records():
+                t = rec.get("topics", {}).get(topic)
+                if t:
+                    hw = max(hw, int(t["last"]))
+        except (OSError, json.JSONDecodeError):
+            pass
+        return hw
 
     # ------------------------------------------------------------------
     # metadata ops (O9-O12, D4, high_watermark)

@@ -1515,17 +1515,21 @@ def substring_dedup_pairs(
         .distinct()
     )
 
-    # 3: exact verify on the window STRING, candidate docs only
+    # 3: exact verify on the window STRING, candidate docs only. No
+    # forced broadcast: on a duplication-heavy corpus the candidate
+    # set is unbounded, so the planner must stay free to fall back to
+    # a shuffle join past its size threshold (it still broadcasts the
+    # common small case on its own).
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    vw = win.join(F.broadcast(cand_docs), "doc_id")
+    vw = win.join(cand_docs, "doc_id", "leftsemi")
     shared = (
         vw.alias("x")
         .join(vw.alias("y"), F.col("x.ws") == F.col("y.ws"))
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .join(
-            F.broadcast(cand),
+            cand,
             (F.col("x.doc_id") == F.col("doc_a"))
             & (F.col("y.doc_id") == F.col("doc_b")),
             "leftsemi",

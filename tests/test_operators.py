@@ -1375,3 +1375,53 @@ def test_aqe_skew_join_split_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_topk_matches_python_recompute(spark):
+    """bm25_topk against a literal python BM25 (independent of the SQL
+    oracle): same docs, same formula, same rounding — plus ranking
+    sanity (a doc with more query terms at equal length outranks, docs
+    without any query term are absent)."""
+    import math
+
+    import pandas as pd
+
+    from walrus_spark.operators.text import bm25_topk
+
+    docs = {
+        1: "hash join hash join filler words here now",
+        2: "hash filler words and more filler words here",
+        3: "completely unrelated text with no query words",
+        4: "hash join stream vector all four terms present",
+        5: "stream stream stream stream padded padded padded padded",
+    }
+    terms = ["hash", "join", "stream", "vector"]
+    k1, b = 1.2, 0.75
+    df_ = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df_, terms, k=10, k1=k1, b=b).collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    df_t = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    want = {}
+    for i, tk in toks.items():
+        dl = len(tk)
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = math.log(1.0 + (N - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if any(t in tk for t in terms):
+            want[i] = math.floor(s * 1e6 + 0.5) / 1e6
+    assert got == want, (got, want)
+    assert 3 not in got  # no query terms -> absent
+    # all-four-terms doc outranks the single-term doc of equal length
+    assert got[4] > got[2]

@@ -393,29 +393,141 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_vocab",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-      FROM documents
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k docs for a bag-of-terms query —
+    the search primitive behind retrieval-based decontamination and
+    corpus exploration. Returns (doc_id, score) with score rounded to
+    6 dp, ordered by (score desc, doc_id).
+
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) (Robertson/Spärck
+    Jones, the +1 'Lucene' form — never negative), score(D) =
+    Σ_t idf_t · tf · (k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)).
+
+    Scale shape: ONE corpus scan + one doc_id aggregate computes, per
+    doc, its length AND one tf counter per query term (fixed columns —
+    queries are a handful of terms); the global (N, avgdl, df_t) row is
+    a 1-row broadcast. No postings list materializes, nothing joins on
+    terms, and the per-doc score is one codegen'd expression with a
+    FIXED left-to-right term order — the summation-order determinism
+    that lets a SQL oracle reproduce the doubles bit-for-bit (the same
+    discipline as histogram_quantiles' interpolation)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
     )
-    SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
-    FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 100
-    """,
+    tf_aggs = [
+        F.sum((F.col("word") == t).cast("long")).alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = w.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_aggs)
+    g = stats.agg(
+        F.count("*").alias("N"),
+        F.sum("dl").alias("S"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = stats.join(F.broadcast(g))
+    avgdl = F.col("S").cast("double") / F.col("N").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N").cast("double") - df + F.lit(0.5))
+            / (df + F.lit(0.5))
+        )
+        contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+        score = contrib if score is None else score + contrib
+    matched = sum(F.col(f"tf{i}") for i in range(len(terms)))
+    return (
+        j.where(matched > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+# The entry's fixed query (terms present across the fixture corpus at
+# every SF, with distinct document frequencies so the idf weights
+# differ). The oracle mirrors the EXACT expression structure — same
+# parenthesization, same left-to-right term order — so the doubles
+# agree bit-for-bit before the 6 dp round.
+_BM25_TERMS = ["hash", "join", "stream", "vector"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+_BM25_SQL_CONTRIBS = " + ".join(
+    f"(ln(1.0 + (CAST(N AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+    f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+    f" * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0})"
+    f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B})"
+    f" + {_BM25_B} * (CAST(dl AS DOUBLE)"
+    f" / (CAST(S AS DOUBLE) / CAST(N AS DOUBLE))))))"
+    for i in range(len(_BM25_TERMS))
 )
+
+_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 100
+), stats AS (
+  SELECT doc_id, count(*) AS dl,
+         {", ".join(f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM w GROUP BY doc_id
+), g AS (
+  SELECT count(*) AS N, sum(dl) AS S,
+         {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM stats
+), bm25 AS (
+  SELECT doc_id, round({_BM25_SQL_CONTRIBS}, 6) AS score
+  FROM stats, g
+  WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+)
+SELECT 'vocab' AS src, word, tf, df, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS DOUBLE) AS score
+FROM vocab
+UNION ALL
+SELECT 'bm25', NULL, NULL, NULL, doc_id, score FROM bm25
+ORDER BY src, word, doc_id
+"""
+
+
+@register("text_vocab", oracle=_VOCAB_ORACLE)
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary with term and document frequencies — the
-    tokenizer-training / stopword-derivation precursor. One explode +
-    one two-level aggregate: tf is a plain partial-agg count; df is
+    """Corpus vocabulary + BM25 retrieval, one tagged entry:
+
+    'vocab' rows — term and document frequencies (the tokenizer-
+    training / stopword-derivation precursor). One explode + one
+    two-level aggregate: tf is a plain partial-agg count; df is
     count(DISTINCT doc_id), which Spark executes as the expand +
     two-shuffle distinct-aggregate rewrite — both map-side combined, so
     the shuffle carries (word, doc_id) pairs once and word partials
     once, never raw text. Top-100 by (tf desc, word) is a deterministic
-    TakeOrdered — no global sort materializes."""
+    TakeOrdered — no global sort materializes.
+
+    'bm25' rows (r6) — Okapi BM25 top-20 for the fixed query
+    {hash, join, stream, vector} (bm25_topk above): the retrieval
+    primitive, hash-checked double-for-double against DuckDB
+    recomputing the identical fixed-order expression."""
     d = load_table(spark, sf_dir, "documents")
-    return (
+    _null_l = F.lit(None).cast("long")
+    vocab = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(
@@ -424,7 +536,26 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tf").desc(), "word")
         .limit(100)
+        .select(
+            F.lit("vocab").alias("src"),
+            "word",
+            "tf",
+            "df",
+            _null_l.alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+        )
     )
+    bm25 = bm25_topk(
+        d, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    ).select(
+        F.lit("bm25").alias("src"),
+        F.lit(None).cast("string").alias("word"),
+        _null_l.alias("tf"),
+        _null_l.alias("df"),
+        "doc_id",
+        "score",
+    )
+    return vocab.unionByName(bm25).orderBy("src", "word", "doc_id")
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:

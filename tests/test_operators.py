@@ -1425,3 +1425,56 @@ def test_bm25_topk_matches_python_recompute(spark):
     assert 3 not in got  # no query terms -> absent
     # all-four-terms doc outranks the single-term doc of equal length
     assert got[4] > got[2]
+
+
+def test_bm25_batch_topk_many_queries(spark):
+    """The batch (postings-join) form agrees with per-query
+    bm25_topk and a literal python recompute — tolerance-based (its
+    per-(query,doc) sum is an unordered float aggregate), with exact
+    rank agreement after rounding. Terms absent from the corpus
+    contribute nothing; docs matching no term are absent."""
+    import math
+
+    import pandas as pd
+
+    from walrus_spark.operators.text import bm25_batch_topk, bm25_topk
+
+    docs = {
+        1: "hash join hash join filler words here now",
+        2: "hash filler words and more filler words here",
+        3: "completely unrelated text with no query words",
+        4: "hash join stream vector all four terms present",
+        5: "stream stream stream stream padded padded padded padded",
+        6: "vector vector join padded words words words words",
+    }
+    ddf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    qs = {
+        "q1": ["hash", "join"],
+        "q2": ["stream", "vector", "zzz-not-in-corpus"],
+        "q3": ["padded"],
+    }
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in qs.items() for t in ts],
+        "query_id string, term string",
+    )
+    batch = bm25_batch_topk(ddf, qdf, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+
+    for q, terms in qs.items():
+        single = bm25_topk(ddf, terms, k=10).collect()
+        want = [
+            (i + 1, r["doc_id"], r["score"]) for i, r in enumerate(single)
+        ]
+        have = sorted(got.get(q, []))
+        assert [x[:2] for x in have] == [x[:2] for x in want], (q, have, want)
+        for (_, _, a), (_, _, b) in zip(have, want):
+            assert math.isclose(a, b, abs_tol=2e-6), (q, a, b)
+
+    # no doc without a query term ever appears
+    assert all(doc != 3 for rows in got.values() for _, doc, _ in rows)

@@ -149,7 +149,11 @@ def main() -> None:
         shuffle_shards,
     )
     from walrus_spark.operators.similarity import ivf_topk
-    from walrus_spark.operators.text import pii_scrub, repetition_signals
+    from walrus_spark.operators.text import (
+        bm25_batch_topk,
+        pii_scrub,
+        repetition_signals,
+    )
 
     def docs(d):
         return load_table(spark, d, "documents")
@@ -166,6 +170,23 @@ def main() -> None:
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),
         "substring_dedup_pairs (w=8)": lambda d: substring_dedup_pairs(
             docs(d)
+        ),
+        "bm25_batch_topk (100 queries)": lambda d: bm25_batch_topk(
+            docs(d),
+            docs(d)
+            .sparkSession.createDataFrame(
+                [
+                    (f"q{i}", t)
+                    for i in range(100)
+                    for t in (
+                        ["hash", "join"],
+                        ["stream", "vector"],
+                        ["scan", "filter", "merge"],
+                        ["batch", "row"],
+                    )[i % 4]
+                ],
+                "query_id string, term string",
+            ),
         ),
         "simhash_pairs (auto budget)": lambda d: simhash_pairs(docs(d)),
         "dedup_clusters (LSH chain, propagate)": lambda d: connected_components(

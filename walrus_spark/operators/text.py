@@ -459,6 +459,86 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k per query for MANY queries at once — the
+    retrieval-based-decontamination shape (thousands of eval prompts
+    scored against the training corpus in one pass). ``queries`` is
+    (query_id, term), one row per query term. Returns
+    (query_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id).
+
+    Where bm25_topk pivots a handful of terms into fixed columns, the
+    batch form materializes per-(doc, term) tf for QUERY TERMS ONLY:
+    the distinct query-term inventory broadcasts into the scan as a
+    semi-join filter, so the postings aggregate shuffles just the
+    matching (doc, term) pairs — corpus tokens that no query mentions
+    never leave the scan stage. Query-side stats (df per term → idf)
+    aggregate from those postings; the per-(query, doc) score is one
+    groupBy sum; top-k is a per-query window. Three shuffles total
+    ((doc,term) tf, (query,doc) sum, per-query rank), each keyed and
+    partial-aggregated — independent of how many queries ride along.
+
+    Float note: the per-(query, doc) sum is an UNORDERED aggregate, so
+    cross-engine bit-parity is not guaranteed (unlike bm25_topk's
+    fixed-order chain) — verify with tolerance, not hashes."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    qterms = queries.select("term").distinct()
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
+    postings = (
+        w.join(F.broadcast(qterms), "term", "leftsemi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.count("*").alias("df")  # postings is distinct (doc, term)
+    )
+    scored = (
+        queries.join(F.broadcast(term_stats), "term")
+        .join(postings, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    avgdl = F.col("S").cast("double") / F.col("N").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    contrib = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    )
+    from pyspark.sql.window import Window
+
+    per = (
+        scored.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # The entry's fixed query (terms present across the fixture corpus at
 # every SF, with distinct document frequencies so the idf weights
 # differ). The oracle mirrors the EXACT expression structure — same

@@ -29,6 +29,9 @@ from walrus_spark.log import WalrusLog
 
 TOPICS = ["alpha", "beta"]
 PAYLOADS = st.binary(min_size=0, max_size=24)
+WIRE_PAYLOADS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=12
+)
 
 
 def test_log_model_based(spark):
@@ -145,3 +148,96 @@ def test_log_model_based(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_wire_shell_model_based(spark):
+    """Stateful exploration of the WIRE plane (CommandShell): PUTs ride
+    the group committer, GETs ride the per-topic read-ahead buffer, and
+    library-API consumers/appenders interleave freely — the optimistic
+    expect-commit must keep the shared cursor exactly-once under every
+    interleaving hypothesis finds (the generalization of the
+    directed coherence tests in test_commands.py)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from walrus_spark.log import CommandShell
+
+    base = _tempfile.mkdtemp(prefix="wal_wire_model_")
+
+    class WireMachine(RuleBasedStateMachine):
+        def __init__(self) -> None:
+            super().__init__()
+            self.root = _tempfile.mkdtemp(dir=base)
+            self.log = WalrusLog(spark, self.root)
+            self.shell = CommandShell(self.log)
+            for t in TOPICS:
+                assert self.shell.execute(f"REGISTER {t}") == "OK"
+            self.entries: dict[str, list[str]] = {t: [] for t in TOPICS}
+            self.cursor: dict[str, int] = {t: 0 for t in TOPICS}
+
+        @rule(topic=st.sampled_from(TOPICS), payload=WIRE_PAYLOADS)
+        def wire_put(self, topic: str, payload: str) -> None:
+            assert self.shell.execute(f"PUT {topic} {payload}") == "OK"
+            self.entries[topic].append(payload)
+
+        @rule(topic=st.sampled_from(TOPICS), payload=WIRE_PAYLOADS)
+        def library_append(self, topic: str, payload: str) -> None:
+            self.log.append(topic, payload.encode())
+            self.entries[topic].append(payload)
+
+        @rule(topic=st.sampled_from(TOPICS))
+        def wire_get(self, topic: str) -> None:
+            if self.cursor[topic] < len(self.entries[topic]):
+                want = "OK " + self.entries[topic][self.cursor[topic]]
+                self.cursor[topic] += 1
+            else:
+                want = "EMPTY"
+            assert self.shell.execute(f"GET {topic}") == want
+
+        @rule(topic=st.sampled_from(TOPICS), n=st.integers(1, 3))
+        def library_consume(self, topic: str, n: int) -> None:
+            """A library consumer races the shell's buffer — the next
+            wire GET must resync, never re-deliver."""
+            want = [
+                e.encode()
+                for e in self.entries[topic][
+                    self.cursor[topic] : self.cursor[topic] + n
+                ]
+            ]
+            got = self.log.batch_read(topic, max_entries=n)
+            assert got == want
+            self.cursor[topic] += len(got)
+
+        @rule(topic=st.sampled_from(TOPICS))
+        def wire_state(self, topic: str) -> None:
+            import json as _json
+
+            s = _json.loads(self.shell.execute(f"STATE {topic}"))
+            assert s["high_watermark"] == len(self.entries[topic])
+            assert s["cursor"] == self.cursor[topic]
+            assert s["unconsumed"] == (
+                len(self.entries[topic]) - self.cursor[topic]
+            )
+
+        @invariant()
+        def shared_cursor_matches_model(self) -> None:
+            for t in TOPICS:
+                assert self.log.cursor(t) == self.cursor[t]
+
+        def teardown(self) -> None:
+            self.shell.close()
+            self.log.close()
+            _shutil.rmtree(self.root, ignore_errors=True)
+
+    try:
+        run_state_machine_as_test(
+            WireMachine,
+            settings=settings(
+                max_examples=4,
+                stateful_step_count=12,
+                deadline=None,
+                derandomize=True,
+            ),
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -114,6 +114,25 @@ def main() -> None:
         )
         return perdoc
 
+    from walrus_spark.operators.dedup import substring_dedup_pairs
+    from walrus_spark.operators.text import bm25_batch_topk
+
+    def _bm25_batch(d):
+        q = docs(d).sparkSession.createDataFrame(
+            [
+                (f"q{i}", t)
+                for i in range(100)
+                for t in (
+                    ["hash", "join"],
+                    ["stream", "vector"],
+                    ["scan", "filter", "merge"],
+                    ["batch", "row"],
+                )[i % 4]
+            ],
+            "query_id string, term string",
+        )
+        return bm25_batch_topk(docs(d), q)
+
     CASES = {
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),
         "simhash_pairs (auto budget)": lambda d: simhash_pairs(docs(d)),
@@ -127,7 +146,19 @@ def main() -> None:
             docs(d).where(F.col("doc_id") % 2 == 0),
         ),
         "bloom_decontaminate (funnel)": _bloom,
+        "substring_dedup_pairs (w=8)": lambda d: substring_dedup_pairs(
+            docs(d)
+        ),
+        "bm25_batch_topk (100 queries)": _bm25_batch,
     }
+    # optional case-name filters (substring match), like plan_dump
+    filters = [a for a in sys.argv[1:] if a != "--keep"]
+    if filters:
+        CASES = {
+            k: v
+            for k, v in CASES.items()
+            if any(f in k for f in filters)
+        }
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()

@@ -1515,21 +1515,30 @@ def substring_dedup_pairs(
         .distinct()
     )
 
-    # 3: exact verify on the window STRING, candidate docs only. No
-    # forced broadcast: on a duplication-heavy corpus the candidate
-    # set is unbounded, so the planner must stay free to fall back to
-    # a shuffle join past its size threshold (it still broadcasts the
-    # common small case on its own).
+    # 3: exact verify on the window STRING, candidate docs only.
+    # Join-strategy discipline (code-review + 100x-sweep findings):
+    # forced broadcasts on the candidate frames OOM the driver on a
+    # duplication-heavy corpus; UNHINTED joins let the planner
+    # misestimate the exploded windows frame (stats don't survive
+    # explode) and try to broadcast THAT — also OOM; and a shuffle-hash
+    # self-join must hold a whole partition of window STRINGS in one
+    # task's hash map — the 100x sweep blew through it. So: the
+    # string-heavy self-join is SORT-MERGE (spillable — the honest
+    # large×large strategy), while the id-only candidate semi-joins
+    # are shuffle-hash (compact int build sides, no sort).
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    vw = win.join(cand_docs, "doc_id", "leftsemi")
+    vw = win.join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
     shared = (
         vw.alias("x")
-        .join(vw.alias("y"), F.col("x.ws") == F.col("y.ws"))
+        .join(
+            vw.alias("y").hint("merge"),
+            F.col("x.ws") == F.col("y.ws"),
+        )
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .join(
-            cand,
+            cand.hint("shuffle_hash"),
             (F.col("x.doc_id") == F.col("doc_a"))
             & (F.col("y.doc_id") == F.col("doc_b")),
             "leftsemi",

@@ -1478,3 +1478,80 @@ def test_bm25_batch_topk_many_queries(spark):
 
     # no doc without a query term ever appears
     assert all(doc != 3 for rows in got.values() for _, doc, _ in rows)
+
+
+def test_ngram_lm_perplexity_matches_python_recompute(spark):
+    """CCNet-style bigram perplexity: per-doc cross-entropy against a
+    python recompute of the identical add-k model (tolerance-based —
+    unordered float sum), plus the filter's reason to exist: an
+    out-of-distribution gibberish doc scores strictly worse than
+    in-distribution text, and a <2-token doc is absent. Also pins the
+    decoupled form: scoring docs against a SEPARATE reference corpus."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from walrus_spark.operators.text import ngram_lm_perplexity
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "the cat and the dog sat",
+        4: "zq xv qj zz vx qq jx",  # gibberish, unseen bigrams
+        5: "one",  # <2 tokens -> absent
+        6: "",
+    }
+    ddf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in ngram_lm_perplexity(ddf).collect()
+    }
+
+    toks = {i: [w for w in t.lower().split() if w] for i, t in corpus.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1])
+        for ws in toks.values()
+        for i in range(len(ws) - 1)
+    )
+    V = len(uni)
+    for i, ws in toks.items():
+        bgs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not bgs:
+            assert i not in got
+            continue
+        s = sum(
+            math.log((big[bg] + 1.0) / (uni[bg[0]] + 1.0 * V)) for bg in bgs
+        )
+        ce = -s / len(bgs)
+        n, gce, gpp = got[i]
+        assert n == len(bgs)
+        assert math.isclose(gce, ce, abs_tol=2e-6), (i, gce, ce)
+        assert math.isclose(gpp, math.exp(ce), abs_tol=1e-4), (i, gpp)
+    # the quality signal: gibberish is strictly more surprising (the
+    # margin is small here because add-1 smoothing over a ~17-word toy
+    # vocabulary flattens the distribution; at corpus scale the
+    # unigram masses dominate the smoothing and the gap widens)
+    assert got[4][1] > got[1][1]
+    assert got[4][1] > got[2][1]
+    assert got[4][1] > got[3][1]
+
+    # decoupled LM: score docs against a DIFFERENT reference corpus
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [10, 11], "text": ["aa bb aa bb", "bb aa bb aa"]}
+        )
+    )
+    out = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in ngram_lm_perplexity(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb aa", "cc dd"]})
+            ),
+            lm_corpus=ref,
+        ).collect()
+    }
+    assert out[1] < out[2]  # in-distribution beats out-of-distribution

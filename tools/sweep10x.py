@@ -151,6 +151,7 @@ def main() -> None:
     from walrus_spark.operators.similarity import ivf_topk
     from walrus_spark.operators.text import (
         bm25_batch_topk,
+        ngram_lm_perplexity,
         pii_scrub,
         repetition_signals,
     )
@@ -169,6 +170,9 @@ def main() -> None:
     CASES = {
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),
         "substring_dedup_pairs (w=8)": lambda d: substring_dedup_pairs(
+            docs(d)
+        ),
+        "ngram_lm_perplexity (self)": lambda d: ngram_lm_perplexity(
             docs(d)
         ),
         "bm25_batch_topk (100 queries)": lambda d: bm25_batch_topk(

@@ -539,6 +539,101 @@ def bm25_batch_topk(
     )
 
 
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    lm_corpus: DataFrame | None = None,
+    smoothing_k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality scoring: per-doc bigram LM cross-entropy
+    against a reference corpus — the classic perplexity filter (docs
+    whose token sequences a corpus LM finds surprising are
+    boilerplate/gibberish/mismatched-domain candidates).
+
+    Model: add-k smoothed bigram LM trained on ``lm_corpus`` (defaults
+    to ``docs`` itself — self-perplexity, the dedup-era CCNet usage):
+    p(w2|w1) = (B(w1,w2) + k) / (U(w1) + k·V), with V the reference
+    unigram vocabulary size. Returns (doc_id, n_bigrams, cross_entropy,
+    perplexity): cross_entropy = −mean ln p over the doc's bigrams
+    (docs with <2 tokens are absent), perplexity = exp(cross_entropy).
+
+    Scale shape: the LM is two keyed aggregates over the reference
+    (unigram and bigram count tables — vocabulary-sized, NOT
+    corpus-sized after map-side combine); scoring joins each doc's
+    bigram stream to the count tables on their keys and sums per doc —
+    three keyed, partial-aggregated shuffles, no driver state, LM and
+    scoring corpora fully decoupled. Float note: the per-doc mean is
+    an unordered sum — verify with tolerance (like bm25_batch_topk),
+    not hashes."""
+    if lm_corpus is None:
+        lm_corpus = docs
+
+    def bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        # drop empty tokens (split of "" yields [""]) then adjacent
+        # pairs; docs with <2 tokens yield an empty array, which a
+        # plain explode drops (sequence(1,0) would DESCEND in Spark,
+        # so the when-guard is load-bearing)
+        ws = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        pairs = F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("w1"),
+                    F.element_at(ws, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        return df.select(*cols, F.explode(pairs).alias("bg")).select(
+            *(["doc_id"] if with_id else []), "bg.w1", "bg.w2"
+        )
+
+    uni = (
+        lm_corpus.select(
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda x: x != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    v_row = uni.agg(F.count("*").alias("V"))
+    big = (
+        bigrams(lm_corpus, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("b"))
+    )
+
+    doc_bg = bigrams(docs, with_id=True)
+    scored = (
+        doc_bg.join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v_row))
+    )
+    k = float(smoothing_k)
+    p = (
+        (F.coalesce(F.col("b"), F.lit(0)).cast("double") + F.lit(k))
+        / (
+            F.coalesce(F.col("u"), F.lit(0)).cast("double")
+            + F.lit(k) * F.col("V").cast("double")
+        )
+    )
+    per_doc = (
+        scored.select("doc_id", F.log(p).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
+    )
+    ce = -(F.col("slp") / F.col("n_bigrams").cast("double"))
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 # The entry's fixed query (terms present across the fixture corpus at
 # every SF, with distinct document frequencies so the idf weights
 # differ). The oracle mirrors the EXACT expression structure — same

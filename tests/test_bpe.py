@@ -1,0 +1,115 @@
+"""Distributed BPE merge learning (operators/bpe.py) vs a literal
+python implementation of the classic algorithm (Sennrich et al. 2016)
+— EXACT merge-list equality (all integer counts + string pairs, no
+floats), plus encoder properties: lossless reconstruction, learned
+merges shrink the subword stream, determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from walrus_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    learn_bpe_merges,
+    word_frequency_table,
+)
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """The textbook reference: repeatedly merge the most frequent
+    adjacent pair (ties to the lexicographically first pair)."""
+    vocab = {
+        tuple(list(w) + [EOW]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (a, b), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _docs_df(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_bpe_merges_match_python_oracle(spark):
+    texts = {
+        1: "low lower lowest low low newer new newest",
+        2: "wider wide widest new newer low lower",
+        3: "the the the a a an low newest wider",
+    }
+    df = _docs_df(spark, texts)
+    got = learn_bpe_merges(df, n_merges=12)
+
+    wc: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _py_bpe(wc, 12)
+    assert got == want  # exact: order, pairs, AND counts
+
+    # determinism across re-runs
+    assert learn_bpe_merges(df, n_merges=12) == got
+
+
+def test_bpe_encoder_properties(spark):
+    texts = {
+        1: "banana band bandana ban",
+        2: "banana banana band an",
+    }
+    df = _docs_df(spark, texts)
+    merges = learn_bpe_merges(df, n_merges=8)
+    enc = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+
+    for did, t in texts.items():
+        words = t.lower().split()
+        r = enc[did]
+        assert r["n_words"] == len(words)
+        # lossless: stripping EOW and re-joining reconstructs the text
+        joined = "".join(r["subwords"]).replace(EOW, " ").strip()
+        assert joined == " ".join(words)
+        # EOW count == word count (every word terminated exactly once)
+        assert sum(s.endswith(EOW) for s in r["subwords"]) == len(words)
+
+    # more merges -> never more subwords, and strictly fewer here
+    enc0 = {r["doc_id"]: r for r in apply_bpe(df, []).collect()}
+    for did in texts:
+        assert enc[did]["n_subwords"] < enc0[did]["n_subwords"]
+
+    # early stop: asking for absurdly many merges terminates
+    many = learn_bpe_merges(df, n_merges=500)
+    assert len(many) < 500
+
+
+def test_bpe_word_frequency_table(spark):
+    df = _docs_df(spark, {1: "a b a", 2: "b  c", 3: "   "})
+    wf = {
+        r["word"]: r["cnt"]
+        for r in word_frequency_table(df).collect()
+    }
+    assert wf == {"a": 2, "b": 2, "c": 1}

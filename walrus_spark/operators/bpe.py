@@ -1,0 +1,226 @@
+"""Distributed BPE merge learning — the tokenizer-training precursor.
+
+Classic byte-pair-encoding merge learning (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — a
+public textbook algorithm): start from characters (+ an end-of-word
+marker), repeatedly merge the most frequent adjacent symbol pair.
+The reference system stores opaque bytes and has no tokenizer surface;
+this is north-star LLM-pipeline scope (SURVEY.md §2.5) — the operator
+that turns a 100 TB corpus into a subword vocabulary.
+
+Key scale insight (same as the original algorithm): merges depend on
+the corpus only through the WORD-FREQUENCY TABLE. One corpus-sized
+aggregate builds (word, count) — vocabulary-sized, orders of magnitude
+smaller than the corpus — and every Lloyd-style learning round then
+runs over that table: explode each word's current symbol sequence into
+adjacent pairs weighted by the word count, one keyed aggregate, one
+deterministic argmax (max count, ties to the lexicographically first
+pair — both engines/pythons agree), apply the merge to the symbol
+sequences in an Arrow pass, repeat. Per round: O(vocab) rows shuffle,
+never the corpus. The learned merge list is bounded driver metadata
+(the k-means-centroid contract).
+
+Everything is integer counts + string pairs — no floats — so the
+python oracle (tests) reproduces the merge list EXACTLY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from walrus_spark.operators.text import tokens
+
+EOW = ""  # end-of-word sentinel (never appears in tokens())
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): the corpus collapsed to its vocabulary — the ONE
+    corpus-sized aggregate BPE learning needs."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the current symbol sequences,
+    weighted by word count: explode pairs, one keyed aggregate."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        vocab_syms.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge(vocab_syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) with the merged symbol a+b in one
+    Arrow pass over the vocabulary table (left-to-right, non-
+    overlapping — the classic semantics: 'aaa' with merge (a,a) →
+    ['aa', 'a'])."""
+    import pandas as pd
+
+    merged = a + b
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "cnt": pdf["cnt"], "syms": out}
+            )
+
+    return vocab_syms.mapInPandas(fn, vocab_syms.schema)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges from the corpus (or a
+    pre-built ``vocab`` (word, cnt) table). Returns
+    [(left_symbol, right_symbol, pair_count), ...] in merge order.
+
+    Deterministic: each round's winner is the pair with the highest
+    corpus-weighted count, ties broken by (a, b) lexicographic order.
+    Stops early when no adjacent pair remains. The per-round argmax is
+    a 1-row driver collect (bounded metadata); the symbol table is
+    cached per round and explicitly unpersisted."""
+    if vocab is None:
+        vocab = word_frequency_table(docs, text_col)
+    syms = vocab.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+    ).cache()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(syms)
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((a, b, n))
+            nxt = _apply_merge(syms, a, b).cache()
+            nxt.count()  # materialize before dropping the parent
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize ``docs`` with a learned merge list: per doc, each word
+    becomes its BPE symbol sequence (merges applied in learned order —
+    the standard encoder). Returns (doc_id, n_words, n_subwords,
+    subwords array<string>). One Arrow pass in the scan stage — the
+    merge list is a closure constant (driver metadata), so encoding is
+    embarrassingly parallel and shuffle-free."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    order = [(a, b) for a, b, _ in merges]
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        for a, b in order:
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("ws"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, nw, ns, subs = [], [], [], []
+            for did, ws in zip(pdf["doc_id"], pdf["ws"]):
+                pieces: list[str] = []
+                for w in ws:
+                    pieces.extend(encode_word(w))
+                ids.append(did)
+                nw.append(len(ws))
+                ns.append(len(pieces))
+                subs.append(pieces)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_words": nw,
+                    "n_subwords": ns,
+                    "subwords": subs,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", base.schema["doc_id"].dataType),
+            StructField("n_words", LongType()),
+            StructField("n_subwords", LongType()),
+            StructField("subwords", ArrayType(StringType())),
+        ]
+    )
+    return base.mapInPandas(fn, schema)

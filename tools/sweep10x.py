@@ -269,6 +269,22 @@ def main() -> None:
         }
     )
 
+    from walrus_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    # learning runs eagerly inside the timed call (it IS the work);
+    # the returned encode frame is forced like every other case, so
+    # the measurement covers learn + encode end-to-end
+    CASES["bpe_learn_encode (8 merges)"] = lambda d: apply_bpe(
+        docs(d), learn_bpe_merges(docs(d), 8)
+    ).select("doc_id", "n_subwords")
+
+    # optional case-name filters (substring match), like sweep100x
+    filters = [a for a in sys.argv[1:] if a != "--keep"]
+    if filters:
+        CASES = {
+            k: v for k, v in CASES.items() if any(f in k for f in filters)
+        }
+
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 

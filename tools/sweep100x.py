@@ -117,21 +117,12 @@ def main() -> None:
     from walrus_spark.operators.dedup import substring_dedup_pairs
     from walrus_spark.operators.text import bm25_batch_topk
 
+    from tools.bench_fixtures import make_bm25_queries
+
     def _bm25_batch(d):
-        q = docs(d).sparkSession.createDataFrame(
-            [
-                (f"q{i}", t)
-                for i in range(100)
-                for t in (
-                    ["hash", "join"],
-                    ["stream", "vector"],
-                    ["scan", "filter", "merge"],
-                    ["batch", "row"],
-                )[i % 4]
-            ],
-            "query_id string, term string",
+        return bm25_batch_topk(
+            docs(d), make_bm25_queries(docs(d).sparkSession)
         )
-        return bm25_batch_topk(docs(d), q)
 
     CASES = {
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)),

@@ -149,6 +149,7 @@ def main() -> None:
         shuffle_shards,
     )
     from walrus_spark.operators.similarity import ivf_topk
+    from tools.bench_fixtures import make_bm25_queries
     from walrus_spark.operators.text import (
         bm25_batch_topk,
         ngram_lm_perplexity,
@@ -176,21 +177,7 @@ def main() -> None:
             docs(d)
         ),
         "bm25_batch_topk (100 queries)": lambda d: bm25_batch_topk(
-            docs(d),
-            docs(d)
-            .sparkSession.createDataFrame(
-                [
-                    (f"q{i}", t)
-                    for i in range(100)
-                    for t in (
-                        ["hash", "join"],
-                        ["stream", "vector"],
-                        ["scan", "filter", "merge"],
-                        ["batch", "row"],
-                    )[i % 4]
-                ],
-                "query_id string, term string",
-            ),
+            docs(d), make_bm25_queries(docs(d).sparkSession)
         ),
         "simhash_pairs (auto budget)": lambda d: simhash_pairs(docs(d)),
         "dedup_clusters (LSH chain, propagate)": lambda d: connected_components(

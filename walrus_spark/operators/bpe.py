@@ -31,7 +31,16 @@ from pyspark.sql import DataFrame
 
 from walrus_spark.operators.text import tokens
 
-EOW = ""  # end-of-word sentinel (never appears in tokens())
+# End-of-word marker. Must be (a) impossible as a single-character
+# symbol (it is multi-char) and (b) printable/collision-safe: control
+# bytes like \x01 DO occur in uncleaned web corpora, and tokens()
+# only splits on whitespace, so a control-byte sentinel can appear
+# word-interior and break the end-of-word invariant (merges leak
+# across word boundaries, lossless reconstruction invents spaces).
+# "</w>" is the standard choice (Sennrich et al.); symbols are
+# compared whole — never substring-matched — so even a corpus word
+# containing the literal text "</w>" still encodes/decodes exactly.
+EOW = "</w>"
 
 
 def word_frequency_table(
@@ -196,12 +205,20 @@ def apply_bpe(
     )
 
     def fn(batches):
+        # per-task memo: encode_word is pure and word frequency is
+        # Zipfian, so caching per DISTINCT word converts the encode
+        # pass from O(tokens · merges) to O(vocab · merges + tokens) —
+        # the same word-frequency insight the learner exploits
+        cache: dict[str, list[str]] = {}
         for pdf in batches:
             ids, nw, ns, subs = [], [], [], []
             for did, ws in zip(pdf["doc_id"], pdf["ws"]):
                 pieces: list[str] = []
                 for w in ws:
-                    pieces.extend(encode_word(w))
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = cache[w] = encode_word(w)
+                    pieces.extend(enc)
                 ids.append(did)
                 nw.append(len(ws))
                 ns.append(len(pieces))

@@ -419,9 +419,16 @@ def bm25_topk(
     FIXED left-to-right term order — the summation-order determinism
     that lets a SQL oracle reproduce the doubles bit-for-bit (the same
     discipline as histogram_quantiles' interpolation)."""
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
+    # empty tokens filtered (split of a blank doc yields ['']) — a
+    # blank document must not count as a length-1 doc in N/avgdl
+    # (library convention: ngram_lm_perplexity, bpe do the same)
     w = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("word"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("word"),
     )
     tf_aggs = [
         F.sum((F.col("word") == t).cast("long")).alias(f"tf{i}")
@@ -491,7 +498,9 @@ def bm25_batch_topk(
     fixed-order chain) — verify with tolerance, not hashes."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
     )
     qterms = queries.select("term").distinct()
     dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -566,6 +575,16 @@ def ngram_lm_perplexity(
     scoring corpora fully decoupled. Float note: the per-doc mean is
     an unordered sum — verify with tolerance (like bm25_batch_topk),
     not hashes."""
+    if smoothing_k <= 0:
+        # unsmoothed: an unseen bigram has p=0 and ln(0) is NULL in
+        # Spark — F.sum would silently SKIP it while count(*) still
+        # counts it, understating the entropy of exactly the docs the
+        # filter exists to catch. Refuse loudly instead.
+        raise ValueError(
+            "ngram_lm_perplexity: smoothing_k must be > 0 (an "
+            "unsmoothed LM assigns p=0 to unseen bigrams, which has "
+            "no finite cross-entropy)"
+        )
     if lm_corpus is None:
         lm_corpus = docs
 
@@ -663,7 +682,7 @@ WITH w AS (
 ), stats AS (
   SELECT doc_id, count(*) AS dl,
          {", ".join(f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
-  FROM w GROUP BY doc_id
+  FROM w WHERE word <> '' GROUP BY doc_id
 ), g AS (
   SELECT count(*) AS N, sum(dl) AS S,
          {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}

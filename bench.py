@@ -142,7 +142,11 @@ def main() -> None:
             try:
                 shell = server.shell
                 shell.execute("REGISTER w")
-                n_put, n_thr = 400, 8
+                # ≥2000 frames per side: shorter probes amortize the
+                # read-ahead peek / group-commit fill over too few
+                # frames and under-read the plane ~2.4× vs the 5,000-
+                # frame in-suite soaks (r6 verdict "what's wrong" #4)
+                n_put, n_thr = 2000, 8
                 done = [0] * n_thr
                 barrier = threading.Barrier(n_thr + 1)
 

@@ -1427,6 +1427,27 @@ def test_bm25_topk_matches_python_recompute(spark):
     assert got[4] > got[2]
 
 
+def test_bm25_topk_term_ceiling(spark):
+    """The pivoted form degrades loudly past its declared boundary
+    (r6 verdict 'what's wrong' #2): >32 terms must raise and point at
+    bm25_batch_topk, never silently build a 1000-column aggregate."""
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.text import (
+        BM25_TOPK_MAX_TERMS,
+        bm25_topk,
+    )
+
+    df_ = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["hello world"]})
+    )
+    ok_terms = [f"t{i}" for i in range(BM25_TOPK_MAX_TERMS)]
+    bm25_topk(df_, ok_terms, k=1)  # at the ceiling: builds fine
+    with pytest.raises(ValueError, match="bm25_batch_topk"):
+        bm25_topk(df_, ok_terms + ["one-too-many"], k=1)
+
+
 def test_bm25_batch_topk_many_queries(spark):
     """The batch (postings-join) form agrees with per-query
     bm25_topk and a literal python recompute — tolerance-based (its

@@ -114,11 +114,86 @@ def _apply_merge(vocab_syms: DataFrame, a: str, b: str) -> DataFrame:
     return vocab_syms.mapInPandas(fn, vocab_syms.schema)
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) —
+    the classic semantics: 'aaa' with merge (a,a) → ['aa', 'a']."""
+    res: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            res.append(a + b)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _learn_merges_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The merge loop over a driver-resident word-frequency table:
+    incremental pair counting (a pair→words index so each merge touches
+    only the words containing it) + a lazy-deletion max-heap for the
+    argmax — the standard fast BPE trainer. Tie-break matches the
+    distributed path exactly: (count desc, a asc, b asc), via heap
+    entries (-n, a, b)."""
+    import heapq
+    from collections import defaultdict
+
+    words = [list(w) + [EOW] for w, _ in word_counts]
+    cnts = [c for _, c in word_counts]
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, syms in enumerate(words):
+        c = cnts[idx]
+        for p in zip(syms, syms[1:]):
+            pair_n[p] += c
+            pair_words[p].add(idx)
+    heap = [(-n, a, b) for (a, b), n in pair_n.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        nn, a, b = heapq.heappop(heap)
+        n = -nn
+        if n <= 0 or pair_n.get((a, b), 0) != n:
+            continue  # stale entry (count changed since push)
+        merges.append((a, b, n))
+        touched: set[tuple[str, str]] = set()
+        for idx in pair_words.pop((a, b), ()):
+            old = words[idx]
+            c = cnts[idx]
+            for p in zip(old, old[1:]):
+                pair_n[p] -= c
+                touched.add(p)
+            new = _merge_word(old, a, b)
+            words[idx] = new
+            for p in zip(new, new[1:]):
+                pair_n[p] += c
+                pair_words[p].add(idx)
+                touched.add(p)
+        pair_n.pop((a, b), None)
+        touched.discard((a, b))
+        for p in touched:
+            heapq.heappush(heap, (-pair_n[p], p[0], p[1]))
+    return merges
+
+
+# Above this many distinct words the trainer stays fully distributed;
+# below it the word-frequency table collapses to the driver and the
+# merge loop runs locally. 2M (word, cnt) rows is tens of MB — bounded
+# driver metadata on the k-means-centroid model.
+DRIVER_VOCAB_LIMIT = 2_000_000
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    driver_vocab_limit: int | None = DRIVER_VOCAB_LIMIT,
 ) -> list[tuple[str, str, int]]:
     """Learn the first ``n_merges`` BPE merges from the corpus (or a
     pre-built ``vocab`` (word, cnt) table). Returns
@@ -126,11 +201,30 @@ def learn_bpe_merges(
 
     Deterministic: each round's winner is the pair with the highest
     corpus-weighted count, ties broken by (a, b) lexicographic order.
-    Stops early when no adjacent pair remains. The per-round argmax is
-    a 1-row driver collect (bounded metadata); the symbol table is
-    cached per round and explicitly unpersisted."""
+    Stops early when no adjacent pair remains.
+
+    Job-count shape: merges depend on the corpus only through the
+    word-frequency table, so when that table fits on the driver
+    (≤ ``driver_vocab_limit`` distinct words — checked with a bounded
+    limit+count probe, never an unbounded collect) the loop runs
+    locally over it: **O(1) Spark jobs regardless of n_merges** (one
+    probe + one collect). A realistic tokenizer learns 32k merges; the
+    distributed loop's ~2 jobs/merge would pay ~64k sequential job
+    schedulings — the scheduling floor, not the data, becomes the
+    cost. Above the limit the loop stays distributed (per round: one
+    vocab-sized keyed aggregate + a 1-row argmax collect; O(vocab)
+    rows shuffle, never the corpus). Pass ``driver_vocab_limit=None``
+    (or 0) to force the distributed path."""
     if vocab is None:
         vocab = word_frequency_table(docs, text_col)
+    if (
+        driver_vocab_limit
+        and vocab.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
+    ):
+        rows = vocab.collect()  # bounded: proven ≤ driver_vocab_limit
+        return _learn_merges_local(
+            [(r["word"], int(r["cnt"])) for r in rows], n_merges
+        )
     syms = vocab.select(
         "word",
         "cnt",

@@ -393,6 +393,13 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bm25_topk builds 2 aggregate columns per query term (tf + df); past
+# this many terms the pivoted form stops being the right shape and the
+# caller is routed to bm25_batch_topk instead of silently building a
+# hundreds-of-columns aggregate.
+BM25_TOPK_MAX_TERMS = 32
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -421,6 +428,17 @@ def bm25_topk(
     discipline as histogram_quantiles' interpolation)."""
     if not terms:
         raise ValueError("bm25_topk: terms must be non-empty")
+    if len(terms) > BM25_TOPK_MAX_TERMS:
+        # this form pivots TWO aggregate columns per term into one
+        # groupBy — fine for a handful of terms, a silent 1000-column
+        # aggregate for a pasted paragraph. Degrade loudly (module
+        # convention) and point at the shape built for many terms.
+        raise ValueError(
+            f"bm25_topk: {len(terms)} terms exceeds the "
+            f"{BM25_TOPK_MAX_TERMS}-term ceiling for the pivoted form; "
+            "use bm25_batch_topk (postings-join shape, shuffle count "
+            "independent of term count) for large queries"
+        )
     # empty tokens filtered (split of a blank doc yields ['']) — a
     # blank document must not count as a length-1 doc in N/avgdl
     # (library convention: ngram_lm_perplexity, bpe do the same)

@@ -90,14 +90,60 @@ WITH words AS (
 )
 """
 
-_JACCARD_ORACLE = _JACCARD_CTES + """
-SELECT p.doc_a, p.doc_b,
-       round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard
+# Gate window width for the exact-substring branch (tokens). 8 keeps
+# the sf0.01 oracle's full window self-join tractable while still
+# exercising the positioned-window/run machinery end-to-end.
+SUBSTR_WINDOW = 8
+
+# Exact-substring pairs recomputed relationally: token windows by
+# position, self-join on the window STRING, gaps-and-islands along the
+# (ia - ib) diagonal for the longest shared run. Mirrors
+# substring_dedup_pairs' semantics without its banding (the banding is
+# a pure candidate pre-filter; exact verify makes the results equal).
+_SUBSTR_CTES = f"""
+, st AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ts
+  FROM documents
+), sw AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+{SUBSTR_WINDOW - 1}], ' ') AS ws
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts)-{SUBSTR_WINDOW - 1}))
+               AS i
+        FROM st WHERE len(ts) >= {SUBSTR_WINDOW})
+), ssh AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i AS ia, y.i AS ib
+  FROM sw x JOIN sw y ON x.ws = y.ws AND x.doc_id < y.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, d, grp, count(*) AS chain FROM (
+    SELECT doc_a, doc_b, ia - ib AS d,
+           ia - row_number() OVER (
+             PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+    FROM ssh)
+  GROUP BY doc_a, doc_b, d, grp
+), substr_pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(sum(chain) AS BIGINT) AS n_shared_windows,
+         CAST(max(chain) + {SUBSTR_WINDOW - 1} AS BIGINT) AS max_run_tokens
+  FROM runs GROUP BY doc_a, doc_b
+)
+"""
+
+_JACCARD_ORACLE = _JACCARD_CTES + _SUBSTR_CTES + """
+SELECT 'jaccard' AS src, p.doc_a, p.doc_b,
+       round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard,
+       CAST(NULL AS BIGINT) AS n_shared_windows,
+       CAST(NULL AS BIGINT) AS max_run_tokens
 FROM pair p
 JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
 WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
-ORDER BY doc_a, doc_b
+UNION ALL
+SELECT 'substr', doc_a, doc_b, CAST(NULL AS DOUBLE),
+       n_shared_windows, max_run_tokens
+FROM substr_pairs
+ORDER BY src, doc_a, doc_b
 """
 
 # SimHash containment contract: every exact pair must be simhash-found,
@@ -357,10 +403,38 @@ def exact_jaccard_pairs(
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        sets=shared_shingle_sets(spark, sf_dir),
+    """Two hash-checked branches in one tagged entry (r7 — gates the
+    r6 library-only substring operator per the round directive):
+
+    'jaccard' — exact n-gram Jaccard pairs (exact_jaccard_pairs).
+    'substr'  — exact-substring dedup (substring_dedup_pairs,
+                dedup.py below): pairs sharing a verbatim
+                SUBSTR_WINDOW-token run, with shared-window count and
+                longest-run length. All-integer output; the oracle
+                recomputes it relationally (windows → string self-join
+                → gaps-and-islands), so the banded candidate stage +
+                exact verify must reproduce the exact pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    _nl = F.lit(None).cast("long")
+    jac = exact_jaccard_pairs(
+        docs, sets=shared_shingle_sets(spark, sf_dir)
+    ).select(
+        F.lit("jaccard").alias("src"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        _nl.alias("n_shared_windows"),
+        _nl.alias("max_run_tokens"),
     )
+    sub = substring_dedup_pairs(docs, window_tokens=SUBSTR_WINDOW).select(
+        F.lit("substr").alias("src"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "n_shared_windows",
+        "max_run_tokens",
+    )
+    return jac.unionByName(sub).orderBy("src", "doc_a", "doc_b")
 
 
 # Scratch ceiling for the Arrow signature kernels: both build a

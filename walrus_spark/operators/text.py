@@ -170,27 +170,138 @@ def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
-@register(
-    "text_token_counts",
-    oracle="SELECT doc_id, "
+# Merges learned by the 'bpe' branch (kept small: the oracle unrolls
+# one CTE stage per merge).
+_BPE_GATE_MERGES = 8
+
+
+def _bpe_oracle_ctes() -> str:
+    """DuckDB recomputation of BPE merge learning, one unrolled CTE
+    stage per merge. Symbol sequences are DOUBLE-SPACE-joined strings
+    ('  a  b  '): the pattern ' a  b ' can only match at a genuine
+    adjacent-symbol boundary (symbols never contain spaces and every
+    boundary is exactly 2 spaces), a left-to-right non-overlapping
+    replace() IS the greedy merge semantics ('a a a' → 'aa a'), and
+    each replacement restores the boundary spaces it consumes, so the
+    invariant survives every stage. Per stage: re-split, count
+    adjacent pairs weighted by word count, argmax with the library's
+    tie-break (n desc, a, b), apply."""
+    parts = [
+        """
+, wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS word
+    FROM documents)
+  GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT word, cnt,
+         '  ' || array_to_string(
+           list_append(string_split(word, ''), '</w>'), '  ') || '  ' AS s
+  FROM wf
+)"""
+    ]
+    for r in range(_BPE_GATE_MERGES):
+        parts.append(
+            f"""
+, pc{r} AS MATERIALIZED (
+  SELECT p[i] AS a, p[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT cnt, p, unnest(generate_series(1, len(p)-1)) AS i
+    FROM (SELECT cnt,
+                 list_filter(string_split(s, ' '), x -> x <> '') AS p
+          FROM v{r})
+  ) GROUP BY 1, 2
+), m{r} AS MATERIALIZED (
+  SELECT a, b, n FROM pc{r} ORDER BY n DESC, a, b LIMIT 1
+), v{r + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 ' ' || (SELECT a FROM m{r}) || '  '
+                     || (SELECT b FROM m{r}) || ' ',
+                 ' ' || (SELECT a FROM m{r})
+                     || (SELECT b FROM m{r}) || ' ') AS s
+  FROM v{r}
+)"""
+        )
+    return "".join(parts)
+
+
+_TOKEN_COUNTS_ORACLE = (
+    "WITH tc AS (SELECT doc_id, "
     "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens, "
     "len(regexp_extract_all(text, "
     "'''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) "
-    "AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    "AS n_bpe_tokens FROM documents)"
+    + _bpe_oracle_ctes()
+    + """
+SELECT 'tokens' AS src, doc_id, n_tokens, n_bpe_tokens,
+       CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS a,
+       CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS n
+FROM tc
+UNION ALL
+SELECT 'bpe', NULL, NULL, NULL, rank, a, b, n FROM ("""
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a, b, n FROM m{r}"
+        for r in range(_BPE_GATE_MERGES)
+    )
+    + """)
+ORDER BY src, doc_id, rank
+"""
 )
+
+
+@register("text_token_counts", oracle=_TOKEN_COUNTS_ORACLE)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token budget estimators, both in ONE corpus scan: whitespace
-    token count (the cheap pre-BPE estimator) and the GPT-2-style
-    pre-tokenizer match count (the standard fast BPE proxy when the real
-    vocab isn't in the loop; see _BPE_PAT). Pure codegen expressions,
-    embarrassingly parallel — at 100 TB one pass over the text computes
-    every per-doc counter, which is why the signals share an entry."""
+    """Two hash-checked branches in one tagged entry:
+
+    'tokens' — token budget estimators, both in ONE corpus scan:
+    whitespace token count (the cheap pre-BPE estimator) and the
+    GPT-2-style pre-tokenizer match count (the standard fast BPE proxy
+    when the real vocab isn't in the loop; see _BPE_PAT). Pure codegen
+    expressions, embarrassingly parallel — at 100 TB one pass over the
+    text computes every per-doc counter.
+
+    'bpe' rows (r7 — gates the r6 library-only operator per the round
+    directive) — the first _BPE_GATE_MERGES learned BPE merges
+    (operators/bpe.py learn_bpe_merges: all integer counts + string
+    pairs, deterministic tie-break), hash-checked against a DuckDB
+    oracle that replays the merge loop stage-by-stage in SQL
+    (_bpe_oracle_ctes). The learn itself runs the O(1)-job
+    driver-local path; its result lands here as a literal frame (the
+    k-means-centroid bounded-metadata contract)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    from walrus_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(d, _BPE_GATE_MERGES)
+    _nl = F.lit(None).cast("long")
+    _ns = F.lit(None).cast("string")
+    tc = d.select(
+        F.lit("tokens").alias("src"),
         "doc_id",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
-        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias(
+            "n_bpe_tokens"
+        ),
+        _nl.alias("rank"),
+        _ns.alias("a"),
+        _ns.alias("b"),
+        _nl.alias("n"),
+    )
+    bpe = spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, a string, b string, n long",
+    ).select(
+        F.lit("bpe").alias("src"),
+        _nl.alias("doc_id"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("int").alias("n_bpe_tokens"),
+        "rank",
+        "a",
+        "b",
+        "n",
+    )
+    return tc.unionByName(bpe).orderBy("src", "doc_id", "rank")
 
 
 _QUALITY_ORACLE = """
@@ -205,8 +316,38 @@ WITH t AS (
     len(list_filter(ws, x -> x IN ('el','la','de','que','y','es'))) AS h_es,
     len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) AS h_fr
   FROM t
+), fw AS (
+  SELECT doc_id, list_filter(ws, x -> x <> '') AS fws FROM t
+), uni AS (
+  SELECT w, count(*) AS u
+  FROM (SELECT unnest(fws) AS w FROM fw) GROUP BY w
+), vv AS (
+  SELECT count(*) AS V FROM uni
+), bg AS (
+  SELECT doc_id, fws[i] AS w1, fws[i+1] AS w2
+  FROM (SELECT doc_id, fws, unnest(generate_series(1, len(fws)-1)) AS i
+        FROM fw WHERE len(fws) >= 2)
+), bgc AS (
+  SELECT w1, w2, count(*) AS b FROM bg GROUP BY w1, w2
+), lps AS (
+  SELECT doc_id,
+         ln((CAST(coalesce(b, 0) AS DOUBLE) + 1.0)
+            / (CAST(coalesce(u, 0) AS DOUBLE)
+               + 1.0 * CAST(V AS DOUBLE))) AS lp
+  FROM bg LEFT JOIN bgc USING (w1, w2)
+          LEFT JOIN uni ON bg.w1 = uni.w, vv
+), perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(list_reduce(list(lp ORDER BY lp), (x, y) -> x + y)
+              AS DOUBLE) AS slp
+  FROM lps GROUP BY doc_id
+), ppl AS (
+  SELECT doc_id, n_bigrams,
+         round(-(slp / CAST(n_bigrams AS DOUBLE)), 6) AS cross_entropy,
+         round(exp(-(slp / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+  FROM perdoc
 )
-SELECT doc_id,
+SELECT 'quality' AS src, doc_id,
        len(ws) AS n_tokens,
        length(text) AS n_chars_calc,
        round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
@@ -216,8 +357,16 @@ SELECT doc_id,
             WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
             WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
             WHEN h_fr > 0 THEN 'fr'
-            ELSE 'und' END AS lang_pred
-FROM s ORDER BY doc_id
+            ELSE 'und' END AS lang_pred,
+       CAST(NULL AS BIGINT) AS n_bigrams,
+       CAST(NULL AS DOUBLE) AS cross_entropy,
+       CAST(NULL AS DOUBLE) AS perplexity
+FROM s
+UNION ALL
+SELECT 'ppl', doc_id, NULL, NULL, NULL, NULL, NULL,
+       n_bigrams, cross_entropy, perplexity
+FROM ppl
+ORDER BY src, doc_id
 """
 
 
@@ -229,7 +378,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break en > de > es > fr > und, mirrored verbatim in the oracle),
     all from ONE corpus scan: the per-language hit counts double as the
     stopword-ratio numerator, so splitting these into separate queries
-    would tokenize 100 TB twice for no reason."""
+    would tokenize 100 TB twice for no reason.
+
+    'ppl' rows (r7 — gates the r6 library-only operator per the round
+    directive): ngram_lm_perplexity self-perplexity (add-1 smoothed
+    bigram LM trained on the corpus itself, the CCNet quality-filter
+    shape) in ordered_sum mode, so the per-doc entropy folds are
+    bit-reproducible by the DuckDB oracle's
+    list_reduce(list(lp ORDER BY lp))."""
     d = load_table(spark, sf_dir, "documents")
     # Two-stage projection: tokens materialized once (HOFs are
     # interpreted — no CSE — so `ws` must be a real attribute, not an
@@ -258,7 +414,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
-    return hits.select(
+    _nl = F.lit(None).cast("long")
+    _nd = F.lit(None).cast("double")
+    quality = hits.select(
+        F.lit("quality").alias("src"),
         "doc_id",
         F.col("n_tok").alias("n_tokens"),
         F.length("text").alias("n_chars_calc"),
@@ -269,7 +428,23 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("punct_ratio"),
         F.round(h["en"] / F.col("n_tok"), 6).alias("stopword_ratio"),
         pred.alias("lang_pred"),
-    ).orderBy("doc_id")
+        _nl.alias("n_bigrams"),
+        _nd.alias("cross_entropy"),
+        _nd.alias("perplexity"),
+    )
+    ppl = ngram_lm_perplexity(d, ordered_sum=True).select(
+        F.lit("ppl").alias("src"),
+        "doc_id",
+        _nl.alias("n_tokens"),
+        _nl.alias("n_chars_calc"),
+        _nd.alias("punct_ratio"),
+        _nd.alias("stopword_ratio"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        "n_bigrams",
+        "cross_entropy",
+        "perplexity",
+    )
+    return quality.unionByName(ppl).orderBy("src", "doc_id")
 
 
 
@@ -492,6 +667,7 @@ def bm25_batch_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered_sum: bool = False,
 ) -> DataFrame:
     """BM25 top-k per query for MANY queries at once — the
     retrieval-based-decontamination shape (thousands of eval prompts
@@ -511,9 +687,18 @@ def bm25_batch_topk(
     ((doc,term) tf, (query,doc) sum, per-query rank), each keyed and
     partial-aggregated — independent of how many queries ride along.
 
-    Float note: the per-(query, doc) sum is an UNORDERED aggregate, so
-    cross-engine bit-parity is not guaranteed (unlike bm25_topk's
-    fixed-order chain) — verify with tolerance, not hashes."""
+    Float note: by default the per-(query, doc) sum is an UNORDERED
+    aggregate (map-side combined — the scale shape), so cross-engine
+    bit-parity is not guaranteed; verify with tolerance.
+    ``ordered_sum=True`` switches that one aggregate to a
+    term-sorted sequential fold (collect_list → sort_array →
+    F.aggregate): deterministic left-to-right double addition an
+    oracle can reproduce bit-for-bit (DuckDB:
+    list_reduce(list(c ORDER BY term), ...)). The fold loses the
+    map-side combine on the (query, doc) aggregate — per-term
+    contributions ride the shuffle individually — so it is the
+    verification mode, not the default; per-query term counts are
+    small, so the inflation is bounded by the query length."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -551,11 +736,32 @@ def bm25_batch_topk(
     )
     from pyspark.sql.window import Window
 
-    per = (
-        scored.select("query_id", "doc_id", contrib.alias("c"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-    )
+    if ordered_sum:
+        per = (
+            scored.select("query_id", "doc_id", "term", contrib.alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("term", "c"))).alias(
+                    "cs"
+                )
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    F.aggregate(
+                        "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+    else:
+        per = (
+            scored.select("query_id", "doc_id", contrib.alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("c"), 6).alias("score"))
+        )
     wnd = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "doc_id"
     )
@@ -572,6 +778,7 @@ def ngram_lm_perplexity(
     smoothing_k: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered_sum: bool = False,
 ) -> DataFrame:
     """CCNet-style quality scoring: per-doc bigram LM cross-entropy
     against a reference corpus — the classic perplexity filter (docs
@@ -590,9 +797,14 @@ def ngram_lm_perplexity(
     corpus-sized after map-side combine); scoring joins each doc's
     bigram stream to the count tables on their keys and sums per doc —
     three keyed, partial-aggregated shuffles, no driver state, LM and
-    scoring corpora fully decoupled. Float note: the per-doc mean is
-    an unordered sum — verify with tolerance (like bm25_batch_topk),
-    not hashes."""
+    scoring corpora fully decoupled. Float note: by default the
+    per-doc mean is an unordered sum — verify with tolerance.
+    ``ordered_sum=True`` folds each doc's log-probabilities in sorted
+    VALUE order (sort_array + F.aggregate; equal values are adjacent,
+    so the sequential sum is deterministic) — bit-reproducible by an
+    oracle via list_reduce(list(lp ORDER BY lp), ...). Like
+    bm25_batch_topk's flag it trades the map-side combine for
+    determinism: verification mode, not the default."""
     if smoothing_k <= 0:
         # unsmoothed: an unseen bigram has p=0 and ln(0) is NULL in
         # Spark — F.sum would silently SKIP it while count(*) still
@@ -657,11 +869,23 @@ def ngram_lm_perplexity(
             + F.lit(k) * F.col("V").cast("double")
         )
     )
-    per_doc = (
-        scored.select("doc_id", F.log(p).alias("lp"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp"))
-    )
+    lp_rows = scored.select("doc_id", F.log(p).alias("lp"))
+    if ordered_sum:
+        per_doc = (
+            lp_rows.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("lp")).alias("lps"))
+            .select(
+                "doc_id",
+                F.size("lps").cast("long").alias("n_bigrams"),
+                F.aggregate(
+                    "lps", F.lit(0.0), lambda acc, x: acc + x
+                ).alias("slp"),
+            )
+        )
+    else:
+        per_doc = lp_rows.groupBy("doc_id").agg(
+            F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp")
+        )
     ce = -(F.col("slp") / F.col("n_bigrams").cast("double"))
     return per_doc.select(
         "doc_id",
@@ -689,6 +913,38 @@ _BM25_SQL_CONTRIBS = " + ".join(
     for i in range(len(_BM25_TERMS))
 )
 
+# Fixed query batch for the 'bm25b' branch: varied term counts, a rare
+# term ('dup'), and one absent term (contributes nothing in both
+# engines — it never forms a posting).
+_BM25B_QUERIES: list[tuple[str, str]] = [
+    ("q1", "hash"),
+    ("q1", "join"),
+    ("q2", "stream"),
+    ("q2", "vector"),
+    ("q2", "scan"),
+    ("q3", "dup"),
+    ("q3", "merge"),
+    ("q4", "column"),
+    ("q4", "filter"),
+    ("q4", "sort"),
+    ("q4", "zz-absent-term"),
+]
+_BM25B_K = 10
+
+# The batch branch's per-(query, doc) contribution, with the EXACT
+# parenthesization bm25_batch_topk's Column expression builds — the
+# fixed-order-fold discipline (list_reduce over term-sorted
+# contributions ≡ Spark's sort_array + F.aggregate) makes the doubles
+# agree bit-for-bit before the 6 dp round.
+_BM25B_SQL_CONTRIB = (
+    f"(ln(1.0 + (CAST(N2 AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    f" / (CAST(df AS DOUBLE) + 0.5))"
+    f" * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B})"
+    f" + {_BM25_B} * (CAST(dl AS DOUBLE)"
+    f" / (CAST(S2 AS DOUBLE) / CAST(N2 AS DOUBLE))))))"
+)
+
 _VOCAB_ORACLE = f"""
 WITH w AS (
   SELECT doc_id,
@@ -710,13 +966,50 @@ WITH w AS (
   FROM stats, g
   WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
   ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+), qd AS (
+  SELECT * FROM (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25B_QUERIES)})
+  AS q(query_id, term)
+), wq AS (
+  SELECT doc_id, word AS term FROM w WHERE word <> ''
+), dl2 AS (
+  SELECT doc_id, count(*) AS dl FROM wq GROUP BY doc_id
+), g2 AS (
+  SELECT count(*) AS N2, sum(dl) AS S2 FROM dl2
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM wq
+  WHERE term IN (SELECT term FROM qd) GROUP BY doc_id, term
+), tstats AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+), contrib AS (
+  SELECT q.query_id, p.doc_id, q.term, {_BM25B_SQL_CONTRIB} AS c
+  FROM qd q
+  JOIN tstats USING (term)
+  JOIN postings p USING (term)
+  JOIN dl2 ON dl2.doc_id = p.doc_id, g2
+), perq AS (
+  SELECT query_id, doc_id,
+         round(CAST(list_reduce(list(c ORDER BY term), (x, y) -> x + y)
+                    AS DOUBLE), 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+), bm25b AS (
+  SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM perq)
+  WHERE rank <= {_BM25B_K}
 )
 SELECT 'vocab' AS src, word, tf, df, CAST(NULL AS BIGINT) AS doc_id,
-       CAST(NULL AS DOUBLE) AS score
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS query_id,
+       CAST(NULL AS BIGINT) AS rank
 FROM vocab
 UNION ALL
-SELECT 'bm25', NULL, NULL, NULL, doc_id, score FROM bm25
-ORDER BY src, word, doc_id
+SELECT 'bm25', NULL, NULL, NULL, doc_id, score, NULL, NULL FROM bm25
+UNION ALL
+SELECT 'bm25b', NULL, NULL, NULL, doc_id, score, query_id,
+       CAST(rank AS BIGINT)
+FROM bm25b
+ORDER BY src, word, query_id, rank, doc_id
 """
 
 
@@ -736,9 +1029,17 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     'bm25' rows (r6) — Okapi BM25 top-20 for the fixed query
     {hash, join, stream, vector} (bm25_topk above): the retrieval
     primitive, hash-checked double-for-double against DuckDB
-    recomputing the identical fixed-order expression."""
+    recomputing the identical fixed-order expression.
+
+    'bm25b' rows (r7 — gates the r6 library-only batch operator per
+    the round directive) — bm25_batch_topk over the fixed 4-query
+    batch _BM25B_QUERIES, ordered_sum mode: per-(query, doc) scores
+    are term-sorted sequential folds, so DuckDB's
+    list_reduce(list(c ORDER BY term)) reproduces the doubles
+    bit-for-bit and ranks hash-check exactly."""
     d = load_table(spark, sf_dir, "documents")
     _null_l = F.lit(None).cast("long")
+    _null_s = F.lit(None).cast("string")
     vocab = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -755,19 +1056,42 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             _null_l.alias("doc_id"),
             F.lit(None).cast("double").alias("score"),
+            _null_s.alias("query_id"),
+            _null_l.alias("rank"),
         )
     )
     bm25 = bm25_topk(
         d, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     ).select(
         F.lit("bm25").alias("src"),
-        F.lit(None).cast("string").alias("word"),
+        _null_s.alias("word"),
         _null_l.alias("tf"),
         _null_l.alias("df"),
         "doc_id",
         "score",
+        _null_s.alias("query_id"),
+        _null_l.alias("rank"),
     )
-    return vocab.unionByName(bm25).orderBy("src", "word", "doc_id")
+    qdf = spark.createDataFrame(
+        _BM25B_QUERIES, "query_id string, term string"
+    )
+    bm25b = bm25_batch_topk(
+        d, qdf, k=_BM25B_K, k1=_BM25_K1, b=_BM25_B, ordered_sum=True
+    ).select(
+        F.lit("bm25b").alias("src"),
+        _null_s.alias("word"),
+        _null_l.alias("tf"),
+        _null_l.alias("df"),
+        "doc_id",
+        "score",
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return (
+        vocab.unionByName(bm25)
+        .unionByName(bm25b)
+        .orderBy("src", "word", "query_id", "rank", "doc_id")
+    )
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:

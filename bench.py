@@ -77,13 +77,12 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     # release the query phase's memoized frames (shared shingle sets,
-    # sketch registers) before the ingest/stream/wire phases — storage
-    # memory back to the pool, and the lifecycle hooks get exercised
-    from walrus_spark.operators.dedup import clear_shared_sets
-    from walrus_spark.queries.sketch_queries import clear_sketch_frames
+    # sketch registers, catalog cache, checkpoint blocks) before the
+    # ingest/stream/wire phases — storage memory back to the pool via
+    # the uniform between-stages hook
+    from walrus_spark.session import release_session_caches
 
-    clear_shared_sets()
-    clear_sketch_frames()
+    release_session_caches(spark)
 
     # ingest throughput: events → canonical log table, one atomic commit
     import pyspark.sql.functions as F

@@ -456,6 +456,188 @@ def test_wire_put_stress_group_commit(spark, tmp_path):
         log.close()
 
 
+def test_wire_multi_topic_mixed_soak(spark, tmp_path):
+    """r6 verdict 'what's missing' #3 — the multi_topic_stress_test.py
+    shape at the wire boundary: concurrent producers AND consumers
+    across 8 topics through ONE CommandServer, so the per-topic
+    read-ahead buffers and the cross-topic group committer run
+    simultaneously under cross-topic contention. Asserts, per topic:
+    exactly-once ordered delivery (every entry once, per-producer
+    subsequence order preserved, EMPTY + cursor==total at the end),
+    group commit actually shared commits across the concurrent PUTs,
+    the read-ahead path actually served every topic, and both planes
+    clear the BASELINE.md 100 ops/s floors measured in the mixed phase
+    itself."""
+    import threading
+    import time
+
+    log = WalrusLog(spark, str(tmp_path / "mixed"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    n_topics, producers_per_topic, per_producer = 8, 2, 60
+    per_topic = producers_per_topic * per_producer  # 120
+    total = n_topics * per_topic  # 960
+    topics = [f"mt{t}" for t in range(n_topics)]
+    try:
+        shell = server.shell
+        for t in topics:
+            shell.execute(f"REGISTER {t}")
+        base_commits = log.metrics()["committed_batches"]
+
+        put_done = [0] * (n_topics * producers_per_topic)
+        got: dict[str, list[str]] = {t: [] for t in topics}
+        errors: list[str] = []
+        start = threading.Barrier(
+            n_topics * producers_per_topic + n_topics + 1
+        )
+        put_walls = [0.0] * (n_topics * producers_per_topic)
+        get_walls = [0.0] * n_topics
+
+        def producer(slot: int) -> None:
+            topic = topics[slot // producers_per_topic]
+            k = slot % producers_per_topic
+            c = CommandClient(host, port)
+            try:
+                start.wait()
+                t0 = time.monotonic()
+                for i in range(per_producer):
+                    r = c.send(f"PUT {topic} {k}:{i}")
+                    if r == "OK":
+                        put_done[slot] += 1
+                    else:
+                        errors.append(f"{topic} put {r}")
+                put_walls[slot] = time.monotonic() - t0
+            finally:
+                c.close()
+
+        def consumer(ti: int) -> None:
+            topic = topics[ti]
+            c = CommandClient(host, port)
+            try:
+                start.wait()
+                t0 = time.monotonic()
+                while len(got[topic]) < per_topic:
+                    r = c.send(f"GET {topic}")
+                    if r.startswith("OK "):
+                        got[topic].append(r[3:])
+                    elif r == "EMPTY":
+                        # producers still writing; an EMPTY miss costs
+                        # a real peek job, so back off rather than spin
+                        time.sleep(0.02)
+                    else:
+                        errors.append(f"{topic} get {r}")
+                        return
+                get_walls[ti] = time.monotonic() - t0
+            finally:
+                c.close()
+
+        threads = [
+            threading.Thread(target=producer, args=(s,))
+            for s in range(n_topics * producers_per_topic)
+        ] + [
+            threading.Thread(target=consumer, args=(ti,))
+            for ti in range(n_topics)
+        ]
+        for th in threads:
+            th.start()
+        start.wait()
+        t0 = time.monotonic()
+        for th in threads:
+            th.join(timeout=240)
+        wall = time.monotonic() - t0
+
+        assert not errors, errors[:5]
+        assert sum(put_done) == total
+        # the read-ahead path served every topic (snapshot BEFORE the
+        # tail EMPTY probes below — an EMPTY resync resets .delivered)
+        assert set(server.shell._readahead) >= set(topics)
+        for t in topics:
+            assert server.shell._readahead[t].delivered > 0, t
+        # per-topic exactly-once, ordered: every entry delivered once,
+        # each producer's subsequence in send order, then EMPTY
+        tail = CommandClient(host, port)
+        for t in topics:
+            rows = got[t]
+            assert len(rows) == per_topic, (t, len(rows))
+            assert sorted(rows) == sorted(
+                f"{k}:{i}"
+                for k in range(producers_per_topic)
+                for i in range(per_producer)
+            ), t
+            per_k: dict[str, list[int]] = {}
+            for r in rows:
+                k, i = r.split(":")
+                per_k.setdefault(k, []).append(int(i))
+            for k, idxs in per_k.items():
+                assert idxs == sorted(idxs), (t, k)
+            assert tail.send(f"GET {t}") == "EMPTY"
+            assert log.cursor(t) == per_topic
+        tail.close()
+
+        # group commit shared commits across the 16 concurrent writers
+        commits = log.metrics()["committed_batches"] - base_commits
+        assert commits < total / 1.5, (commits, total)
+
+        # PUT floor, measured inside the mixed phase itself
+        put_rate = total / max(max(put_walls), 1e-9)
+        assert put_rate >= 100, (put_rate, wall)
+
+        # GET floor: the mixed-phase consumer wall is producer-bound
+        # (EMPTY polls wait on writers), so the floor is measured on a
+        # pre-filled multi-topic concurrent drain — 8 read-ahead
+        # buffers serving simultaneously, no waiting
+        drain_n = 250
+        for t in topics:
+            log.batch_append(
+                t, [f"d:{i}".encode() for i in range(drain_n)]
+            )
+        drained: dict[str, list[str]] = {t: [] for t in topics}
+        dstart = threading.Barrier(n_topics + 1)
+
+        def drainer(ti: int) -> None:
+            topic = topics[ti]
+            c = CommandClient(host, port)
+            try:
+                dstart.wait()
+                for _ in range(drain_n):
+                    r = c.send(f"GET {topic}")
+                    if r.startswith("OK "):
+                        drained[topic].append(r[3:])
+                    else:
+                        errors.append(f"{topic} drain {r}")
+                        return
+            finally:
+                c.close()
+
+        dthreads = [
+            threading.Thread(target=drainer, args=(ti,))
+            for ti in range(n_topics)
+        ]
+        for th in dthreads:
+            th.start()
+        dstart.wait()
+        t0 = time.monotonic()
+        for th in dthreads:
+            th.join(timeout=240)
+        dwall = time.monotonic() - t0
+        assert not errors, errors[:5]
+        for t in topics:  # strict order: one appender per topic
+            assert drained[t] == [f"d:{i}" for i in range(drain_n)], t
+        get_rate = (n_topics * drain_n) / max(dwall, 1e-9)
+        assert get_rate >= 100, (get_rate, dwall)
+        print(
+            f"\nmixed soak: {total} PUTs + {total} GETs over "
+            f"{n_topics} topics in {wall:.2f}s "
+            f"(PUT {put_rate:.0f}/s, {commits} commits = "
+            f"{total / max(1, commits):.1f} entries/commit); "
+            f"drain {n_topics * drain_n} GETs in {dwall:.2f}s = "
+            f"{get_rate:.0f}/s"
+        )
+    finally:
+        server.shutdown()
+        log.close()
+
+
 def test_wire_get_delivers_entries_committed_by_another_instance(
     spark, tmp_path
 ):

@@ -1332,6 +1332,34 @@ def test_shared_shingle_sets_one_cache_entry(spark):
     assert len(_SETS_CACHE) == 0
 
 
+def test_release_session_caches_drains_storage(spark):
+    """The uniform between-stages hook (r7 directive #3): after
+    materializing the memoized shingle frame AND a catalog-cached
+    table, release_session_caches empties every python-side memo and
+    leaves the JVM block manager with zero cached RDD blocks — the
+    storage pool a freshly-started session would see."""
+    from tests.conftest import SF_DIR_ORACLE
+    from walrus_spark.operators.dedup import (
+        _SETS_CACHE,
+        shared_shingle_sets,
+    )
+    from walrus_spark.queries.sketch_queries import _FRAME_CACHE
+    from walrus_spark.session import release_session_caches
+
+    sets = shared_shingle_sets(spark, SF_DIR_ORACLE)
+    sets.count()  # materialize the cache
+    extra = spark.range(1000).cache()
+    extra.count()
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) >= 1  # something is actually cached
+
+    release_session_caches(spark)
+    assert len(_SETS_CACHE) == 0
+    assert len(_FRAME_CACHE) == 0
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]
+
+
 def test_aqe_skew_join_split_engages(spark):
     """The session's AQE skew-join claim, executed: a sort-merge join
     with one hot key (10x the cold keys combined) gets its oversized

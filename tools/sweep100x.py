@@ -156,6 +156,8 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").count()  # JVM warmup
 
+    from walrus_spark.session import release_session_caches
+
     results = {}
     for name, fn in CASES.items():
         row = {}
@@ -164,6 +166,10 @@ def main() -> None:
             t0 = time.perf_counter()
             force(fn(d))
             row[label] = round(time.perf_counter() - t0, 2)
+        # between-cases hygiene (r6 capstone finding): release each
+        # case's memoized/cached/checkpoint blocks so the next case
+        # starts with the storage pool it would see in isolation
+        release_session_caches(spark)
         row["ratio"] = round(row["100x"] / row["1x"], 1)
         results[name] = row
         print(

@@ -77,6 +77,41 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def release_session_caches(spark: SparkSession | None = None) -> None:
+    """Uniform between-stages release hook (r6 capstone finding,
+    PERF_r06 §10): a long-lived session running many operators
+    back-to-back accumulates memoized frames (shared shingle sets,
+    sketch registers), catalog-cached tables, and JVM storage blocks
+    pinned by localCheckpoint lineage truncation — stacked 100×
+    workloads ran 2–4× slower than isolated because each stage paid
+    the previous stages' storage-memory rent. Call this when a
+    pipeline stage finishes and its frames won't be reused.
+
+    Releases, in order: every operator-layer memo cache (their own
+    clear hooks), the catalog cache, python-side refs (gc — Py4J
+    finalizers are what let Spark's ContextCleaner reclaim broadcast
+    and checkpoint blocks), then a JVM GC nudge so the cleaner runs
+    now rather than at the next allocation stall."""
+    from walrus_spark.operators.dedup import clear_shared_sets
+    from walrus_spark.queries.sketch_queries import clear_sketch_frames
+
+    clear_shared_sets()
+    clear_sketch_frames()
+    if spark is not None:
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001  # session already stopped
+            pass
+    import gc
+
+    gc.collect()
+    if spark is not None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkSession:
     """Create (or get) a tuned local SparkSession.
 

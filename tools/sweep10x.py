@@ -265,6 +265,14 @@ def main() -> None:
         docs(d), learn_bpe_merges(docs(d), 8)
     ).select("doc_id", "n_subwords")
 
+    # r6 directive #2 evidence: a REALISTIC merge count. The driver-
+    # local loop makes this O(1) Spark jobs; the old distributed loop
+    # would schedule ~400 sequential jobs here and the scheduling
+    # floor, not the data, would dominate.
+    CASES["bpe_learn_encode (200 merges)"] = lambda d: apply_bpe(
+        docs(d), learn_bpe_merges(docs(d), 200)
+    ).select("doc_id", "n_subwords")
+
     # optional case-name filters (substring match), like sweep100x
     filters = [a for a in sys.argv[1:] if a != "--keep"]
     if filters:

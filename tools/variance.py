@@ -32,6 +32,11 @@ DEFAULT_ENTRIES = [
     "text_fingerprints",
     "sim_knn_join",
     "ingest_events",
+    # r6 verdict "what's wrong" #3: unbanded movers — dq17 drifted
+    # 2.26x code-unchanged with no band to adjudicate against, and
+    # text_vocab keeps gaining scope (bm25/bm25b branches)
+    "dq17_set_ops",
+    "text_vocab",
 ]
 
 

@@ -326,9 +326,13 @@ WITH t AS (
 ), bg AS (
   SELECT doc_id, fws[i] AS w1, fws[i+1] AS w2
   FROM (SELECT doc_id, fws, unnest(generate_series(1, len(fws)-1)) AS i
-        FROM fw WHERE len(fws) >= 2)
+        FROM fw WHERE len(fws) >= 2 AND doc_id % 5 = 0)
 ), bgc AS (
-  SELECT w1, w2, count(*) AS b FROM bg GROUP BY w1, w2
+  SELECT w1, w2, count(*) AS b FROM (
+    SELECT fws[i] AS w1, fws[i+1] AS w2
+    FROM (SELECT fws, unnest(generate_series(1, len(fws)-1)) AS i
+          FROM fw WHERE len(fws) >= 2)
+  ) GROUP BY w1, w2
 ), lps AS (
   SELECT doc_id,
          ln((CAST(coalesce(b, 0) AS DOUBLE) + 1.0)
@@ -381,11 +385,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     would tokenize 100 TB twice for no reason.
 
     'ppl' rows (r7 — gates the r6 library-only operator per the round
-    directive): ngram_lm_perplexity self-perplexity (add-1 smoothed
-    bigram LM trained on the corpus itself, the CCNet quality-filter
-    shape) in ordered_sum mode, so the per-doc entropy folds are
-    bit-reproducible by the DuckDB oracle's
-    list_reduce(list(lp ORDER BY lp))."""
+    directive): ngram_lm_perplexity with the LM trained on the FULL
+    corpus (add-1 smoothed bigram LM) scoring the deterministic
+    doc_id % 5 == 0 sample — the decoupled lm_corpus≠docs form, which
+    is both the CCNet production shape and 5× cheaper than
+    self-scoring everything (the scoring join, not the LM training,
+    dominates; the full-corpus count tables are shared either way).
+    ordered_sum mode makes the per-doc entropy folds bit-reproducible
+    by the DuckDB oracle's list_reduce(list(lp ORDER BY lp))."""
     d = load_table(spark, sf_dir, "documents")
     # Two-stage projection: tokens materialized once (HOFs are
     # interpreted — no CSE — so `ws` must be a real attribute, not an
@@ -432,7 +439,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd.alias("cross_entropy"),
         _nd.alias("perplexity"),
     )
-    ppl = ngram_lm_perplexity(d, ordered_sum=True).select(
+    ppl = ngram_lm_perplexity(
+        d.where(F.col("doc_id") % 5 == 0), lm_corpus=d, ordered_sum=True
+    ).select(
         F.lit("ppl").alias("src"),
         "doc_id",
         _nl.alias("n_tokens"),
@@ -822,22 +831,34 @@ def ngram_lm_perplexity(
         # drop empty tokens (split of "" yields [""]) then adjacent
         # pairs; docs with <2 tokens yield an empty array, which a
         # plain explode drops (sequence(1,0) would DESCEND in Spark,
-        # so the when-guard is load-bearing)
-        ws = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        # so the when-guard is load-bearing).
+        # Two-stage projection (the shingles()/text_quality lesson):
+        # the token array must be a REAL attribute before the pair
+        # transform reads it — higher-order functions are interpreted
+        # with no common-subexpression elimination, so an inline `ws`
+        # re-runs the whole tokenize+filter chain for every
+        # element_at call: O(len²) per document, measured 6.3 s → 0.9 s
+        # for the sf0.1 bigram aggregate.
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        base = df.select(
+            *cols,
+            F.filter(tokens(F.col(text_col)), lambda x: x != "").alias(
+                "ws_m"
+            ),
+        )
         pairs = F.when(
-            F.size(ws) >= 2,
+            F.size("ws_m") >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 1),
+                F.sequence(F.lit(1), F.size("ws_m") - 1),
                 lambda i: F.struct(
-                    F.element_at(ws, i).alias("w1"),
-                    F.element_at(ws, i + 1).alias("w2"),
+                    F.element_at(F.col("ws_m"), i).alias("w1"),
+                    F.element_at(F.col("ws_m"), i + 1).alias("w2"),
                 ),
             ),
         ).otherwise(F.array())
-        cols = [F.col(id_col).alias("doc_id")] if with_id else []
-        return df.select(*cols, F.explode(pairs).alias("bg")).select(
-            *(["doc_id"] if with_id else []), "bg.w1", "bg.w2"
-        )
+        return base.select(
+            *(["doc_id"] if with_id else []), F.explode(pairs).alias("bg")
+        ).select(*(["doc_id"] if with_id else []), "bg.w1", "bg.w2")
 
     uni = (
         lm_corpus.select(

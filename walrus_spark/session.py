@@ -102,6 +102,16 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001  # session already stopped
             pass
+        # clearCache only drops catalog-cached plans; RDD-level
+        # persists (localCheckpoint truncation blocks, .cache()d
+        # frames held by still-live python refs) survive it. This IS
+        # the release-everything hook, so drain the block manager
+        # explicitly rather than waiting on GC reachability.
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
     import gc
 
     gc.collect()

@@ -86,27 +86,9 @@ def _apply_merge(vocab_syms: DataFrame, a: str, b: str) -> DataFrame:
     ['aa', 'a'])."""
     import pandas as pd
 
-    merged = a + b
-
     def fn(batches):
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                res = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == a
-                        and syms[i + 1] == b
-                    ):
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+            out = [_merge_word(list(syms), a, b) for syms in pdf["syms"]]
             yield pd.DataFrame(
                 {"word": pdf["word"], "cnt": pdf["cnt"], "syms": out}
             )
@@ -116,7 +98,12 @@ def _apply_merge(vocab_syms: DataFrame, a: str, b: str) -> DataFrame:
 
 def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
     """Greedy left-to-right non-overlapping merge of adjacent (a, b) —
-    the classic semantics: 'aaa' with merge (a,a) → ['aa', 'a']."""
+    the classic semantics: 'aaa' with merge (a,a) → ['aa', 'a'].
+
+    THE single definition of the merge step: the distributed applier
+    (_apply_merge), the local learner (_learn_merges_local), and the
+    encoder (apply_bpe) all call this, so the exact-parity contract
+    between them cannot silently diverge."""
     res: list[str] = []
     i = 0
     n = len(syms)
@@ -205,10 +192,12 @@ def learn_bpe_merges(
 
     Job-count shape: merges depend on the corpus only through the
     word-frequency table, so when that table fits on the driver
-    (≤ ``driver_vocab_limit`` distinct words — checked with a bounded
-    limit+count probe, never an unbounded collect) the loop runs
-    locally over it: **O(1) Spark jobs regardless of n_merges** (one
-    probe + one collect). A realistic tokenizer learns 32k merges; the
+    (≤ ``driver_vocab_limit`` distinct words) the loop runs locally
+    over it: **O(1) Spark jobs regardless of n_merges** — ONE
+    limit-bounded collect serves as both the size probe and the data
+    (≤ limit+1 rows ever reach the driver; a separate count probe
+    would re-run the whole corpus aggregate, Spark shares nothing
+    between actions). A realistic tokenizer learns 32k merges; the
     distributed loop's ~2 jobs/merge would pay ~64k sequential job
     schedulings — the scheduling floor, not the data, becomes the
     cost. Above the limit the loop stays distributed (per round: one
@@ -217,14 +206,15 @@ def learn_bpe_merges(
     (or 0) to force the distributed path."""
     if vocab is None:
         vocab = word_frequency_table(docs, text_col)
-    if (
-        driver_vocab_limit
-        and vocab.limit(driver_vocab_limit + 1).count() <= driver_vocab_limit
-    ):
-        rows = vocab.collect()  # bounded: proven ≤ driver_vocab_limit
-        return _learn_merges_local(
-            [(r["word"], int(r["cnt"])) for r in rows], n_merges
-        )
+    if driver_vocab_limit:
+        rows = vocab.limit(driver_vocab_limit + 1).collect()
+        if len(rows) <= driver_vocab_limit:
+            return _learn_merges_local(
+                [(r["word"], int(r["cnt"])) for r in rows], n_merges
+            )
+        # vocabulary exceeds the driver budget — fall through to the
+        # distributed loop (the collected prefix is discarded; its
+        # cost is one bounded job, the same as the old probe)
     syms = vocab.select(
         "word",
         "cnt",
@@ -281,16 +271,7 @@ def apply_bpe(
     def encode_word(word: str) -> list[str]:
         syms = list(word) + [EOW]
         for a, b in order:
-            res = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    res.append(a + b)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
-            syms = res
+            syms = _merge_word(syms, a, b)
         return syms
 
     base = docs.select(

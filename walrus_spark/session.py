@@ -88,10 +88,22 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     pipeline stage finishes and its frames won't be reused.
 
     Releases, in order: every operator-layer memo cache (their own
-    clear hooks), the catalog cache, python-side refs (gc — Py4J
-    finalizers are what let Spark's ContextCleaner reclaim broadcast
-    and checkpoint blocks), then a JVM GC nudge so the cleaner runs
-    now rather than at the next allocation stall."""
+    clear hooks), the catalog cache, EVERY persistent RDD in the
+    block manager, python-side refs (gc — Py4J finalizers are what
+    let Spark's ContextCleaner reclaim broadcast blocks), then a JVM
+    GC nudge so the cleaner runs now rather than at the next
+    allocation stall.
+
+    CONTRACT WARNING — this is the release-EVERYTHING hook: it
+    assumes no persisted frame in the session is still needed. A
+    plain .cache()d frame that is still referenced survives
+    correctly (its next action silently recomputes), but a
+    localCheckpoint()ed frame does NOT: unpersisting truncated
+    lineage is unrecoverable, and the next action on such a frame
+    raises 'Checkpoint block not found' instead of recomputing. Do
+    not call this while any live DataFrame you intend to reuse was
+    pinned via localCheckpoint (the connected-components /
+    sketch-register pattern); finish or re-derive those first."""
     from walrus_spark.operators.dedup import clear_shared_sets
     from walrus_spark.queries.sketch_queries import clear_sketch_frames
 

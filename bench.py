@@ -55,6 +55,15 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["_bucket_warmup"] = f"{type(e).__name__}: {e}"[:300]
 
+    # same contract for the bm25 inverted-index artifact (text_vocab
+    # 'bm25i'): built once per source dir, queried by every later run
+    from walrus_spark.operators.index import ensure_index
+
+    try:
+        ensure_index(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        errors["_index_warmup"] = f"{type(e).__name__}: {e}"[:300]
+
     # Steady-state measurement: one unmeasured warmup execution per
     # query IMMEDIATELY before its measured execution (janino codegen
     # compile of the larger dedup plans costs ~3 s once per plan shape

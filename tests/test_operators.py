@@ -1529,6 +1529,62 @@ def test_bm25_batch_topk_many_queries(spark):
     assert all(doc != 3 for rows in got.values() for _, doc, _ in rows)
 
 
+def test_inverted_index_roundtrip_and_pruning(spark, tmp_path):
+    """operators/index.py: build once → query many. The indexed query
+    must EXACTLY reproduce bm25_batch_topk on the same corpus (same
+    formula, same ordered_sum folds — artifact roundtrip changes the
+    data path, never the answer), and the literal-terms path must push
+    an In(term, ...) predicate into the postings parquet scan (the
+    row-group-pruning contract of the term-sorted layout)."""
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+    from walrus_spark.operators.text import bm25_batch_topk
+
+    docs = {
+        1: "hash join hash join filler words here now",
+        2: "hash filler words and more filler words here",
+        3: "completely unrelated text with no query words",
+        4: "hash join stream vector all four terms present",
+        5: "stream stream stream stream padded padded padded padded",
+        6: "vector vector join padded words words words words",
+    }
+    ddf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    idx = str(tmp_path / "idx")
+    build_inverted_index(ddf, idx, partitions=2)
+
+    qs = [
+        ("q1", "hash"),
+        ("q1", "join"),
+        ("q2", "stream"),
+        ("q2", "vector"),
+        ("q2", "zzz-absent"),
+        ("q3", "padded"),
+    ]
+    qdf = spark.createDataFrame(qs, "query_id string, term string")
+    direct = bm25_batch_topk(ddf, qdf, k=10, ordered_sum=True)
+    via_index = bm25_topk_indexed(spark, idx, qs, k=10, ordered_sum=True)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
+    # DataFrame-queries fallback (semi-join path) agrees too
+    via_df = bm25_topk_indexed(spark, idx, qdf, k=10, ordered_sum=True)
+    assert sorted(map(tuple, via_df.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
+    # pruning contract: the literal path pushes In(term, ...) to scan
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PushedFilters" in line and "In(term" in line
+        for line in plan.splitlines()
+    ), plan[:2000]
+
+
 def test_ngram_lm_perplexity_matches_python_recompute(spark):
     """CCNet-style bigram perplexity: per-doc cross-entropy against a
     python recompute of the identical add-k model (tolerance-based —

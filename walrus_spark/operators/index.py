@@ -1,0 +1,197 @@
+"""Inverted-index retrieval: build ONCE, query MANY.
+
+bm25_topk / bm25_batch_topk (operators/text.py) recompute postings
+from the corpus per call — right for ad-hoc queries, wrong for a
+serving/eval loop that issues thousands of retrievals against a fixed
+corpus. The production shape is an index ARTIFACT: one corpus scan +
+one keyed shuffle writes term-sorted postings; every query after that
+touches only the row groups holding its terms.
+
+Layout (``build_inverted_index``):
+
+  <path>/postings/     (term, doc_id, tf) — repartitionByRange(term)
+                       + sortWithinPartitions(term, doc_id), so
+                       parquet row-group min/max stats on `term` make
+                       an IN-list predicate prune to the few row
+                       groups containing the query's terms (verified:
+                       PushedFilters In(term, [...]) in the scan).
+  <path>/doc_lengths/  (doc_id, dl)
+  <path>/stats/        1 row (N docs, S total tokens)
+
+At 100 TB: the build is a tokenize scan + ONE (term, doc_id) shuffle
+(the same order of work any single batch-BM25 call already pays), and
+each query-side job reads O(matching postings) — not the corpus. The
+index is plain parquet: no service, no driver state, safe to build
+from one Spark job and query from thousands.
+
+Ties to the reference: none (the reference stores opaque bytes) —
+north-star LLM-pipeline scope (SURVEY.md §2.5), the
+retrieval-decontamination / eval-retrieval serving path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from walrus_spark.operators.text import tokens
+
+# Range partitions for the postings layout. On a cluster this tracks
+# corpus size (aim for ~128 MB files); at test SFs a handful of files
+# keeps row-group pruning observable without tiny-file overhead.
+INDEX_PARTITIONS = 8
+
+
+def ensure_index(
+    spark: SparkSession,
+    sf_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Idempotent per-source-dir index materialization (the
+    ensure_buckets pattern, infra.py): built once under the system
+    temp dir keyed by the source path, reused by every later call —
+    production charges the build to ingest, not to query latency."""
+    import hashlib
+    import tempfile
+
+    from walrus_spark.catalog import load_table
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"walrus_bm25_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        build_inverted_index(
+            load_table(spark, sf_dir, "documents"),
+            path,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    return path
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int = INDEX_PARTITIONS,
+) -> None:
+    """Materialize the index artifact (overwrites ``path``)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
+    )
+    postings = w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    (
+        postings.repartitionByRange(partitions, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "doc_lengths")
+    )
+    dl.agg(
+        F.count("*").alias("N"), F.sum("dl").alias("S")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ordered_sum: bool = False,
+) -> DataFrame:
+    """BM25 top-k per query against a prebuilt index. Same scoring
+    contract as bm25_batch_topk — (query_id, doc_id, score, rank),
+    identical formula, identical ``ordered_sum`` determinism mode —
+    but the corpus never rescans: postings/doc_lengths/stats load from
+    the artifact.
+
+    ``queries`` as a literal [(query_id, term), ...] list routes the
+    term restriction through an IN-list predicate that parquet pushes
+    into the postings scan — with the term-sorted layout, row groups
+    without query terms are skipped entirely (the index point). A
+    DataFrame of queries falls back to a broadcast semi-join (right
+    when the query batch itself is too big to inline)."""
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dl = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    g = spark.read.parquet(os.path.join(path, "stats"))
+
+    if isinstance(queries, list):
+        qdf = spark.createDataFrame(
+            queries, "query_id string, term string"
+        )
+        terms = sorted({t for _q, t in queries})
+        hits = postings.where(F.col("term").isin(terms))
+    else:
+        qdf = queries
+        hits = postings.join(
+            F.broadcast(qdf.select("term").distinct()), "term", "leftsemi"
+        )
+
+    term_stats = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qdf.join(F.broadcast(term_stats), "term")
+        .join(hits, ["term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    avgdl = F.col("S").cast("double") / F.col("N").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    contrib = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    )
+    if ordered_sum:
+        per = (
+            scored.select("query_id", "doc_id", "term", contrib.alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("term", "c"))).alias(
+                    "cs"
+                )
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    F.aggregate(
+                        "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+    else:
+        per = (
+            scored.select("query_id", "doc_id", contrib.alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("c"), 6).alias("score"))
+        )
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

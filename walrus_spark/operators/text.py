@@ -952,6 +952,20 @@ _BM25B_QUERIES: list[tuple[str, str]] = [
 ]
 _BM25B_K = 10
 
+# Fixed query batch for the 'bm25i' branch — served from the prebuilt
+# inverted-index ARTIFACT (operators/index.py), disjoint from
+# _BM25B_QUERIES so an index-path bug cannot hide behind the batch
+# branch's rows.
+_BM25I_QUERIES: list[tuple[str, str]] = [
+    ("q5", "spark"),
+    ("q5", "batch"),
+    ("q6", "customer"),
+    ("q6", "row"),
+    ("q6", "line"),
+    ("q7", "dup"),
+    ("q7", "slow"),
+]
+
 # The batch branch's per-(query, doc) contribution, with the EXACT
 # parenthesization bm25_batch_topk's Column expression builds — the
 # fixed-order-fold discipline (list_reduce over term-sorted
@@ -990,6 +1004,9 @@ WITH w AS (
 ), qd AS (
   SELECT * FROM (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25B_QUERIES)})
   AS q(query_id, term)
+), qdi AS (
+  SELECT * FROM (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25I_QUERIES)})
+  AS q(query_id, term)
 ), wq AS (
   SELECT doc_id, word AS term FROM w WHERE word <> ''
 ), dl2 AS (
@@ -998,7 +1015,8 @@ WITH w AS (
   SELECT count(*) AS N2, sum(dl) AS S2 FROM dl2
 ), postings AS (
   SELECT doc_id, term, count(*) AS tf FROM wq
-  WHERE term IN (SELECT term FROM qd) GROUP BY doc_id, term
+  WHERE term IN (SELECT term FROM qd UNION SELECT term FROM qdi)
+  GROUP BY doc_id, term
 ), tstats AS (
   SELECT term, count(*) AS df FROM postings GROUP BY term
 ), contrib AS (
@@ -1019,6 +1037,24 @@ WITH w AS (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
     FROM perq)
   WHERE rank <= {_BM25B_K}
+), contribi AS (
+  SELECT q.query_id, p.doc_id, q.term, {_BM25B_SQL_CONTRIB} AS c
+  FROM qdi q
+  JOIN tstats USING (term)
+  JOIN postings p USING (term)
+  JOIN dl2 ON dl2.doc_id = p.doc_id, g2
+), perqi AS (
+  SELECT query_id, doc_id,
+         round(CAST(list_reduce(list(c ORDER BY term), (x, y) -> x + y)
+                    AS DOUBLE), 6) AS score
+  FROM contribi GROUP BY query_id, doc_id
+), bm25i AS (
+  SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM perqi)
+  WHERE rank <= {_BM25B_K}
 )
 SELECT 'vocab' AS src, word, tf, df, CAST(NULL AS BIGINT) AS doc_id,
        CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS query_id,
@@ -1030,6 +1066,10 @@ UNION ALL
 SELECT 'bm25b', NULL, NULL, NULL, doc_id, score, query_id,
        CAST(rank AS BIGINT)
 FROM bm25b
+UNION ALL
+SELECT 'bm25i', NULL, NULL, NULL, doc_id, score, query_id,
+       CAST(rank AS BIGINT)
+FROM bm25i
 ORDER BY src, word, query_id, rank, doc_id
 """
 
@@ -1057,7 +1097,15 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch _BM25B_QUERIES, ordered_sum mode: per-(query, doc) scores
     are term-sorted sequential folds, so DuckDB's
     list_reduce(list(c ORDER BY term)) reproduces the doubles
-    bit-for-bit and ranks hash-check exactly."""
+    bit-for-bit and ranks hash-check exactly.
+
+    'bm25i' rows (r7) — the same scoring contract served from the
+    PREBUILT inverted-index artifact (operators/index.py: term-sorted
+    postings parquet, built once per source dir, queried via an
+    IN-list predicate parquet prunes on) over the disjoint query set
+    _BM25I_QUERIES. The oracle recomputes from raw documents, so the
+    branch hash-proves the index roundtrip: build → artifact → query
+    must equal direct recomputation, double-for-double."""
     d = load_table(spark, sf_dir, "documents")
     _null_l = F.lit(None).cast("long")
     _null_s = F.lit(None).cast("string")
@@ -1108,9 +1156,30 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rank").cast("long").alias("rank"),
     )
+    from walrus_spark.operators.index import bm25_topk_indexed, ensure_index
+
+    bm25i = bm25_topk_indexed(
+        spark,
+        ensure_index(spark, sf_dir),
+        _BM25I_QUERIES,
+        k=_BM25B_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        ordered_sum=True,
+    ).select(
+        F.lit("bm25i").alias("src"),
+        _null_s.alias("word"),
+        _null_l.alias("tf"),
+        _null_l.alias("df"),
+        "doc_id",
+        "score",
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
     return (
         vocab.unionByName(bm25)
         .unionByName(bm25b)
+        .unionByName(bm25i)
         .orderBy("src", "word", "query_id", "rank", "doc_id")
     )
 

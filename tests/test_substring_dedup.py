@@ -179,3 +179,109 @@ def test_substring_pairs_random_corpus_vs_oracle(spark):
                 k for k in got if got[k] != want.get(k)
             }
         })
+
+
+def _py_dropspans(docs: dict[int, str], w: int):
+    """Brute-force span removal: for each doc, remove every token
+    position covered by a w-window run also present at some aligned
+    position in an EARLIER doc (lower id) — the earliest copy
+    survives. Mirrors the operator's policy exactly."""
+    import re
+
+    toks = {
+        k: re.sub(r"\s+", " ", v.lower().strip()).split(" ")
+        for k, v in docs.items()
+    }
+    removed: dict[int, set[int]] = {k: set() for k in docs}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            for i in range(len(ta) - w + 1):
+                for j in range(len(tb) - w + 1):
+                    if ta[i : i + w] == tb[j : j + w]:
+                        removed[b].update(range(j, j + w))
+    out = {}
+    for k in ids:
+        kept = [
+            t for i, t in enumerate(toks[k]) if i not in removed[k]
+        ]
+        out[k] = (len(toks[k]), len(removed[k]), " ".join(kept))
+    return out
+
+
+def test_substring_dropspans_matches_python_oracle(spark):
+    """substring_dedup_dropspans vs the brute-force removal policy:
+    exact text_clean equality (not just counts), transitive
+    earliest-copy-wins (1 < 2 < 3 sharing one span -> only doc 1
+    keeps it), untouched docs pass through verbatim."""
+    from walrus_spark.operators.dedup import substring_dedup_dropspans
+
+    run = "p q r s t u v w x"
+    docs = {
+        1: f"alpha beta {run} gamma delta",
+        2: f"{run} completely different tail here",
+        3: f"front matter {run}",
+        4: "no shared content in this document at all",
+        5: "",
+    }
+    w = 4
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_tokens_removed"],
+            r["text_clean"],
+        )
+        for r in substring_dedup_dropspans(
+            _df(spark, docs), window_tokens=w
+        ).collect()
+    }
+    want = _py_dropspans(docs, w)
+    assert got == want, (got, want)
+    # the span survives ONLY in doc 1
+    assert run in got[1][2]
+    assert run not in got[2][2] and run not in got[3][2]
+    # untouched docs unchanged (normalized form)
+    assert got[4] == (8, 0, docs[4])
+
+
+def _df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+        )
+    )
+
+
+def test_substring_dropspans_random_corpus(spark):
+    """Randomized agreement with the brute force on a corpus with
+    planted cliques and overlapping spans across 3+ docs."""
+    import random
+
+    rnd = random.Random(0xBEEF)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = {}
+    for i in range(14):
+        docs[i] = " ".join(
+            rnd.choice(vocab) for _ in range(rnd.randrange(0, 25))
+        )
+    run = "r1 r2 r3 r4 r5 r6"
+    docs[50] = f"{docs[2]} {run}"
+    docs[51] = f"{run} {docs[5]} {run}"
+    docs[52] = f"mid {run} mid"
+    for w in (3, 5):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_tokens_removed"],
+                r["text_clean"],
+            )
+            for r in __import__(
+                "walrus_spark.operators.dedup", fromlist=["x"]
+            ).substring_dedup_dropspans(
+                _df(spark, docs), window_tokens=w
+            ).collect()
+        }
+        want = _py_dropspans(docs, w)
+        assert got == want, (w,)

@@ -24,3 +24,19 @@ def make_bm25_queries(spark):
         ],
         "query_id string, term string",
     )
+
+
+def make_bm25_query_list():
+    """The same 100-query workload as a literal [(query_id, term)]
+    list — the form bm25_topk_indexed routes through a parquet-pushed
+    In(term) predicate (row-group pruning on the term-sorted index)."""
+    return [
+        (f"q{i}", t)
+        for i in range(100)
+        for t in (
+            ["hash", "join"],
+            ["stream", "vector"],
+            ["scan", "filter", "merge"],
+            ["batch", "row"],
+        )[i % 4]
+    ]

@@ -116,10 +116,13 @@ _SUBSTR_CTES = f"""
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i AS ia, y.i AS ib
   FROM sw x JOIN sw y ON x.ws = y.ws AND x.doc_id < y.doc_id
 ), runs AS (
-  SELECT doc_a, doc_b, d, grp, count(*) AS chain FROM (
+  SELECT doc_a, doc_b, d, grp, count(*) AS chain,
+         min(ia) - d AS ib0
+  FROM (
     SELECT doc_a, doc_b, ia - ib AS d,
            ia - row_number() OVER (
-             PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+             PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp,
+           ia
     FROM ssh)
   GROUP BY doc_a, doc_b, d, grp
 ), substr_pairs AS (
@@ -127,6 +130,28 @@ _SUBSTR_CTES = f"""
          CAST(sum(chain) AS BIGINT) AS n_shared_windows,
          CAST(max(chain) + {SUBSTR_WINDOW - 1} AS BIGINT) AS max_run_tokens
   FROM runs GROUP BY doc_a, doc_b
+), rem AS (
+  SELECT DISTINCT doc_b AS doc_id,
+         unnest(generate_series(ib0, ib0 + chain + {SUBSTR_WINDOW - 2}))
+         AS pos
+  FROM runs
+), tokpos AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        FROM st)
+), keptt AS (
+  SELECT doc_id, pos, tok FROM tokpos ANTI JOIN rem USING (doc_id, pos)
+), cleaned AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS text_clean
+  FROM keptt GROUP BY doc_id
+), nrem AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nrm FROM rem GROUP BY doc_id
+), cleanrow AS (
+  SELECT s.doc_id,
+         CAST(coalesce(n.nrm, 0) AS BIGINT) AS n_tokens_removed,
+         md5(coalesce(c.text_clean, '')) AS clean_fp
+  FROM st s LEFT JOIN cleaned c USING (doc_id) LEFT JOIN nrem n USING (doc_id)
 )
 """
 
@@ -134,15 +159,21 @@ _JACCARD_ORACLE = _JACCARD_CTES + _SUBSTR_CTES + """
 SELECT 'jaccard' AS src, p.doc_a, p.doc_b,
        round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard,
        CAST(NULL AS BIGINT) AS n_shared_windows,
-       CAST(NULL AS BIGINT) AS max_run_tokens
+       CAST(NULL AS BIGINT) AS max_run_tokens,
+       CAST(NULL AS BIGINT) AS n_tokens_removed,
+       CAST(NULL AS VARCHAR) AS clean_fp
 FROM pair p
 JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
 WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
 UNION ALL
 SELECT 'substr', doc_a, doc_b, CAST(NULL AS DOUBLE),
-       n_shared_windows, max_run_tokens
+       n_shared_windows, max_run_tokens, NULL, NULL
 FROM substr_pairs
+UNION ALL
+SELECT 'clean', doc_id, NULL, NULL, NULL, NULL,
+       n_tokens_removed, clean_fp
+FROM cleanrow
 ORDER BY src, doc_a, doc_b
 """
 
@@ -413,9 +444,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 longest-run length. All-integer output; the oracle
                 recomputes it relationally (windows → string self-join
                 → gaps-and-islands), so the banded candidate stage +
-                exact verify must reproduce the exact pair set."""
+                exact verify must reproduce the exact pair set.
+    'clean' (r7) — the POLICY half, substring_dedup_dropspans: one row
+                per doc with tokens-removed count and the md5 of the
+                cleaned (earliest-copy-kept) token stream — every doc
+                fingerprinted, so an over- OR under-removal anywhere
+                in the corpus fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
     _nl = F.lit(None).cast("long")
+    _ns = F.lit(None).cast("string")
     jac = exact_jaccard_pairs(
         docs, sets=shared_shingle_sets(spark, sf_dir)
     ).select(
@@ -425,6 +462,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         _nl.alias("n_shared_windows"),
         _nl.alias("max_run_tokens"),
+        _nl.alias("n_tokens_removed"),
+        _ns.alias("clean_fp"),
     )
     sub = substring_dedup_pairs(docs, window_tokens=SUBSTR_WINDOW).select(
         F.lit("substr").alias("src"),
@@ -433,8 +472,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard"),
         "n_shared_windows",
         "max_run_tokens",
+        _nl.alias("n_tokens_removed"),
+        _ns.alias("clean_fp"),
     )
-    return jac.unionByName(sub).orderBy("src", "doc_a", "doc_b")
+    clean = substring_dedup_dropspans(
+        docs, window_tokens=SUBSTR_WINDOW
+    ).select(
+        F.lit("clean").alias("src"),
+        F.col("doc_id").alias("doc_a"),
+        _nl.alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        _nl.alias("n_shared_windows"),
+        _nl.alias("max_run_tokens"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+        F.md5("text_clean").alias("clean_fp"),
+    )
+    return (
+        jac.unionByName(sub)
+        .unionByName(clean)
+        .orderBy("src", "doc_a", "doc_b")
+    )
 
 
 # Scratch ceiling for the Arrow signature kernels: both build a
@@ -1563,6 +1620,38 @@ def substring_dedup_pairs(
     from pyspark.sql.window import Window
 
     w = window_tokens
+    base, shared = _shared_window_positions(docs, w, text_col, id_col)
+
+    # 4: gaps-and-islands along each diagonal -> longest run
+    diag = shared.withColumn("d", F.col("ia") - F.col("ib"))
+    wnd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")
+    runs = (
+        diag.withColumn("grp", F.col("ia") - F.row_number().over(wnd))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(F.count("*").alias("chain"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("chain").alias("n_shared_windows"),
+            (F.max("chain") + F.lit(w - 1)).alias("max_run_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shared_window_positions(
+    docs: DataFrame,
+    w: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Steps 1–3 of the exact-substring family, shared by the pair
+    reporter (substring_dedup_pairs) and the span remover
+    (substring_dedup_dropspans): returns (base, shared) where base is
+    (doc_id, ts: normalized token array) over ALL docs and shared is
+    the exactly-verified (doc_a < doc_b, ia, ib) positioned window
+    matches (distinct)."""
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
@@ -1625,20 +1714,96 @@ def substring_dedup_pairs(
         )
         .distinct()
     )
+    all_base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"\s+", " "
+            ),
+            " ",
+        ).alias("ts"),
+    )
+    return all_base, shared
 
-    # 4: gaps-and-islands along each diagonal -> longest run
+
+def substring_dedup_dropspans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring SPAN REMOVAL — the policy half of long-exact-
+    match dedup (the "deduplicating training data" recipe: when a
+    verbatim ≥W-token run appears in several documents, keep ONE copy
+    and cut the rest). Deterministic keep policy: a span is removed
+    from a doc iff the same token run appears in some EARLIER doc
+    (lower doc_id) — transitively, exactly one copy (the earliest)
+    survives.
+
+    Returns (doc_id, n_tokens, n_tokens_removed, text_clean) for
+    EVERY doc, text_clean being the normalized token stream (lowered,
+    whitespace-collapsed — the same normalization the matcher uses)
+    with removed positions cut; docs with nothing shared pass through
+    with n_tokens_removed = 0.
+
+    Shape: reuses the banded candidate + exact verify stages
+    (_shared_window_positions), then turns each diagonal island into
+    a removal span [ib, ib + chain + W - 2] in the LATER doc, explodes
+    spans into distinct (doc_id, pos) rows, anti-joins the positioned
+    token stream, and reassembles per doc. Everything keyed and
+    partial-aggregated; span explode is O(removed tokens), the token
+    reassembly is the one corpus-order shuffle (same order as any
+    rewrite of the corpus must pay)."""
+    from pyspark.sql.window import Window
+
+    w = window_tokens
+    base, shared = _shared_window_positions(docs, w, text_col, id_col)
+
     diag = shared.withColumn("d", F.col("ia") - F.col("ib"))
     wnd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")
-    runs = (
+    spans = (
         diag.withColumn("grp", F.col("ia") - F.row_number().over(wnd))
         .groupBy("doc_a", "doc_b", "d", "grp")
-        .agg(F.count("*").alias("chain"))
+        .agg(F.count("*").alias("chain"), F.min("ib").alias("ib0"))
+    )
+    removed = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("ib0"), F.col("ib0") + F.col("chain") + F.lit(w - 2)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("ts").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    n_removed = removed.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_removed")
     )
     return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum("chain").alias("n_shared_windows"),
-            (F.max("chain") + F.lit(w - 1)).alias("max_run_tokens"),
+        base.select("doc_id", F.size("ts").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .join(n_removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_tokens_removed", F.lit(0)).alias(
+                "n_tokens_removed"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_id")
     )

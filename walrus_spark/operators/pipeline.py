@@ -714,9 +714,18 @@ def corpus_filter(
         "doc_id",
         F.size(ws).alias("n_tokens"),
         F.size(F.array_distinct(ws)).alias("n_distinct"),
+        # empty text is legal input here (upstream span removal can
+        # empty a doc entirely); under ANSI mode the ratio must be
+        # guarded or the whole pipeline dies on one such doc — the
+        # doc itself then fails min_tokens as it should
         F.round(
-            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
-            / F.length("text"),
+            F.when(
+                F.length("text") > 0,
+                F.length(
+                    F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
+                )
+                / F.length("text"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("punct_ratio"),
         F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp"),

@@ -8,7 +8,10 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from walrus_spark.operators.dedup import substring_dedup_pairs
+from walrus_spark.operators.dedup import (
+    substring_dedup_dropspans,
+    substring_dedup_pairs,
+)
 
 
 def _py_oracle(docs: dict[int, str], w: int):
@@ -277,9 +280,7 @@ def test_substring_dropspans_random_corpus(spark):
                 r["n_tokens_removed"],
                 r["text_clean"],
             )
-            for r in __import__(
-                "walrus_spark.operators.dedup", fromlist=["x"]
-            ).substring_dedup_dropspans(
+            for r in substring_dedup_dropspans(
                 _df(spark, docs), window_tokens=w
             ).collect()
         }

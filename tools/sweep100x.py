@@ -203,8 +203,14 @@ def main() -> None:
     if keep:
         print(f"data kept: 1x {one_dir}, 100x {big_dir}", file=sys.stderr)
     else:
-        shutil.rmtree(big_dir, ignore_errors=True)
-        shutil.rmtree(one_dir, ignore_errors=True)
+        # also remove the bm25 index artifacts keyed to these mkdtemp
+        # corpora — their content-hashed tags are unique per run, so
+        # leaving them would accumulate corpus-sized orphans in /tmp
+        from walrus_spark.operators.index import index_cache_path
+
+        for d in (big_dir, one_dir):
+            shutil.rmtree(index_cache_path(d), ignore_errors=True)
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

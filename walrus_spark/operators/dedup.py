@@ -465,7 +465,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl.alias("n_tokens_removed"),
         _ns.alias("clean_fp"),
     )
-    sub = substring_dedup_pairs(docs, window_tokens=SUBSTR_WINDOW).select(
+    # one candidate/verify subplan feeds BOTH substring branches —
+    # identical plan nodes are what let ReuseExchange deduplicate the
+    # expensive window self-join between the union arms
+    pos = _shared_window_positions(docs, SUBSTR_WINDOW)
+    sub = substring_dedup_pairs(
+        docs, window_tokens=SUBSTR_WINDOW, positions=pos
+    ).select(
         F.lit("substr").alias("src"),
         "doc_a",
         "doc_b",
@@ -476,7 +482,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns.alias("clean_fp"),
     )
     clean = substring_dedup_dropspans(
-        docs, window_tokens=SUBSTR_WINDOW
+        docs, window_tokens=SUBSTR_WINDOW, positions=pos
     ).select(
         F.lit("clean").alias("src"),
         F.col("doc_id").alias("doc_a"),
@@ -1587,6 +1593,7 @@ def substring_dedup_pairs(
     window_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Pairs of docs sharing >= 1 verbatim run of ``window_tokens``
     consecutive tokens, with the shared-window count and the LONGEST
@@ -1616,11 +1623,17 @@ def substring_dedup_pairs(
     same order as the tokenize pass any dedup makes — and steps 3-4
     touch only candidate docs. Ties to the reference's capability set:
     none (the reference stores opaque bytes); this is north-star
-    LLM-pipeline surface (SURVEY.md §2.5)."""
+    LLM-pipeline surface (SURVEY.md §2.5).
+
+    ``positions``: pass a precomputed _shared_window_positions result
+    to share the candidate/verify subplan with a sibling operator
+    (e.g. substring_dedup_dropspans over the same docs)."""
     from pyspark.sql.window import Window
 
     w = window_tokens
-    base, shared = _shared_window_positions(docs, w, text_col, id_col)
+    _base, shared = positions or _shared_window_positions(
+        docs, w, text_col, id_col
+    )
 
     # 4: gaps-and-islands along each diagonal -> longest run
     diag = shared.withColumn("d", F.col("ia") - F.col("ib"))
@@ -1648,16 +1661,24 @@ def _shared_window_positions(
 ) -> tuple[DataFrame, DataFrame]:
     """Steps 1–3 of the exact-substring family, shared by the pair
     reporter (substring_dedup_pairs) and the span remover
-    (substring_dedup_dropspans): returns (base, shared) where base is
-    (doc_id, ts: normalized token array) over ALL docs and shared is
-    the exactly-verified (doc_a < doc_b, ia, ib) positioned window
-    matches (distinct)."""
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    (substring_dedup_dropspans): returns (all_base, shared) where
+    all_base is (doc_id, ts: normalized token array) over ALL docs
+    and shared is the exactly-verified (doc_a < doc_b, ia, ib)
+    positioned window matches (distinct). Callers running BOTH family
+    operators over the same docs should call this once and pass the
+    result via each operator's ``positions=`` parameter so the
+    candidate/verify subplan is one shared tree (plan-node identity is
+    what lets Spark's ReuseExchange fire)."""
+    all_base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"\s+", " "
+            ),
+            " ",
+        ).alias("ts"),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("ts")
-    ).where(F.size("ts") >= w)
+    base = all_base.where(F.size("ts") >= w)
     # positioned windows: (doc_id, i, window-string); i is 1-based
     win = base.select(
         "doc_id",
@@ -1714,15 +1735,6 @@ def _shared_window_positions(
         )
         .distinct()
     )
-    all_base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(text_col))), r"\s+", " "
-            ),
-            " ",
-        ).alias("ts"),
-    )
     return all_base, shared
 
 
@@ -1731,6 +1743,7 @@ def substring_dedup_dropspans(
     window_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-substring SPAN REMOVAL — the policy half of long-exact-
     match dedup (the "deduplicating training data" recipe: when a
@@ -1757,7 +1770,9 @@ def substring_dedup_dropspans(
     from pyspark.sql.window import Window
 
     w = window_tokens
-    base, shared = _shared_window_positions(docs, w, text_col, id_col)
+    base, shared = positions or _shared_window_positions(
+        docs, w, text_col, id_col
+    )
 
     diag = shared.withColumn("d", F.col("ia") - F.col("ib"))
     wnd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")

@@ -44,30 +44,66 @@ from walrus_spark.operators.text import tokens
 INDEX_PARTITIONS = 8
 
 
+def index_cache_path(
+    sf_dir: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """The cache location ensure_index uses for a source dir. The tag
+    hashes the source path PLUS a content signature (mtime+size of the
+    documents parquet, file or directory) and the column choices —
+    richer than infra._tag's path-only scheme on purpose: regenerating
+    fixtures in place, or asking for different columns, must MISS
+    rather than silently serve a stale index."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    sig = [os.path.abspath(sf_dir), text_col, id_col]
+    try:
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                st = os.stat(os.path.join(src, f))
+                sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(src)
+            sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    tag = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"walrus_bm25_idx_{tag}"
+    )
+
+
 def ensure_index(
     spark: SparkSession,
     sf_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """Idempotent per-source-dir index materialization (the
-    ensure_buckets pattern, infra.py): built once under the system
-    temp dir keyed by the source path, reused by every later call —
-    production charges the build to ingest, not to query latency."""
-    import hashlib
-    import tempfile
-
+    """Idempotent per-(source, content, columns) index materialization
+    (the ensure_buckets pattern, infra.py): built once under the
+    system temp dir, reused by every later call — production charges
+    the build to ingest, not to query latency. Builds land in a
+    staging dir and atomically rename into place, so a concurrent
+    reader never sees a half-written artifact."""
     from walrus_spark.catalog import load_table
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"walrus_bm25_idx_{tag}")
+    path = index_cache_path(sf_dir, text_col, id_col)
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        stage = f"{path}.build.{os.getpid()}"
         build_inverted_index(
             load_table(spark, sf_dir, "documents"),
-            path,
+            stage,
             text_col=text_col,
             id_col=id_col,
         )
+        try:
+            os.rename(stage, path)
+        except OSError:
+            # another process won the rename race — use its artifact
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return path
 
 
@@ -78,7 +114,16 @@ def build_inverted_index(
     id_col: str = "doc_id",
     partitions: int = INDEX_PARTITIONS,
 ) -> None:
-    """Materialize the index artifact (overwrites ``path``)."""
+    """Materialize the index artifact (overwrites ``path``).
+
+    ONE corpus scan total: the tokenize+explode runs once, into the
+    postings write; doc_lengths and stats then derive from reading the
+    postings BACK (dl = Σ tf per doc — the filtered-token count by
+    construction), which is postings-sized work, not corpus-sized.
+    doc_lengths keeps its natural partitioning (it is O(n_docs) rows —
+    a coalesce(1) would funnel billions of rows through one task at
+    target scale); only the 1-row stats frame coalesces."""
+    spark = docs.sparkSession
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -92,14 +137,18 @@ def build_inverted_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
     )
-    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    dl.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "doc_lengths")
+    dl = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
     )
-    dl.agg(
-        F.count("*").alias("N"), F.sum("dl").alias("S")
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "stats")
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
+    (
+        spark.read.parquet(os.path.join(path, "doc_lengths"))
+        .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "stats"))
     )
 
 

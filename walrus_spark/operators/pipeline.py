@@ -710,14 +710,19 @@ def corpus_filter(
     from walrus_spark.operators.text import tokens
 
     ws = tokens(F.col("text"))
+    # empty text is legal input here (upstream span removal can empty
+    # a doc entirely). Two guards: split('') yields [''] so a blank
+    # doc would otherwise report the phantom n_tokens=1 and survive
+    # min_tokens=1 with a fabricated token; and under ANSI mode the
+    # punct ratio's division by length(text)=0 would kill the whole
+    # pipeline on one such doc.
+    blank = F.length(F.trim("text")) == 0
     sig = docs.select(
         "doc_id",
-        F.size(ws).alias("n_tokens"),
-        F.size(F.array_distinct(ws)).alias("n_distinct"),
-        # empty text is legal input here (upstream span removal can
-        # empty a doc entirely); under ANSI mode the ratio must be
-        # guarded or the whole pipeline dies on one such doc — the
-        # doc itself then fails min_tokens as it should
+        F.when(blank, F.lit(0)).otherwise(F.size(ws)).alias("n_tokens"),
+        F.when(blank, F.lit(0))
+        .otherwise(F.size(F.array_distinct(ws)))
+        .alias("n_distinct"),
         F.round(
             F.when(
                 F.length("text") > 0,
@@ -733,7 +738,14 @@ def corpus_filter(
     is_canonical = (
         F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1
     )
-    dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    # same zero-token guard as punct_ratio (ANSI divide-by-zero)
+    dup_frac = F.round(
+        F.when(
+            F.col("n_tokens") > 0,
+            1 - F.col("n_distinct") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     return (
         sig.withColumn("_canon", is_canonical)
         .where(

@@ -1679,20 +1679,26 @@ def _shared_window_positions(
         ).alias("ts"),
     )
     base = all_base.where(F.size("ts") >= w)
-    # positioned windows: (doc_id, i, window-string); i is 1-based
-    win = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ts") - (w - 1)),
-                lambda i: F.array_join(F.slice("ts", i, w), " "),
-            )
-        ).alias("i0", "ws"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), "ws")
+    # positioned windows: (doc_id, i, window-string, 64-bit window
+    # hash); i is 1-based. The hash rides along so the verify join can
+    # SORT on 8-byte longs instead of full window strings.
+    win = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (w - 1)),
+                    lambda i: F.array_join(F.slice("ts", i, w), " "),
+                )
+            ).alias("i0", "ws"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "ws")
+        .withColumn("wh", F.xxhash64("ws"))
+    )
 
     # 1-2: hash-banded candidate pairs (distinct windows per doc so a
     # doc-internal repeat can't self-pair)
-    hashed = win.select("doc_id", F.xxhash64("ws").alias("wh")).distinct()
+    hashed = win.select("doc_id", "wh").distinct()
     cand = (
         _bucket_pairs(hashed, ["wh"], F.struct("doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1714,11 +1720,23 @@ def _shared_window_positions(
         cand.select("doc_b")
     ).distinct()
     vw = win.join(cand_docs.hint("shuffle_hash"), "doc_id", "leftsemi")
+    # equi-key is the 64-bit hash (compact sort keys for the SMJ); the
+    # exact string check runs INSIDE the merge as a residual
+    # condition over the rare hash-collision rows, so the sort-merge
+    # sorts longs, never window STRINGS, while a collision still
+    # can't fabricate a pair. The string check is spelled <= AND >=
+    # deliberately: a plain == (or <=>) would be re-extracted into
+    # the join keys by ExtractEquiJoinKeys and put the strings back
+    # into the sort (verified on the executed plan — SMJ keys became
+    # [ws, wh]); the inequality pair is equality the optimizer must
+    # leave as a residual.
     shared = (
         vw.alias("x")
         .join(
             vw.alias("y").hint("merge"),
-            F.col("x.ws") == F.col("y.ws"),
+            (F.col("x.wh") == F.col("y.wh"))
+            & (F.col("x.ws") <= F.col("y.ws"))
+            & (F.col("x.ws") >= F.col("y.ws")),
         )
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .join(

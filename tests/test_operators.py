@@ -1529,6 +1529,60 @@ def test_bm25_batch_topk_many_queries(spark):
     assert all(doc != 3 for rows in got.values() for _, doc, _ in rows)
 
 
+def test_linear_classifier_matches_python_recompute(spark):
+    """operators/classifier.py vs a literal python recompute: same md5
+    bucket hash, same weights, same sigmoid — exact after rounding.
+    Token-less docs score sigmoid(bias); weight-length mismatch
+    refuses loudly."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.classifier import (
+        linear_classifier_score,
+        make_demo_weights,
+    )
+
+    docs = {
+        1: "alpha beta alpha gamma",
+        2: "beta beta beta",
+        3: "",
+        4: "delta eps zeta alpha",
+    }
+    nb, bias = 64, 0.25
+    weights = make_demo_weights(nb, seed=7)
+    df_ = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"])
+        for r in linear_classifier_score(
+            df_, weights, bias=bias
+        ).collect()
+    }
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    want = {}
+    for did, text in docs.items():
+        toks = [t for t in text.lower().split() if t]
+        cnts: dict[int, int] = {}
+        for t in toks:
+            cnts[bucket(t)] = cnts.get(bucket(t), 0) + 1
+        z = sum(c * weights[b] for b, c in cnts.items())
+        p = 1.0 / (1.0 + math.exp(-(bias + z)))
+        want[did] = (len(cnts), math.floor(p * 1e6 + 0.5) / 1e6)
+    assert got == want, (got, want)
+    assert got[3] == (0, math.floor(
+        1.0 / (1.0 + math.exp(-bias)) * 1e6 + 0.5) / 1e6)
+
+    with pytest.raises(ValueError, match="weights"):
+        linear_classifier_score(df_, weights, n_buckets=nb + 1)
+
+
 def test_inverted_index_roundtrip_and_pruning(spark, tmp_path):
     """operators/index.py: build once → query many. The indexed query
     must EXACTLY reproduce bm25_batch_topk on the same corpus (same

@@ -1,0 +1,145 @@
+"""Hashing-trick linear text classifier — model scoring at scan speed.
+
+The standard learned quality/domain filter in pre-training pipelines
+(a fasttext-style linear model over bag-of-words): tokens hash into a
+fixed feature space, a weight vector scores each document, a sigmoid
+turns it into a keep-probability. Training happens elsewhere (any
+logistic-regression fit over the same features); THIS module is the
+100 TB scoring path: the weight vector is bounded driver metadata
+(n_buckets floats) broadcast into one corpus scan + one (doc, bucket)
+aggregate — no shuffle grows with vocabulary, no Python in the hot
+path.
+
+Feature hash is md5-based (engine-portable: the same bucket ids fall
+out of Spark, DuckDB, and python — the shuffle_shards/dq19 md5-prefix
+discipline), NOT xxhash64, so oracles can recompute it.
+
+Determinism: per-doc scores sum one term per DISTINCT bucket, so
+``ordered_sum=True`` folds contributions in bucket order
+(sort_array + F.aggregate ≡ DuckDB list_reduce(list(c ORDER BY
+bucket)) — bucket ids are unique per doc, no ties) and the sigmoid'd
+doubles reproduce bit-for-bit cross-engine. Default is the unordered
+map-side-combined aggregate (the scale shape).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from walrus_spark.operators.text import tokens
+
+N_BUCKETS = 4096
+
+
+def feature_bucket(term_col: F.Column, n_buckets: int) -> F.Column:
+    """Engine-portable feature hash: first 8 hex digits of md5, mod
+    the bucket count (the md5-prefix discipline of shuffle_shards)."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ordered_sum: bool = False,
+) -> DataFrame:
+    """Score every document with a linear model over hashed
+    bag-of-words counts: p = sigmoid(bias + Σ_b count_b · w_b).
+    Returns (doc_id, n_features, score) — n_features = distinct
+    buckets hit; docs with no tokens score sigmoid(bias).
+
+    ``weights`` is the model: one float per bucket (list index =
+    bucket id), broadcast as a tiny frame. Scale shape: one corpus
+    scan → (doc, bucket) counts (map-side combined) → broadcast join
+    on bucket → per-doc sum. Nothing in the plan grows with
+    vocabulary; the weight table is n_buckets rows regardless of
+    corpus size."""
+    nb = n_buckets if n_buckets is not None else len(weights)
+    if len(weights) != nb:
+        raise ValueError(
+            f"linear_classifier_score: {len(weights)} weights for "
+            f"{nb} buckets"
+        )
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "bucket long, w double",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
+    )
+    counts = (
+        toks.select("doc_id", feature_bucket(F.col("term"), nb).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    contrib = (F.col("cnt").cast("double") * F.col("w")).alias("c")
+    joined = counts.join(F.broadcast(wdf), "bucket").select(
+        "doc_id", "bucket", contrib
+    )
+    if ordered_sum:
+        per = (
+            joined.groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("bucket", "c"))
+                ).alias("cs")
+            )
+            .select(
+                "doc_id",
+                F.size("cs").cast("long").alias("n_features"),
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                ).alias("z"),
+            )
+        )
+    else:
+        per = joined.groupBy("doc_id").agg(
+            F.count("*").alias("n_features"), F.sum("c").alias("z")
+        )
+    # docs with NO tokens never reach `counts`; re-enter them with
+    # z = 0 so the output covers every input doc
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(float(bias))
+                            + F.coalesce("z", F.lit(0.0))
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def make_demo_weights(n_buckets: int, seed: int = 0x5EED) -> list[float]:
+    """Deterministic pseudo-random weight vector (6 dp literals so the
+    exact values inline into an oracle's VALUES list) — stands in for
+    a trained model in gates/benches."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(n_buckets)]

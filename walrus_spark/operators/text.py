@@ -304,7 +304,20 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.unionByName(bpe).orderBy("src", "doc_id", "rank")
 
 
-_QUALITY_ORACLE = """
+# Fixed demo model for the 'clf' gate branch: 256 hashed-feature
+# buckets, deterministic 6 dp weight literals (inlined into the oracle
+# VALUES list), bias 0.
+_CLF_BUCKETS = 256
+_CLF_BIAS = 0.0
+
+
+def _clf_weights() -> list[float]:
+    from walrus_spark.operators.classifier import make_demo_weights
+
+    return make_demo_weights(_CLF_BUCKETS)
+
+
+_QUALITY_ORACLE_HEAD = """
 WITH t AS (
   SELECT doc_id, text,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
@@ -351,6 +364,9 @@ WITH t AS (
          round(exp(-(slp / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
   FROM perdoc
 )
+"""
+
+_QUALITY_ORACLE_TAIL = """
 SELECT 'quality' AS src, doc_id,
        len(ws) AS n_tokens,
        length(text) AS n_chars_calc,
@@ -364,17 +380,54 @@ SELECT 'quality' AS src, doc_id,
             ELSE 'und' END AS lang_pred,
        CAST(NULL AS BIGINT) AS n_bigrams,
        CAST(NULL AS DOUBLE) AS cross_entropy,
-       CAST(NULL AS DOUBLE) AS perplexity
+       CAST(NULL AS DOUBLE) AS perplexity,
+       CAST(NULL AS BIGINT) AS n_features,
+       CAST(NULL AS DOUBLE) AS clf_score
 FROM s
 UNION ALL
 SELECT 'ppl', doc_id, NULL, NULL, NULL, NULL, NULL,
-       n_bigrams, cross_entropy, perplexity
+       n_bigrams, cross_entropy, perplexity, NULL, NULL
 FROM ppl
+UNION ALL
+SELECT 'clf', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       n_features, clf_score
+FROM clf
 ORDER BY src, doc_id
 """
 
 
-@register("text_quality", oracle=_QUALITY_ORACLE)
+def _quality_oracle() -> str:
+    weights = _clf_weights()
+    values = ", ".join(f"({i}, {w})" for i, w in enumerate(weights))
+    clf_ctes = f""", wtab AS (
+  SELECT * FROM (VALUES {values}) AS w(bucket, wt)
+), clfcnt AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(term), 1, 8))::BIGINT % {_CLF_BUCKETS}
+           AS bucket
+    FROM (SELECT doc_id, unnest(fws) AS term FROM fw))
+  GROUP BY doc_id, bucket
+), clfj AS (
+  SELECT doc_id, bucket, CAST(cnt AS DOUBLE) * wt AS c
+  FROM clfcnt JOIN wtab USING (bucket)
+), clfz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(list_reduce(list(c ORDER BY bucket), (x, y) -> x + y)
+              AS DOUBLE) AS z
+  FROM clfj GROUP BY doc_id
+), clf AS (
+  SELECT t.doc_id,
+         CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+         round(1.0 / (1.0 + exp(-({_CLF_BIAS} + coalesce(z, 0.0)))), 6)
+         AS clf_score
+  FROM t LEFT JOIN clfz USING (doc_id)
+)
+"""
+    return _QUALITY_ORACLE_HEAD + clf_ctes + _QUALITY_ORACLE_TAIL
+
+
+@register("text_quality", oracle=_quality_oracle())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (length, punctuation density,
     stopword ratio — the standard pre-training quality filters) AND the
@@ -383,6 +436,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     all from ONE corpus scan: the per-language hit counts double as the
     stopword-ratio numerator, so splitting these into separate queries
     would tokenize 100 TB twice for no reason.
+
+    'clf' rows (r7) — linear_classifier_score (operators/classifier.py):
+    the fasttext-style hashing-trick quality classifier, scored with a
+    fixed 256-bucket demo model in ordered_sum mode — per-doc folds in
+    bucket order (unique per doc, no ties), so the sigmoid'd doubles
+    hash-check bit-for-bit against the oracle recomputing the same
+    md5-bucket features and inlined weight VALUES.
 
     'ppl' rows (r7 — gates the r6 library-only operator per the round
     directive): ngram_lm_perplexity with the LM trained on the FULL
@@ -438,6 +498,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl.alias("n_bigrams"),
         _nd.alias("cross_entropy"),
         _nd.alias("perplexity"),
+        _nl.alias("n_features"),
+        _nd.alias("clf_score"),
     )
     ppl = ngram_lm_perplexity(
         d.where(F.col("doc_id") % 5 == 0), lm_corpus=d, ordered_sum=True
@@ -452,8 +514,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "cross_entropy",
         "perplexity",
+        _nl.alias("n_features"),
+        _nd.alias("clf_score"),
     )
-    return quality.unionByName(ppl).orderBy("src", "doc_id")
+    from walrus_spark.operators.classifier import linear_classifier_score
+
+    clf = linear_classifier_score(
+        d, _clf_weights(), bias=_CLF_BIAS, ordered_sum=True
+    ).select(
+        F.lit("clf").alias("src"),
+        "doc_id",
+        _nl.alias("n_tokens"),
+        _nl.alias("n_chars_calc"),
+        _nd.alias("punct_ratio"),
+        _nd.alias("stopword_ratio"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        _nl.alias("n_bigrams"),
+        _nd.alias("cross_entropy"),
+        _nd.alias("perplexity"),
+        "n_features",
+        F.col("score").alias("clf_score"),
+    )
+    return (
+        quality.unionByName(ppl)
+        .unionByName(clf)
+        .orderBy("src", "doc_id")
+    )
 
 
 

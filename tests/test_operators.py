@@ -1529,6 +1529,94 @@ def test_bm25_batch_topk_many_queries(spark):
     assert all(doc != 3 for rows in got.values() for _, doc, _ in rows)
 
 
+def test_index_delta_append_and_compaction(spark, tmp_path):
+    """Incremental index maintenance: build on part of the corpus,
+    stream the rest in as two deltas, and every query along the way
+    must EXACTLY equal the index built fresh on the same cumulative
+    corpus (BM25 depends on postings/dl/stats only, so delta reads
+    must be transparent). Compaction folds deltas into one term-sorted
+    base — same answers, delta dirs gone, pruning predicate back on a
+    single sorted base."""
+    import os
+
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        compact_index,
+    )
+
+    texts = {
+        i: t
+        for i, t in enumerate(
+            [
+                "hash join hash join filler words",
+                "stream vector stream filler",
+                "hash filler words and more",
+                "vector vector join padded words",
+                "stream stream padded padded",
+                "join hash vector stream mix",
+                "padded filler mix words here",
+                "hash vector padded mix final",
+            ]
+        )
+    }
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(ids), "text": [texts[i] for i in ids]}
+            )
+        )
+
+    qs = [("q1", "hash"), ("q1", "join"), ("q2", "stream"), ("q2", "vector")]
+
+    def query(path):
+        return sorted(
+            map(
+                tuple,
+                bm25_topk_indexed(
+                    spark, path, qs, k=10, ordered_sum=True
+                ).collect(),
+            )
+        )
+
+    def fresh(ids):
+        p = str(tmp_path / f"fresh_{len(ids)}")
+        build_inverted_index(df_of(ids), p, partitions=2)
+        return query(p)
+
+    inc = str(tmp_path / "inc")
+    build_inverted_index(df_of(range(0, 4)), inc, partitions=2)
+    assert query(inc) == fresh(range(0, 4))
+
+    append_index_delta(df_of(range(4, 6)), inc, delta_id="b1")
+    assert query(inc) == fresh(range(0, 6))
+
+    append_index_delta(df_of(range(6, 8)), inc, delta_id="b2")
+    full = fresh(range(0, 8))
+    assert query(inc) == full
+
+    compact_index(spark, inc, partitions=2)
+    assert query(inc) == full
+    assert not [
+        d for d in os.listdir(inc) if "_delta_" in d
+    ], os.listdir(inc)
+    # pruning contract survives compaction
+    plan = (
+        bm25_topk_indexed(spark, inc, qs, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "PushedFilters" in line and "In(term" in line
+        for line in plan.splitlines()
+    )
+
+
 def test_linear_classifier_matches_python_recompute(spark):
     """operators/classifier.py vs a literal python recompute: same md5
     bucket hash, same weights, same sigmoid — exact after rounding.

@@ -627,3 +627,83 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
     final = spark.read.parquet(corpus_dir)
     assert final.count() == 3
     assert minhash_lsh_pairs(final).count() == 0  # corpus is dup-free
+
+
+def test_stream_feeds_index_deltas(spark, tmp_path):
+    """Cross-plane: documents appended to the log plane stream OUT
+    through consume_stream, and each streaming run appends an index
+    delta (operators/index.py) — the ingest→stream→retrieval loop of
+    a live corpus. Run 1 builds the base from what is in the log; more
+    docs land; run 2 (same checkpoint — consume-once) delivers ONLY
+    the new docs, which append as a delta. The incrementally
+    maintained index must answer EXACTLY like one built fresh on
+    everything ingested."""
+    import json
+
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    texts = [
+        "hash join hash join filler words",
+        "stream vector stream filler",
+        "hash filler words and more",
+        "vector vector join padded words",
+        "stream stream padded padded",
+        "join hash vector stream mix",
+    ]
+    log = WalrusLog(spark, str(tmp_path / "ilog"))
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    delivered = []
+
+    def sink(batch_df, batch_id):
+        rows = [
+            json.loads(bytes(r["value"]).decode())
+            for r in batch_df.collect()
+        ]
+        if not rows:
+            return
+        docs = spark.createDataFrame(pd.DataFrame(rows))
+        if not delivered:
+            build_inverted_index(docs, idx, partitions=2)
+        else:
+            append_index_delta(docs, idx, delta_id=f"b{batch_id}")
+        delivered.append([r["doc_id"] for r in rows])
+
+    for i in range(4):
+        log.append(
+            "docs", json.dumps({"doc_id": i, "text": texts[i]}).encode()
+        )
+    consume_stream(spark, log, ckpt, sink, topic="docs").awaitTermination(240)
+
+    for i in range(4, 6):
+        log.append(
+            "docs", json.dumps({"doc_id": i, "text": texts[i]}).encode()
+        )
+    consume_stream(spark, log, ckpt, sink, topic="docs").awaitTermination(240)
+
+    # consume-once across runs: base got 0-3, the delta got ONLY 4-5
+    assert len(delivered) == 2, delivered
+    assert sorted(delivered[0]) == [0, 1, 2, 3]
+    assert sorted(delivered[1]) == [4, 5]
+
+    qs = [("q1", "hash"), ("q1", "join"), ("q2", "stream"), ("q2", "vector")]
+    fresh = str(tmp_path / "fresh")
+    build_inverted_index(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ),
+        fresh,
+        partitions=2,
+    )
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, qs, k=10, ordered_sum=True).collect()))
+    want = sorted(map(tuple, bm25_topk_indexed(
+        spark, fresh, qs, k=10, ordered_sum=True).collect()))
+    assert got == want
+    log.close()

@@ -24,6 +24,18 @@ each query-side job reads O(matching postings) — not the corpus. The
 index is plain parquet: no service, no driver state, safe to build
 from one Spark job and query from thousands.
 
+Incremental maintenance (``append_index_delta`` / ``compact_index``):
+a growing corpus appends DELTA postings dirs (the LSM discipline —
+each delta is one tokenize scan of the new docs only, never a
+rebuild); queries read base ∪ deltas transparently; compaction folds
+deltas back into one term-sorted base, restoring full row-group
+pruning (delta files are term-sorted within themselves but span the
+term range, so pruning degrades gracefully until compaction — the
+classic LSM read-amplification trade, chosen explicitly).
+Requirement: delta doc_ids are NEW (an update/delete would need a
+tombstone layer — out of scope; append-only corpora are the
+training-data reality).
+
 Ties to the reference: none (the reference stores opaque bytes) —
 north-star LLM-pipeline scope (SURVEY.md §2.5), the
 retrieval-decontamination / eval-retrieval serving path.
@@ -152,6 +164,110 @@ def build_inverted_index(
     )
 
 
+def _part_paths(path: str, name: str) -> list[str]:
+    """Base dir + any committed delta dirs for an index component."""
+    out = [os.path.join(path, name)]
+    try:
+        for d in sorted(os.listdir(path)):
+            if d.startswith(f"{name}_delta_"):
+                out.append(os.path.join(path, d))
+    except OSError:
+        pass
+    committed = [
+        p for p in out if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    return committed or out[:1]
+
+
+def append_index_delta(
+    docs_delta: DataFrame,
+    path: str,
+    delta_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append NEW documents to an existing index as a delta: one
+    tokenize scan of the delta docs writes postings_delta_<id> and
+    doc_lengths_delta_<id>; the 1-row stats artifact is recomputed
+    from ALL doc_lengths parts (doc-count-sized work, not
+    corpus-sized) and swapped in. Callers guarantee delta doc_ids are
+    disjoint from the existing index (append-only contract)."""
+    spark = docs_delta.sparkSession
+    w = docs_delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
+    )
+    ppath = os.path.join(path, f"postings_delta_{delta_id}")
+    (
+        w.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(ppath)
+    )
+    dl = (
+        spark.read.parquet(ppath)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(
+        os.path.join(path, f"doc_lengths_delta_{delta_id}")
+    )
+    _rewrite_stats(spark, path)
+
+
+def _rewrite_stats(spark: SparkSession, path: str) -> None:
+    """Recompute the 1-row (N, S) stats from every doc_lengths part
+    and swap it in via stage + rename (readers never see a torn
+    stats dir)."""
+    import shutil
+
+    stage = os.path.join(path, f"stats.stage.{os.getpid()}")
+    (
+        spark.read.parquet(*_part_paths(path, "doc_lengths"))
+        .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    old = os.path.join(path, "stats")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(stage, old)
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    partitions: int = INDEX_PARTITIONS,
+) -> None:
+    """Fold every delta back into ONE term-sorted base (restores full
+    row-group pruning): read base ∪ deltas, re-range-partition on
+    term, swap the new base in, drop the deltas. One postings-sized
+    shuffle — never re-tokenizes the corpus. Readers racing a compact
+    should hold an external lock (same caveat as any file-swap
+    maintenance; the reference's vacuum makes the identical
+    assumption)."""
+    import shutil
+
+    for name in ("postings", "doc_lengths"):
+        parts = _part_paths(path, name)
+        if len(parts) == 1:
+            continue
+        merged = spark.read.parquet(*parts)
+        if name == "postings":
+            merged = merged.repartitionByRange(
+                partitions, "term"
+            ).sortWithinPartitions("term", "doc_id")
+        stage = os.path.join(path, f"{name}.stage.{os.getpid()}")
+        merged.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        os.rename(stage, os.path.join(path, name))
+        for p in parts[1:]:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -173,8 +289,8 @@ def bm25_topk_indexed(
     without query terms are skipped entirely (the index point). A
     DataFrame of queries falls back to a broadcast semi-join (right
     when the query batch itself is too big to inline)."""
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    dl = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    postings = spark.read.parquet(*_part_paths(path, "postings"))
+    dl = spark.read.parquet(*_part_paths(path, "doc_lengths"))
     g = spark.read.parquet(os.path.join(path, "stats"))
 
     if isinstance(queries, list):

@@ -1601,9 +1601,23 @@ def test_index_delta_append_and_compaction(spark, tmp_path):
 
     compact_index(spark, inc, partitions=2)
     assert query(inc) == full
+    # the manifest snapshot no longer references the deltas, but their
+    # dirs survive ONE publish (grace window for in-flight readers);
+    # vacuum_index reaps everything unreferenced
+    from walrus_spark.operators.index import _read_manifest, vacuum_index
+
+    man = _read_manifest(inc)
+    assert not [
+        d
+        for ds in man["components"].values()
+        for d in ds
+        if "_delta_" in d
+    ], man
+    assert vacuum_index(inc) >= 2  # the two delta postings/dl pairs
     assert not [
         d for d in os.listdir(inc) if "_delta_" in d
     ], os.listdir(inc)
+    assert query(inc) == full  # vacuumed artifact still serves
     # pruning contract survives compaction
     plan = (
         bm25_topk_indexed(spark, inc, qs, k=10)
@@ -1615,6 +1629,158 @@ def test_index_delta_append_and_compaction(spark, tmp_path):
         "PushedFilters" in line and "In(term" in line
         for line in plan.splitlines()
     )
+
+
+def test_index_maintenance_racing_reader(spark, tmp_path):
+    """r8 verdict finding #4: the old stats/compaction swap
+    (rmtree-then-rename) had a window where a component dir was
+    ABSENT, erroring a concurrent reader. Under the manifest snapshot
+    contract a reader thread looping full index queries while the
+    writer appends two deltas and compacts must see zero errors —
+    every read resolves a complete snapshot (pre- or post-op), and
+    component dirs survive one publish after leaving the manifest
+    (grace window), so the snapshot a reader holds stays on disk."""
+    import threading
+
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        compact_index,
+    )
+
+    def df_of(lo, hi):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(lo, hi)),
+                    "text": [
+                        f"hash join word{i} filler text" for i in range(lo, hi)
+                    ],
+                }
+            )
+        )
+
+    idx = str(tmp_path / "race_idx")
+    build_inverted_index(df_of(0, 50), idx, partitions=2)
+    qs = [("q1", "hash"), ("q1", "join")]
+    errors: list[str] = []
+    n_docs_seen: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = bm25_topk_indexed(
+                    spark, idx, qs, k=500, ordered_sum=True
+                ).collect()
+                assert rows, "reader saw an empty index"
+                n_docs_seen.append(len(rows))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+
+    def wait_for_reads(k: int) -> None:
+        # writer paces itself on reader progress so every maintenance
+        # op demonstrably overlaps at least one full read (no
+        # starvation flake: the scheduler can otherwise let the
+        # writer's jobs crowd the reader out entirely)
+        import time as _time
+
+        deadline = _time.time() + 120
+        while len(n_docs_seen) < k and not errors and _time.time() < deadline:
+            _time.sleep(0.05)
+
+    try:
+        wait_for_reads(1)
+        append_index_delta(df_of(50, 80), idx, delta_id="d1")
+        wait_for_reads(len(n_docs_seen) + 1)
+        append_index_delta(df_of(80, 110), idx, delta_id="d2")
+        wait_for_reads(len(n_docs_seen) + 1)
+        compact_index(spark, idx, partitions=2)
+        wait_for_reads(len(n_docs_seen) + 1)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    assert len(n_docs_seen) >= 4
+    # reads are monotone-consistent: every observed snapshot is one of
+    # the four published corpus sizes, never a torn in-between
+    assert set(n_docs_seen) <= {50, 80, 110}, sorted(set(n_docs_seen))
+    # and the final read (post-join, quiesced) serves the full corpus
+    final = bm25_topk_indexed(
+        spark, idx, qs, k=500, ordered_sum=True
+    ).collect()
+    assert len(final) == 110
+
+
+def test_fit_linear_classifier_parity_and_separation(spark):
+    """fit_linear_classifier (distributed full-batch GD) vs a literal
+    numpy reference running the IDENTICAL update rule on the same
+    hashed features: weights agree to float tolerance (per-doc sums
+    are unordered map-side combines, so bit-identity is out of
+    contract — the bm25_batch float note), and the learned model fed
+    through the unchanged scoring path separates the classes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from walrus_spark.operators.classifier import (
+        fit_linear_classifier,
+        linear_classifier_score,
+    )
+
+    pos = [f"useful informative content piece{i} detail" for i in range(12)]
+    neg = [f"spam buy now spam offer{i % 3} spam" for i in range(12)]
+    texts = pos + neg + [""]  # a token-less doc trains the intercept
+    ys = [1] * len(pos) + [0] * len(neg) + [0]
+    df_ = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "label": ys,
+            }
+        )
+    )
+    nb, n_iter, lr, l2 = 32, 20, 1.0, 0.01
+    w_got, b_got = fit_linear_classifier(
+        df_, n_buckets=nb, n_iter=n_iter, lr=lr, l2=l2
+    )
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    X = np.zeros((len(texts), nb + 1))
+    X[:, nb] = 1.0  # intercept column
+    for i, text in enumerate(texts):
+        for t in text.lower().split():
+            X[i, bucket(t)] += 1.0
+    y = np.asarray(ys, dtype=float)
+    w = np.zeros(nb + 1)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = X.T @ (p - y) / len(texts)
+        reg = l2 * w
+        reg[nb] = 0.0  # bias unregularized
+        w = w - lr * (g + reg)
+    assert np.allclose(w_got, w[:nb], rtol=1e-6, atol=1e-8)
+    assert abs(b_got - w[nb]) < 1e-8
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in linear_classifier_score(df_, w_got, bias=b_got).collect()
+    }
+    pos_scores = [scores[i] for i in range(len(pos))]
+    neg_scores = [scores[i] for i in range(len(pos), len(pos) + len(neg))]
+    assert min(pos_scores) > max(neg_scores)
+    assert min(pos_scores) > 0.5 > max(neg_scores)
 
 
 def test_linear_classifier_matches_python_recompute(spark):

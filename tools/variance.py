@@ -37,6 +37,10 @@ DEFAULT_ENTRIES = [
     # text_vocab keeps gaining scope (bm25/bm25b branches)
     "dq17_set_ops",
     "text_vocab",
+    # r8 verdict: the two entries graded `weak` (bimodal runtimes) and
+    # the unbanded 3.1× driver-window mover
+    "dedup_ngram_jaccard",
+    "udx_median_split",
 ]
 
 

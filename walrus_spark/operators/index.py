@@ -36,6 +36,22 @@ Requirement: delta doc_ids are NEW (an update/delete would need a
 tombstone layer — out of scope; append-only corpora are the
 training-data reality).
 
+Reader/maintenance isolation (r9 — the r8 verdict's atomic-swap
+finding): every component resolves through ``MANIFEST.json``, a
+single pointer file updated via ``os.replace`` (atomic on POSIX) —
+the Iceberg/Delta snapshot-pointer discipline. A maintenance
+operation writes NEW versioned dirs first, then publishes one new
+manifest: readers resolve either the old snapshot or the new one,
+never a torn or missing component, and an append flips its postings
+delta, doc_lengths delta, and recomputed stats into visibility
+TOGETHER (the old _SUCCESS-scan scheme could pair new stats with old
+parts). Dirs stay on disk for one publish after they leave the
+manifest (grace window), so a reader holding the previous snapshot
+finishes cleanly; a reader that naps across TWO publishes is the
+documented limit (``vacuum_index`` reaps eagerly and requires
+quiesced readers, same contract as the log's vacuum). Writers are
+single-writer per artifact (the log's writer-fence assumption).
+
 Ties to the reference: none (the reference stores opaque bytes) —
 north-star LLM-pipeline scope (SURVEY.md §2.5), the
 retrieval-decontamination / eval-retrieval serving path.
@@ -54,6 +70,94 @@ from walrus_spark.operators.text import tokens
 # corpus size (aim for ~128 MB files); at test SFs a handful of files
 # keeps row-group pruning observable without tiny-file overhead.
 INDEX_PARTITIONS = 8
+
+MANIFEST = "MANIFEST.json"
+
+# Component dirs the manifest may own (reaping never touches anything
+# else under the artifact root)
+_COMPONENTS = ("postings", "doc_lengths", "stats")
+
+
+def _read_manifest(path: str) -> dict | None:
+    """Load the current snapshot pointer, or None for pre-manifest /
+    in-construction artifacts. os.replace publication means a reader
+    sees a complete old or complete new file, never a torn one."""
+    import json
+
+    try:
+        with open(os.path.join(path, MANIFEST)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _publish_manifest(path: str, components: dict[str, list[str]]) -> None:
+    """Atomically publish a new snapshot: write the manifest aside,
+    os.replace it into place, then reap component dirs referenced by
+    NEITHER the new snapshot nor the one it replaced (the one-publish
+    grace window that lets an in-flight reader of the previous
+    snapshot finish)."""
+    import json
+    import shutil
+
+    cur = _read_manifest(path)
+    man = {
+        "version": (cur["version"] + 1) if cur else 1,
+        "components": components,
+        # previous snapshot's dirs, kept on disk this publish
+        "grace": sorted(
+            {d for ds in cur["components"].values() for d in ds}
+        )
+        if cur
+        else [],
+    }
+    tmp = os.path.join(path, f".{MANIFEST}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    live = {d for ds in components.values() for d in ds} | set(man["grace"])
+    for d in _owned_dirs(path):
+        if d not in live:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _owned_dirs(path: str) -> list[str]:
+    """Component dirs under the artifact root (versioned, delta, or
+    legacy plain names) — the reap/vacuum candidate set."""
+    out = []
+    try:
+        for d in os.listdir(path):
+            if any(
+                d == c or d.startswith(f"{c}_v") or d.startswith(f"{c}_delta_")
+                for c in _COMPONENTS
+            ) and os.path.isdir(os.path.join(path, d)):
+                out.append(d)
+    except OSError:
+        pass
+    return sorted(out)
+
+
+def vacuum_index(path: str) -> int:
+    """Reap every component dir the CURRENT manifest does not
+    reference (grace dirs included) — disk reclamation for artifacts
+    that accumulated maintenance generations. Requires quiesced
+    readers (a reader still holding an older snapshot would lose its
+    dirs mid-read — the log vacuum's exact contract). Returns the
+    number of dirs removed."""
+    import shutil
+
+    man = _read_manifest(path)
+    if man is None:
+        return 0
+    live = {d for ds in man["components"].values() for d in ds}
+    n = 0
+    for d in _owned_dirs(path):
+        if d not in live:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            n += 1
+    return n
 
 
 def index_cache_path(
@@ -101,7 +205,9 @@ def ensure_index(
     from walrus_spark.catalog import load_table
 
     path = index_cache_path(sf_dir, text_col, id_col)
-    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, MANIFEST)) and not os.path.exists(
+        os.path.join(path, "stats", "_SUCCESS")  # pre-manifest artifact
+    ):
         stage = f"{path}.build.{os.getpid()}"
         build_inverted_index(
             load_table(spark, sf_dir, "documents"),
@@ -113,6 +219,49 @@ def ensure_index(
             os.rename(stage, path)
         except OSError:
             # another process won the rename race — use its artifact
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def ensure_index_with_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Gate artifact for the INCREMENTAL index path (the text_vocab
+    'bm25d' branch): base index built from the even doc_ids, then one
+    append_index_delta of the odd doc_ids — a deterministic half/half
+    split, so queries against this artifact must equal full-corpus
+    recomputation (the oracle recomputes from raw documents). The
+    artifact deliberately stays UNCOMPACTED: a query reads base ∪
+    delta postings plus the post-append stats, hash-proving the
+    multi-part read path end-to-end, not just a rebuilt base.
+    Same idempotent stage-then-rename contract as ensure_index."""
+    from walrus_spark.catalog import load_table
+
+    path = index_cache_path(sf_dir, text_col, id_col) + "_halfdelta"
+    if not os.path.exists(os.path.join(path, MANIFEST)):
+        stage = f"{path}.build.{os.getpid()}"
+        docs = load_table(spark, sf_dir, "documents")
+        build_inverted_index(
+            docs.where(F.col(id_col) % 2 == 0),
+            stage,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        append_index_delta(
+            docs.where(F.col(id_col) % 2 == 1),
+            stage,
+            delta_id="odd",
+            text_col=text_col,
+            id_col=id_col,
+        )
+        try:
+            os.rename(stage, path)
+        except OSError:
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
@@ -134,8 +283,14 @@ def build_inverted_index(
     construction), which is postings-sized work, not corpus-sized.
     doc_lengths keeps its natural partitioning (it is O(n_docs) rows —
     a coalesce(1) would funnel billions of rows through one task at
-    target scale); only the 1-row stats frame coalesces."""
+    target scale); only the 1-row stats frame coalesces. Components
+    land in versioned dirs and become visible through one manifest
+    publish (rebuilding over a live artifact is itself an atomic
+    snapshot swap)."""
     spark = docs.sparkSession
+    cur = _read_manifest(path)
+    v = (cur["version"] + 1) if cur else 1
+    pdir, ldir, sdir = (f"{c}_v{v}" for c in _COMPONENTS)
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -147,25 +302,33 @@ def build_inverted_index(
         postings.repartitionByRange(partitions, "term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(os.path.join(path, pdir))
     )
     dl = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        spark.read.parquet(os.path.join(path, pdir))
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("dl"))
     )
-    dl.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
+    dl.write.mode("overwrite").parquet(os.path.join(path, ldir))
     (
-        spark.read.parquet(os.path.join(path, "doc_lengths"))
+        spark.read.parquet(os.path.join(path, ldir))
         .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "stats"))
+        .parquet(os.path.join(path, sdir))
+    )
+    _publish_manifest(
+        path, {"postings": [pdir], "doc_lengths": [ldir], "stats": [sdir]}
     )
 
 
 def _part_paths(path: str, name: str) -> list[str]:
-    """Base dir + any committed delta dirs for an index component."""
+    """Resolve a component's dirs through the manifest snapshot.
+    Pre-manifest artifacts fall back to the legacy layout (plain base
+    dir + _SUCCESS-committed delta dirs)."""
+    man = _read_manifest(path)
+    if man is not None:
+        return [os.path.join(path, d) for d in man["components"][name]]
     out = [os.path.join(path, name)]
     try:
         for d in sorted(os.listdir(path)):
@@ -188,53 +351,60 @@ def append_index_delta(
 ) -> None:
     """Append NEW documents to an existing index as a delta: one
     tokenize scan of the delta docs writes postings_delta_<id> and
-    doc_lengths_delta_<id>; the 1-row stats artifact is recomputed
+    doc_lengths_delta_<id>, the 1-row stats artifact is recomputed
     from ALL doc_lengths parts (doc-count-sized work, not
-    corpus-sized) and swapped in. Callers guarantee delta doc_ids are
+    corpus-sized), and ONE manifest publish flips the delta and its
+    matching stats into visibility together — a racing reader sees
+    the pre-append snapshot or the post-append snapshot, never new
+    stats over old parts. Callers guarantee delta doc_ids are
     disjoint from the existing index (append-only contract)."""
     spark = docs_delta.sparkSession
+    cur = _read_manifest(path)
+    if cur is not None:
+        comp = {k: list(v) for k, v in cur["components"].items()}
+        v = cur["version"] + 1
+    else:  # legacy artifact: adopt its resolved layout into a manifest
+        comp = {
+            c: [os.path.basename(p) for p in _part_paths(path, c)]
+            for c in _COMPONENTS
+        }
+        v = 1
     w = docs_delta.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(tokens(F.col(text_col)), lambda x: x != "")
         ).alias("term"),
     )
-    ppath = os.path.join(path, f"postings_delta_{delta_id}")
+    pdir = f"postings_delta_{delta_id}"
+    ldir = f"doc_lengths_delta_{delta_id}"
     (
         w.groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
-        .parquet(ppath)
+        .parquet(os.path.join(path, pdir))
     )
-    dl = (
-        spark.read.parquet(ppath)
+    (
+        spark.read.parquet(os.path.join(path, pdir))
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, ldir))
     )
-    dl.write.mode("overwrite").parquet(
-        os.path.join(path, f"doc_lengths_delta_{delta_id}")
-    )
-    _rewrite_stats(spark, path)
-
-
-def _rewrite_stats(spark: SparkSession, path: str) -> None:
-    """Recompute the 1-row (N, S) stats from every doc_lengths part
-    and swap it in via stage + rename (readers never see a torn
-    stats dir)."""
-    import shutil
-
-    stage = os.path.join(path, f"stats.stage.{os.getpid()}")
+    sdir = f"stats_v{v}"
     (
-        spark.read.parquet(*_part_paths(path, "doc_lengths"))
+        spark.read.parquet(
+            *(os.path.join(path, d) for d in comp["doc_lengths"] + [ldir])
+        )
         .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(stage)
+        .parquet(os.path.join(path, sdir))
     )
-    old = os.path.join(path, "stats")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(stage, old)
+    comp["postings"].append(pdir)
+    comp["doc_lengths"].append(ldir)
+    comp["stats"] = [sdir]
+    _publish_manifest(path, comp)
 
 
 def compact_index(
@@ -244,28 +414,41 @@ def compact_index(
 ) -> None:
     """Fold every delta back into ONE term-sorted base (restores full
     row-group pruning): read base ∪ deltas, re-range-partition on
-    term, swap the new base in, drop the deltas. One postings-sized
-    shuffle — never re-tokenizes the corpus. Readers racing a compact
-    should hold an external lock (same caveat as any file-swap
-    maintenance; the reference's vacuum makes the identical
-    assumption)."""
-    import shutil
-
+    term, write new versioned base dirs, and publish one manifest
+    that swaps both components in together. One postings-sized
+    shuffle — never re-tokenizes the corpus. Readers racing the
+    compaction resolve the old snapshot (its dirs survive the grace
+    window) or the new one — no external lock needed for a single
+    swap; only a reader sleeping across TWO publishes (see module
+    docstring) or an explicit vacuum_index needs quiesced readers."""
+    cur = _read_manifest(path)
+    if cur is not None:
+        comp = {k: list(v) for k, v in cur["components"].items()}
+        v = cur["version"] + 1
+    else:  # legacy artifact: adopt its resolved layout
+        comp = {
+            c: [os.path.basename(p) for p in _part_paths(path, c)]
+            for c in _COMPONENTS
+        }
+        v = 1
+    changed = False
     for name in ("postings", "doc_lengths"):
-        parts = _part_paths(path, name)
+        parts = comp[name]
         if len(parts) == 1:
             continue
-        merged = spark.read.parquet(*parts)
+        merged = spark.read.parquet(
+            *(os.path.join(path, d) for d in parts)
+        )
         if name == "postings":
             merged = merged.repartitionByRange(
                 partitions, "term"
             ).sortWithinPartitions("term", "doc_id")
-        stage = os.path.join(path, f"{name}.stage.{os.getpid()}")
-        merged.write.mode("overwrite").parquet(stage)
-        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-        os.rename(stage, os.path.join(path, name))
-        for p in parts[1:]:
-            shutil.rmtree(p, ignore_errors=True)
+        new = f"{name}_v{v}"
+        merged.write.mode("overwrite").parquet(os.path.join(path, new))
+        comp[name] = [new]
+        changed = True
+    if changed:
+        _publish_manifest(path, comp)
 
 
 def bm25_topk_indexed(
@@ -291,7 +474,7 @@ def bm25_topk_indexed(
     when the query batch itself is too big to inline)."""
     postings = spark.read.parquet(*_part_paths(path, "postings"))
     dl = spark.read.parquet(*_part_paths(path, "doc_lengths"))
-    g = spark.read.parquet(os.path.join(path, "stats"))
+    g = spark.read.parquet(*_part_paths(path, "stats"))
 
     if isinstance(queries, list):
         qdf = spark.createDataFrame(

@@ -1631,6 +1631,98 @@ def test_index_delta_append_and_compaction(spark, tmp_path):
     )
 
 
+def test_index_tombstone_deletes(spark, tmp_path):
+    """delete_docs (r9 — the take-down path): a tombstoned artifact
+    must answer EXACTLY like a fresh index that never ingested the
+    deleted docs (stats, df, dl, ranks — double-for-double), deletes
+    must accumulate, compaction must apply them physically and clear
+    the component, and deleting after an append must keep stats
+    tombstone-exclusive."""
+    import os
+
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        _read_manifest,
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        compact_index,
+        delete_docs,
+        vacuum_index,
+    )
+
+    texts = {
+        i: t
+        for i, t in enumerate(
+            [
+                "hash join hash join filler words",
+                "stream vector stream filler",
+                "hash filler words and more",
+                "vector vector join padded words",
+                "stream stream padded padded",
+                "join hash vector stream mix",
+                "padded filler mix words here",
+                "hash vector padded mix final",
+            ]
+        )
+    }
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(ids), "text": [texts[i] for i in ids]}
+            )
+        )
+
+    qs = [("q1", "hash"), ("q1", "join"), ("q2", "stream"), ("q2", "vector")]
+
+    def query(path):
+        return sorted(
+            map(
+                tuple,
+                bm25_topk_indexed(
+                    spark, path, qs, k=10, ordered_sum=True
+                ).collect(),
+            )
+        )
+
+    def fresh(ids):
+        p = str(tmp_path / ("fresh_" + "_".join(map(str, ids))))
+        build_inverted_index(df_of(ids), p, partitions=2)
+        return query(p)
+
+    idx = str(tmp_path / "tomb_idx")
+    build_inverted_index(df_of(range(0, 6)), idx, partitions=2)
+
+    delete_docs(spark, idx, [1, 3])
+    assert query(idx) == fresh([0, 2, 4, 5])
+
+    delete_docs(spark, idx, [5])  # deletes accumulate
+    assert query(idx) == fresh([0, 2, 4])
+
+    # append after delete: stats stay tombstone-exclusive
+    append_index_delta(df_of([6, 7]), idx, delta_id="b1")
+    assert query(idx) == fresh([0, 2, 4, 6, 7])
+
+    # compaction applies tombstones physically and clears the component
+    compact_index(spark, idx, partitions=2)
+    assert query(idx) == fresh([0, 2, 4, 6, 7])
+    man = _read_manifest(idx)
+    assert man["components"]["tombstones"] == []
+    vacuum_index(idx)
+    import pyspark.sql.functions as F
+
+    remaining = (
+        spark.read.parquet(os.path.join(idx, man["components"]["postings"][0]))
+        .select("doc_id")
+        .distinct()
+        .agg(F.collect_set("doc_id"))
+        .first()[0]
+    )
+    assert sorted(remaining) == [0, 2, 4, 6, 7]  # bytes actually gone
+
+
 def test_index_maintenance_racing_reader(spark, tmp_path):
     """r8 verdict finding #4: the old stats/compaction swap
     (rmtree-then-rename) had a window where a component dir was

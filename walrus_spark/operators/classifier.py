@@ -51,6 +51,7 @@ def linear_classifier_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     ordered_sum: bool = False,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with a linear model over hashed
     bag-of-words counts: p = sigmoid(bias + Σ_b count_b · w_b).
@@ -74,12 +75,18 @@ def linear_classifier_score(
         [(i, float(w)) for i, w in enumerate(weights)],
         "bucket long, w double",
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(tokens(F.col(text_col)), lambda x: x != "")
-        ).alias("term"),
-    )
+    # ``words`` short-circuits the tokenize scan with a caller-supplied
+    # (doc_id, word) stream (empty tokens excluded) — the shared-
+    # tokenization contract of bm25_topk / bm25_batch_topk
+    if words is not None:
+        toks = words.select("doc_id", F.col("word").alias("term"))
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda x: x != "")
+            ).alias("term"),
+        )
     counts = (
         toks.select("doc_id", feature_bucket(F.col("term"), nb).alias("bucket"))
         .groupBy("doc_id", "bucket")

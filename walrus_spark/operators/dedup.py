@@ -478,7 +478,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches then read materialized blocks, and the SMJ runs exactly
     # once per entry invocation. Blocks are reclaimed by
     # release_session_caches (the uniform between-stages hook).
-    base_pos, shared_pos = _shared_window_positions(docs, SUBSTR_WINDOW)
+    from walrus_spark.operators.text import shared_doc_tokens
+
+    base_pos, shared_pos = _shared_window_positions(
+        docs, SUBSTR_WINDOW, base=shared_doc_tokens(spark, sf_dir)
+    )
     pos = (base_pos, shared_pos.localCheckpoint(eager=True))
     sub = substring_dedup_pairs(
         docs, window_tokens=SUBSTR_WINDOW, positions=pos
@@ -1669,6 +1673,7 @@ def _shared_window_positions(
     w: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Steps 1–3 of the exact-substring family, shared by the pair
     reporter (substring_dedup_pairs) and the span remover
@@ -1679,16 +1684,24 @@ def _shared_window_positions(
     operators over the same docs should call this once and pass the
     result via each operator's ``positions=`` parameter so the
     candidate/verify subplan is one shared tree (plan-node identity is
-    what lets Spark's ReuseExchange fire)."""
-    all_base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(text_col))), r"\s+", " "
-            ),
-            " ",
-        ).alias("ts"),
-    )
+    what lets Spark's ReuseExchange fire).
+
+    ``base``: pass a pre-tokenized (doc_id, ts) frame (the
+    shared_doc_tokens shape — split of lowered/trimmed text on \\s+,
+    which yields the identical array as the regexp_replace+split
+    normalization below) to skip the tokenize scan entirely."""
+    if base is not None:
+        all_base = base.select("doc_id", "ts")
+    else:
+        all_base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                ),
+                " ",
+            ).alias("ts"),
+        )
     base = all_base.where(F.size("ts") >= w)
     # positioned windows: (doc_id, i, window-string, 64-bit window
     # hash); i is 1-based. The hash rides along so the verify join can

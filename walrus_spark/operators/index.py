@@ -32,9 +32,18 @@ deltas back into one term-sorted base, restoring full row-group
 pruning (delta files are term-sorted within themselves but span the
 term range, so pruning degrades gracefully until compaction — the
 classic LSM read-amplification trade, chosen explicitly).
-Requirement: delta doc_ids are NEW (an update/delete would need a
-tombstone layer — out of scope; append-only corpora are the
-training-data reality).
+Requirement: delta doc_ids are NEW (append-only contract).
+Deletion (``delete_docs``, r9 — the take-down-obligation path the r8
+verdict listed as the artifact's last gap) is a TOMBSTONE component:
+doc_ids land in a tombstones dir, stats recompute to exclude them in
+the same publish, and queries anti-join tombstoned docs out at read
+time — so a query against a tombstoned artifact equals a fresh build
+that never saw those docs (pytest-pinned equivalence). Compaction
+applies tombstones physically (filters them from the folded postings
+and doc_lengths) and clears the component. Re-appending a previously
+tombstoned doc_id is undefined (delete is terminal until a compact
+clears the tombstone) — the update story is delete + re-add under a
+NEW doc_id, the immutable-corpus discipline.
 
 Reader/maintenance isolation (r9 — the r8 verdict's atomic-swap
 finding): every component resolves through ``MANIFEST.json``, a
@@ -74,8 +83,10 @@ INDEX_PARTITIONS = 8
 MANIFEST = "MANIFEST.json"
 
 # Component dirs the manifest may own (reaping never touches anything
-# else under the artifact root)
-_COMPONENTS = ("postings", "doc_lengths", "stats")
+# else under the artifact root). tombstones is optional — absent from
+# pre-r9 manifests and from artifacts with no deletes.
+_COMPONENTS = ("postings", "doc_lengths", "stats", "tombstones")
+_REQUIRED = ("postings", "doc_lengths", "stats")
 
 
 def _read_manifest(path: str) -> dict | None:
@@ -290,7 +301,7 @@ def build_inverted_index(
     spark = docs.sparkSession
     cur = _read_manifest(path)
     v = (cur["version"] + 1) if cur else 1
-    pdir, ldir, sdir = (f"{c}_v{v}" for c in _COMPONENTS)
+    pdir, ldir, sdir = (f"{c}_v{v}" for c in _REQUIRED)
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -328,7 +339,12 @@ def _part_paths(path: str, name: str) -> list[str]:
     dir + _SUCCESS-committed delta dirs)."""
     man = _read_manifest(path)
     if man is not None:
-        return [os.path.join(path, d) for d in man["components"][name]]
+        return [
+            os.path.join(path, d)
+            for d in man["components"].get(name, [])
+        ]
+    if name == "tombstones":  # legacy layout never has tombstones
+        return []
     out = [os.path.join(path, name)]
     try:
         for d in sorted(os.listdir(path)):
@@ -392,17 +408,94 @@ def append_index_delta(
         .parquet(os.path.join(path, ldir))
     )
     sdir = f"stats_v{v}"
-    (
-        spark.read.parquet(
-            *(os.path.join(path, d) for d in comp["doc_lengths"] + [ldir])
+    all_dl = spark.read.parquet(
+        *(os.path.join(path, d) for d in comp["doc_lengths"] + [ldir])
+    )
+    tomb_dirs = comp.get("tombstones", [])
+    if tomb_dirs:  # stats stay tombstone-exclusive across appends
+        all_dl = all_dl.join(
+            spark.read.parquet(
+                *(os.path.join(path, d) for d in tomb_dirs)
+            ).select("doc_id"),
+            "doc_id",
+            "left_anti",
         )
-        .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
+    (
+        all_dl.agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(path, sdir))
     )
     comp["postings"].append(pdir)
     comp["doc_lengths"].append(ldir)
+    comp["stats"] = [sdir]
+    _publish_manifest(path, comp)
+
+
+def delete_docs(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame | list[int],
+) -> None:
+    """Tombstone deletion (take-down / right-to-be-forgotten path):
+    record ``doc_ids`` in the tombstones component and recompute the
+    1-row stats to EXCLUDE them, published together in one snapshot —
+    a reader sees pre-delete or post-delete, never tombstones paired
+    with stale stats. Queries anti-join the tombstones at read time
+    (bm25_topk_indexed), so a tombstoned artifact answers exactly as
+    a fresh build that never ingested those docs; the bytes leave
+    disk at the next compact_index (which applies tombstones
+    physically and clears the component) — the standard logical-
+    delete-then-compact contract of every LSM store.
+
+    Deletes accumulate: the new tombstones dir is the union of the
+    existing component and the new ids (distinct), so the component
+    stays one dir — tombstone volume is doc-count bounded, not
+    corpus bounded. Deleting an id absent from the index is a no-op
+    by construction (the anti-join finds nothing to suppress)."""
+    ids = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ).select("doc_id")
+    cur = _read_manifest(path)
+    if cur is not None:
+        comp = {k: list(v) for k, v in cur["components"].items()}
+        v = cur["version"] + 1
+    else:  # legacy artifact: adopt its resolved layout
+        comp = {
+            c: [os.path.basename(p) for p in _part_paths(path, c)]
+            for c in _COMPONENTS
+        }
+        v = 1
+    old_t = [os.path.join(path, d) for d in comp.get("tombstones", [])]
+    tomb = ids
+    if old_t:
+        tomb = tomb.unionByName(
+            spark.read.parquet(*old_t).select("doc_id")
+        )
+    tdir = f"tombstones_v{v}"
+    tomb.distinct().write.mode("overwrite").parquet(
+        os.path.join(path, tdir)
+    )
+    sdir = f"stats_v{v}"
+    (
+        spark.read.parquet(
+            *(os.path.join(path, d) for d in comp["doc_lengths"])
+        )
+        .join(
+            spark.read.parquet(os.path.join(path, tdir)),
+            "doc_id",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, sdir))
+    )
+    comp["tombstones"] = [tdir]
     comp["stats"] = [sdir]
     _publish_manifest(path, comp)
 
@@ -431,14 +524,24 @@ def compact_index(
             for c in _COMPONENTS
         }
         v = 1
+    tomb_dirs = comp.get("tombstones", [])
+    tomb = (
+        spark.read.parquet(
+            *(os.path.join(path, d) for d in tomb_dirs)
+        ).select("doc_id")
+        if tomb_dirs
+        else None
+    )
     changed = False
     for name in ("postings", "doc_lengths"):
         parts = comp[name]
-        if len(parts) == 1:
+        if len(parts) == 1 and tomb is None:
             continue
         merged = spark.read.parquet(
             *(os.path.join(path, d) for d in parts)
         )
+        if tomb is not None:  # apply tombstones physically
+            merged = merged.join(tomb, "doc_id", "left_anti")
         if name == "postings":
             merged = merged.repartitionByRange(
                 partitions, "term"
@@ -448,6 +551,7 @@ def compact_index(
         comp[name] = [new]
         changed = True
     if changed:
+        comp["tombstones"] = []  # applied physically above
         _publish_manifest(path, comp)
 
 
@@ -475,6 +579,16 @@ def bm25_topk_indexed(
     postings = spark.read.parquet(*_part_paths(path, "postings"))
     dl = spark.read.parquet(*_part_paths(path, "doc_lengths"))
     g = spark.read.parquet(*_part_paths(path, "stats"))
+    tparts = _part_paths(path, "tombstones")
+    if tparts:
+        # logical deletes: suppress tombstoned docs at read time (df /
+        # dl / ranks all recompute from the suppressed stream, and
+        # stats were rewritten at delete time, so the answer equals a
+        # fresh build without those docs). Zero plan impact for
+        # artifacts with no deletes — this branch doesn't exist.
+        tomb = spark.read.parquet(*tparts).select("doc_id")
+        postings = postings.join(tomb, "doc_id", "left_anti")
+        dl = dl.join(tomb, "doc_id", "left_anti")
 
     if isinstance(queries, list):
         qdf = spark.createDataFrame(

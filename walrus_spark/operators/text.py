@@ -50,11 +50,14 @@ _TOKENS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-dataset cached (doc_id, ts) tokenized documents frame.
-    ``ts`` is ``tokens(text)`` UNFILTERED — a blank doc holds ['']
-    exactly as the raw expression yields; consumers that exclude empty
-    tokens filter after the explode (cheap against the cached frame,
-    and it keeps one canonical cache instead of per-policy copies)."""
+    """The per-dataset cached (doc_id, text, ts) tokenized documents
+    frame. ``ts`` is ``tokens(text)`` UNFILTERED — a blank doc holds
+    [''] exactly as the raw expression yields; consumers that exclude
+    empty tokens filter after the explode (cheap against the cached
+    frame, and it keeps one canonical cache instead of per-policy
+    copies). The raw ``text`` rides along so single-scan branches that
+    mix character-level and token-level signals (text_quality) read
+    the cache instead of joining back to the table."""
     import os
 
     key = os.path.abspath(sf_dir)
@@ -64,7 +67,7 @@ def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     clear_shared_tokens()
     toks = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens(F.col("text")).alias("ts"))
+        .select("doc_id", "text", tokens(F.col("text")).alias("ts"))
         .cache()
     )
     _TOKENS_CACHE[key] = (spark, toks)
@@ -504,12 +507,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered_sum mode makes the per-doc entropy folds bit-reproducible
     by the DuckDB oracle's list_reduce(list(lp ORDER BY lp))."""
     d = load_table(spark, sf_dir, "documents")
+    # All three branches read the ONE session-cached tokenized frame
+    # (shared_doc_tokens) — this entry otherwise tokenizes the corpus
+    # five times (quality scan, clf scan, ppl: scoring docs + LM
+    # unigrams + LM bigrams), the same branch-duplication drift
+    # surface the r8 verdict flagged on text_vocab.
+    shared = shared_doc_tokens(spark, sf_dir)
     # Two-stage projection: tokens materialized once (HOFs are
     # interpreted — no CSE — so `ws` must be a real attribute, not an
     # alias re-expanded per use), then the four hit counts once each;
     # the ratios and argmax read plain columns.
-    hits = d.select(
-        "doc_id", "text", tokens(F.col("text")).alias("ws")
+    hits = shared.select(
+        "doc_id", "text", F.col("ts").alias("ws")
     ).select(
         "doc_id",
         "text",
@@ -552,7 +561,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd.alias("clf_score"),
     )
     ppl = ngram_lm_perplexity(
-        d.where(F.col("doc_id") % 5 == 0), lm_corpus=d, ordered_sum=True
+        d.where(F.col("doc_id") % 5 == 0),
+        lm_corpus=d,
+        ordered_sum=True,
+        doc_toks=shared.where(F.col("doc_id") % 5 == 0),
+        lm_toks=shared,
     ).select(
         F.lit("ppl").alias("src"),
         "doc_id",
@@ -570,7 +583,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from walrus_spark.operators.classifier import linear_classifier_score
 
     clf = linear_classifier_score(
-        d, _clf_weights(), bias=_CLF_BIAS, ordered_sum=True
+        d,
+        _clf_weights(),
+        bias=_CLF_BIAS,
+        ordered_sum=True,
+        words=shared.select(
+            "doc_id", F.explode("ts").alias("word")
+        ).where(F.col("word") != ""),
     ).select(
         F.lit("clf").alias("src"),
         "doc_id",
@@ -938,6 +957,8 @@ def ngram_lm_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     ordered_sum: bool = False,
+    doc_toks: DataFrame | None = None,
+    lm_toks: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style quality scoring: per-doc bigram LM cross-entropy
     against a reference corpus — the classic perplexity filter (docs
@@ -963,7 +984,14 @@ def ngram_lm_perplexity(
     so the sequential sum is deterministic) — bit-reproducible by an
     oracle via list_reduce(list(lp ORDER BY lp), ...). Like
     bm25_batch_topk's flag it trades the map-side combine for
-    determinism: verification mode, not the default."""
+    determinism: verification mode, not the default.
+
+    ``doc_toks`` / ``lm_toks`` short-circuit the tokenize scans with
+    caller-supplied (doc_id, ts) pre-tokenized frames (UNFILTERED
+    token arrays, the shared_doc_tokens shape) — the operator
+    tokenizes the scoring corpus once and the LM corpus twice
+    (unigrams + bigrams), so a multi-branch entry sharing one cached
+    tokenization saves three regex scans."""
     if smoothing_k <= 0:
         # unsmoothed: an unseen bigram has p=0 and ln(0) is NULL in
         # Spark — F.sum would silently SKIP it while count(*) still
@@ -976,26 +1004,33 @@ def ngram_lm_perplexity(
         )
     if lm_corpus is None:
         lm_corpus = docs
+        if lm_toks is None:
+            lm_toks = doc_toks
 
-    def bigrams(df: DataFrame, with_id: bool) -> DataFrame:
-        # drop empty tokens (split of "" yields [""]) then adjacent
-        # pairs; docs with <2 tokens yield an empty array, which a
-        # plain explode drops (sequence(1,0) would DESCEND in Spark,
-        # so the when-guard is load-bearing).
-        # Two-stage projection (the shingles()/text_quality lesson):
-        # the token array must be a REAL attribute before the pair
-        # transform reads it — higher-order functions are interpreted
-        # with no common-subexpression elimination, so an inline `ws`
-        # re-runs the whole tokenize+filter chain for every
-        # element_at call: O(len²) per document, measured 6.3 s → 0.9 s
-        # for the sf0.1 bigram aggregate.
-        cols = [F.col(id_col).alias("doc_id")] if with_id else []
-        base = df.select(
-            *cols,
-            F.filter(tokens(F.col(text_col)), lambda x: x != "").alias(
-                "ws_m"
-            ),
+    def tok_arrays(df: DataFrame, tk: DataFrame | None, with_id: bool):
+        # filtered token arrays, from the raw text or a pre-tokenized
+        # (doc_id, ts) frame. Two-stage projection (the
+        # shingles()/text_quality lesson): the array must be a REAL
+        # attribute before a pair transform reads it — higher-order
+        # functions are interpreted with no common-subexpression
+        # elimination, so an inline `ws` re-runs the whole
+        # tokenize+filter chain for every element_at call: O(len²)
+        # per document, measured 6.3 s → 0.9 s for the sf0.1 bigram
+        # aggregate.
+        if tk is not None:
+            cols = [F.col("doc_id")] if with_id else []
+            src, arr = tk, F.col("ts")
+        else:
+            cols = [F.col(id_col).alias("doc_id")] if with_id else []
+            src, arr = df, tokens(F.col(text_col))
+        return src.select(
+            *cols, F.filter(arr, lambda x: x != "").alias("ws_m")
         )
+
+    def bigrams(base: DataFrame, with_id: bool) -> DataFrame:
+        # adjacent pairs; docs with <2 tokens yield an empty array,
+        # which a plain explode drops (sequence(1,0) would DESCEND in
+        # Spark, so the when-guard is load-bearing).
         pairs = F.when(
             F.size("ws_m") >= 2,
             F.transform(
@@ -1010,23 +1045,20 @@ def ngram_lm_perplexity(
             *(["doc_id"] if with_id else []), F.explode(pairs).alias("bg")
         ).select(*(["doc_id"] if with_id else []), "bg.w1", "bg.w2")
 
+    lm_base = tok_arrays(lm_corpus, lm_toks, with_id=False)
     uni = (
-        lm_corpus.select(
-            F.explode(
-                F.filter(tokens(F.col(text_col)), lambda x: x != "")
-            ).alias("w")
-        )
+        lm_base.select(F.explode("ws_m").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("u"))
     )
     v_row = uni.agg(F.count("*").alias("V"))
     big = (
-        bigrams(lm_corpus, with_id=False)
+        bigrams(lm_base, with_id=False)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("b"))
     )
 
-    doc_bg = bigrams(docs, with_id=True)
+    doc_bg = bigrams(tok_arrays(docs, doc_toks, with_id=True), with_id=True)
     scored = (
         doc_bg.join(big, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")

@@ -104,11 +104,15 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     not call this while any live DataFrame you intend to reuse was
     pinned via localCheckpoint (the connected-components /
     sketch-register pattern); finish or re-derive those first."""
-    from walrus_spark.operators.dedup import clear_shared_sets
+    from walrus_spark.operators.dedup import (
+        clear_shared_positions,
+        clear_shared_sets,
+    )
     from walrus_spark.operators.text import clear_shared_tokens
     from walrus_spark.queries.sketch_queries import clear_sketch_frames
 
     clear_shared_sets()
+    clear_shared_positions()
     clear_shared_tokens()
     clear_sketch_frames()
     if spark is not None:

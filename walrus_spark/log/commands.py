@@ -98,17 +98,30 @@ class _TopicReadAhead:
         self.buf: deque[bytes] = deque()
 
     def get_next(self) -> bytes | None:
+        # The in-memory pop+advance runs under the buffer lock; the
+        # DURABILITY WAIT runs outside it, so N connections draining
+        # one topic share one group cursor flush
+        # (WalrusLog.flush_cursor_covering) instead of serializing N
+        # sidecar writes behind this lock — the flush latency (~7 ms)
+        # otherwise caps the whole topic at ~140 GET/s no matter how
+        # many consumers connect. The reply still cannot leave before
+        # the delivered offset is durable: this method returns only
+        # after the covering flush.
+        need_cover = 0
+        payload = None
         with self.lock:
             while True:
                 cur = self.log.cursor(self.topic)
                 if self.buf and self.base + self.delivered == cur:
-                    payload = self.buf[0]
-                    if self.log.commit_cursor(
+                    ok, need_flush = self.log.commit_cursor_deferred(
                         self.topic, cur + 1, expect=cur
-                    ):
-                        self.buf.popleft()
+                    )
+                    if ok:
+                        payload = self.buf.popleft()
                         self.delivered += 1
-                        return payload
+                        if need_flush:
+                            need_cover = cur + 1
+                        break
                     # lost a race to another consumer — resync below
                 self.buf.clear()
                 self.delivered = 0
@@ -123,6 +136,9 @@ class _TopicReadAhead:
                 if not rows:
                     return None
                 self.buf.extend(rows)
+        if need_cover:
+            self.log.flush_cursor_covering(self.topic, need_cover)
+        return payload
 
 
 class _GroupCommitter:

@@ -412,6 +412,16 @@ class WalrusLog:
         # (the GET-reply lag, rpc.rs:17-20); updated by batch_read /
         # read_next and by shared_cursor_stream's foreachBatch
         self._consumer_lag: dict[str, int] = {}
+        # read-side group commit (commit_cursor): one durable cursor
+        # flush covers every in-memory advance made while the previous
+        # flush was in flight — the _GroupCommitter discipline applied
+        # to the consume plane. _flushed_cursors tracks, per topic, the
+        # highest offset KNOWN covered by a completed flush; the cv
+        # serializes flush leadership and wakes waiters.
+        self._cursor_flush_cv = threading.Condition()
+        self._cursor_flush_leader = False
+        self._cursor_file_lock = threading.Lock()
+        self._flushed_cursors: dict[str, int] = {}
         self._txns: set[str] = set()
         # Write concurrency mirrors the reference's per-key async mutex
         # (distributed-walrus/src/bucket.rs:60-118): offset assignment
@@ -695,8 +705,18 @@ class WalrusLog:
             },
         )
 
-    def _flush_cursors(self) -> None:
-        self._write_sidecar(self._cursor_path, self._cursors)
+    def _flush_cursors(self) -> dict[str, int]:
+        """Durably write the cursor sidecar and return the exact map
+        written. The file lock serializes writers AND places the
+        snapshot inside the critical section, so successive sidecar
+        contents are per-topic monotone — a later flush can never
+        rename an older cursor over a newer one (the group-commit
+        leader in _flush_cursors_covering flushes OUTSIDE the consume
+        lock, so unserialized writers could otherwise interleave)."""
+        with self._cursor_file_lock:
+            snap = dict(self._cursors)
+            self._write_sidecar(self._cursor_path, snap)
+            return snap
 
     # -- O7: scheduled sidecar durability --------------------------------
     def _write_sidecar(self, path: str, obj) -> None:
@@ -1594,6 +1614,38 @@ class WalrusLog:
             pend = 0
         self._unpersisted_reads[topic] = pend
 
+    def _flush_cursors_covering(self, topic: str, offset: int) -> None:
+        """Group commit for the consume plane: return once a DURABLE
+        cursor flush covers ``offset`` for ``topic`` — by leading one
+        flush, or by riding a concurrent leader's. The cursor map is
+        monotone, so one sidecar write covers every in-memory advance
+        that landed before the leader snapshotted — N concurrent
+        commit_cursor callers (the wire plane's multi-connection GET
+        path) pay ~one flush between them instead of N sequential
+        flushes on the consume lock (the write plane's _GroupCommitter
+        discipline; the reference batches its index fsyncs the same
+        way). Strictly-at-once is preserved: a reply waits here until
+        ITS offset is covered, and a crash loses only advances whose
+        replies never left."""
+        while True:
+            with self._cursor_flush_cv:
+                if self._flushed_cursors.get(topic, 0) >= offset:
+                    return
+                if self._cursor_flush_leader:
+                    self._cursor_flush_cv.wait(timeout=1.0)
+                    continue
+                self._cursor_flush_leader = True
+            snap: dict[str, int] = {}
+            try:
+                snap = self._flush_cursors()
+            finally:
+                with self._cursor_flush_cv:
+                    self._cursor_flush_leader = False
+                    for t, o in snap.items():
+                        if o > self._flushed_cursors.get(t, 0):
+                            self._flushed_cursors[t] = o
+                    self._cursor_flush_cv.notify_all()
+
     def cursor(self, topic: str) -> int:
         """The shared consume cursor (last consumed offset; 0 = nothing
         consumed). The read-side half of the peek-then-commit consumer
@@ -1617,13 +1669,39 @@ class WalrusLog:
         re-peek; the check+advance is atomic under the per-topic
         consume lock. Rewinds are refused (replay is what stateless
         ``start_offset`` reads are for) and offsets past the high
-        watermark are an error."""
+        watermark are an error.
+
+        Durability is GROUP-committed: the in-memory advance happens
+        under the consume lock (cheap), but the sidecar flush a
+        persist-now policy demands happens OUTSIDE it through
+        _flush_cursors_covering — concurrent committers (the wire
+        plane's multi-connection GET path) share one flush instead of
+        queueing N durable writes on the lock, which bounded the whole
+        plane at ~1/flush-latency (~140 GET/s) regardless of
+        connection count. The method still returns only after the
+        caller's own offset is durable — strictly-at-once unchanged."""
+        ok, need_flush = self.commit_cursor_deferred(topic, offset, expect)
+        if ok and need_flush:
+            self.flush_cursor_covering(topic, offset)
+        return ok
+
+    def commit_cursor_deferred(
+        self, topic: str, offset: int, expect: int | None = None
+    ) -> tuple[bool, bool]:
+        """The in-memory half of commit_cursor for CONCURRENT consumers
+        holding their own serialization (the wire read-ahead buffer):
+        validates + advances under the consume lock and returns
+        (ok, needs_flush) WITHOUT flushing. When needs_flush is True
+        the caller MUST call flush_cursor_covering(topic, offset)
+        before acting on the delivery (e.g. before a reply frame
+        leaves) — and should do so OUTSIDE its own lock so concurrent
+        deliveries share one group flush."""
         with self._consume_lock(topic):
             cur = self._cursors.get(topic, 0)
             if expect is not None and cur != expect:
-                return False
+                return False, False
             if offset <= cur:
-                return False
+                return False, False
             hw = self._hw.get(topic, 0)
             if offset > hw:
                 # The in-process _hw only tracks THIS instance's
@@ -1639,9 +1717,17 @@ class WalrusLog:
                     f"commit_cursor past high watermark: {offset} > {hw} "
                     f"for topic {topic!r}"
                 )
-            self._checkpoint_read(topic, offset, offset - cur)
+            self._cursors[topic] = offset
+            pend = self._unpersisted_reads.get(topic, 0) + (offset - cur)
+            need_flush = pend >= self.consistency.persist_every
+            self._unpersisted_reads[topic] = 0 if need_flush else pend
             self._consumer_lag[topic] = hw - offset
-            return True
+        return True, need_flush
+
+    def flush_cursor_covering(self, topic: str, offset: int) -> None:
+        """Public face of the group flush (see _flush_cursors_covering):
+        blocks until a durable cursor flush covers ``offset``."""
+        self._flush_cursors_covering(topic, offset)
 
     def _sidecar_hw(self, topic: str) -> int:
         """Re-read the topic's high watermark as another process sees

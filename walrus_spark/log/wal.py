@@ -1622,11 +1622,15 @@ class WalrusLog:
         that landed before the leader snapshotted — N concurrent
         commit_cursor callers (the wire plane's multi-connection GET
         path) pay ~one flush between them instead of N sequential
-        flushes on the consume lock (the write plane's _GroupCommitter
-        discipline; the reference batches its index fsyncs the same
-        way). Strictly-at-once is preserved: a reply waits here until
-        ITS offset is covered, and a crash loses only advances whose
-        replies never left."""
+        flushes on the consume lock — the write plane's
+        _GroupCommitter discipline applied to the read plane.
+        (Divergence from the reference, documented: its
+        strictly-at-once path fsyncs the index per consuming read,
+        walrus_read.rs:347-366 + index.rs:70-83; grouping concurrent
+        consumers' flushes keeps the same per-reply durability
+        guarantee while sharing the physical write.) Strictly-at-once
+        is preserved: a reply waits here until ITS offset is covered,
+        and a crash loses only advances whose replies never left."""
         while True:
             with self._cursor_flush_cv:
                 if self._flushed_cursors.get(topic, 0) >= offset:

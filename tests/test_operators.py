@@ -1613,7 +1613,19 @@ def test_index_delta_append_and_compaction(spark, tmp_path):
         for d in ds
         if "_delta_" in d
     ], man
-    assert vacuum_index(inc) >= 2  # the two delta postings/dl pairs
+    # default vacuum (retain 1 generation) keeps the previous
+    # snapshot's dirs — safe under live readers holding it
+    vacuum_index(inc)
+    prev_dirs = {
+        d
+        for ds in man["history"][0]["components"].values()
+        for d in ds
+    }
+    assert prev_dirs <= set(os.listdir(inc)), (
+        prev_dirs - set(os.listdir(inc))
+    )
+    # eager reap (retain 0, quiesced readers) removes the delta dirs
+    assert vacuum_index(inc, retain_generations=0) >= 2
     assert not [
         d for d in os.listdir(inc) if "_delta_" in d
     ], os.listdir(inc)
@@ -1723,6 +1735,146 @@ def test_index_tombstone_deletes(spark, tmp_path):
     assert sorted(remaining) == [0, 2, 4, 6, 7]  # bytes actually gone
 
 
+def test_phrase_search_positional_index(spark, tmp_path):
+    """phrase_search over the positional postings (r10): exact
+    adjacency semantics against a hand-checkable corpus — overlapping
+    matches count per start position, duplicate terms in a phrase bind
+    to distinct slots, order matters, absent phrases yield no rows,
+    tombstoned docs are suppressed, and the positions survive a
+    delta-append + compact cycle."""
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        build_inverted_index,
+        compact_index,
+        delete_docs,
+        phrase_search,
+    )
+
+    rows = {
+        0: "the cat sat on the mat",
+        1: "cat cat cat",                 # 'cat cat' at starts 0,1
+        2: "sat the cat",                  # 'the cat' once, order check
+        3: "on the on the on",             # 'on the on' at 0,2
+    }
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids, "text": [rows[i] for i in ids]})
+        )
+
+    idx = str(tmp_path / "phrase_idx")
+    build_inverted_index(df_of([0, 1, 2]), idx, partitions=2)
+
+    def got(phrases, path=idx):
+        return sorted(
+            map(tuple, phrase_search(spark, path, phrases).collect())
+        )
+
+    assert got([("p1", ["the", "cat"])]) == [
+        ("p1", 0, 1),
+        ("p1", 2, 1),
+    ]
+    # overlapping occurrences + duplicate-term slots
+    assert got([("p2", ["cat", "cat"])]) == [("p2", 1, 2)]
+    # order matters: 'cat the' only in doc 2? doc2 = sat the cat -> no
+    assert got([("p3", ["cat", "the"])]) == []
+    # multi-phrase batch + absent phrase
+    assert got(
+        [("p1", ["the", "cat"]), ("pz", ["zz", "absent"])]
+    ) == [("p1", 0, 1), ("p1", 2, 1)]
+    # three-term phrase across a delta append
+    append_index_delta(df_of([3]), idx, delta_id="d1")
+    assert got([("p4", ["on", "the", "on"])]) == [("p4", 3, 2)]
+    # tombstones suppress phrase hits; compaction preserves positions
+    delete_docs(spark, idx, [0])
+    assert got([("p1", ["the", "cat"])]) == [("p1", 2, 1)]
+    compact_index(spark, idx, partitions=2)
+    assert got([("p1", ["the", "cat"])]) == [("p1", 2, 1)]
+    assert got([("p4", ["on", "the", "on"])]) == [("p4", 3, 2)]
+
+
+def test_index_delta_id_reuse_raises(spark, tmp_path):
+    """Reusing a published delta_id must raise, not overwrite the live
+    manifest-referenced dir in place / double-count tf (r9 advisor
+    finding). A retry of an UNPUBLISHED (crashed) append succeeds."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        _read_manifest,
+        append_index_delta,
+        build_inverted_index,
+    )
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ids, "text": [f"hash w{i}" for i in ids]}
+            )
+        )
+
+    idx = str(tmp_path / "dup_idx")
+    build_inverted_index(df_of([0, 1]), idx, partitions=2)
+    append_index_delta(df_of([2, 3]), idx, delta_id="b1")
+    man1 = _read_manifest(idx)
+    with pytest.raises(ValueError, match="already"):
+        append_index_delta(df_of([4, 5]), idx, delta_id="b1")
+    # the failed call must not have touched the artifact
+    assert _read_manifest(idx) == man1
+    # crash-retry path: orphan dirs (written, never published) don't
+    # block the same delta_id
+    v = man1["version"] + 1
+    orphan = os.path.join(idx, f"postings_delta_b2_v{v}")
+    os.makedirs(orphan, exist_ok=True)
+    append_index_delta(df_of([4, 5]), idx, delta_id="b2")
+    man2 = _read_manifest(idx)
+    assert f"postings_delta_b2_v{v}" in man2["components"]["postings"]
+    shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_index_corrupt_manifest_raises(spark, tmp_path):
+    """A manifest that EXISTS but cannot be parsed must raise — the
+    old None fallback adopted the legacy layout and the next publish
+    reaped every real versioned dir (r9 advisor finding). Absence
+    still means legacy (None)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        MANIFEST,
+        _read_manifest,
+        bm25_topk_indexed,
+        build_inverted_index,
+        vacuum_index,
+    )
+
+    idx = str(tmp_path / "corrupt_idx")
+    build_inverted_index(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["hash a", "hash b"]})
+        ),
+        idx,
+        partitions=2,
+    )
+    with open(os.path.join(idx, MANIFEST), "w") as f:
+        f.write("{ torn json")
+    with pytest.raises(RuntimeError, match="corrupt"):
+        _read_manifest(idx)
+    with pytest.raises(RuntimeError):
+        bm25_topk_indexed(spark, idx, [("q1", "hash")]).collect()
+    with pytest.raises(RuntimeError):
+        vacuum_index(idx)
+    os.remove(os.path.join(idx, MANIFEST))
+    assert _read_manifest(idx) is None  # absence = legacy, not error
+
+
 def test_index_maintenance_racing_reader(spark, tmp_path):
     """r8 verdict finding #4: the old stats/compaction swap
     (rmtree-then-rename) had a window where a component dir was
@@ -1731,7 +1883,12 @@ def test_index_maintenance_racing_reader(spark, tmp_path):
     writer appends two deltas and compacts must see zero errors —
     every read resolves a complete snapshot (pre- or post-op), and
     component dirs survive one publish after leaving the manifest
-    (grace window), so the snapshot a reader holds stays on disk."""
+    (grace window), so the snapshot a reader holds stays on disk.
+
+    r10 extension (r9 verdict directive #5): the writer loop also runs
+    the DEFAULT retain-1 ``vacuum_index`` after every maintenance op —
+    reclamation must be exactly as reader-safe as the publish grace
+    window, with no quiescing."""
     import threading
 
     import pandas as pd
@@ -1741,6 +1898,7 @@ def test_index_maintenance_racing_reader(spark, tmp_path):
         bm25_topk_indexed,
         build_inverted_index,
         compact_index,
+        vacuum_index,
     )
 
     def df_of(lo, hi):
@@ -1791,10 +1949,13 @@ def test_index_maintenance_racing_reader(spark, tmp_path):
     try:
         wait_for_reads(1)
         append_index_delta(df_of(50, 80), idx, delta_id="d1")
+        vacuum_index(idx)  # retain-1 default: safe under the live reader
         wait_for_reads(len(n_docs_seen) + 1)
         append_index_delta(df_of(80, 110), idx, delta_id="d2")
+        vacuum_index(idx)
         wait_for_reads(len(n_docs_seen) + 1)
         compact_index(spark, idx, partitions=2)
+        vacuum_index(idx)
         wait_for_reads(len(n_docs_seen) + 1)
     finally:
         stop.set()

@@ -9,12 +9,16 @@ touches only the row groups holding its terms.
 
 Layout (``build_inverted_index``):
 
-  <path>/postings/     (term, doc_id, tf) — repartitionByRange(term)
-                       + sortWithinPartitions(term, doc_id), so
-                       parquet row-group min/max stats on `term` make
-                       an IN-list predicate prune to the few row
-                       groups containing the query's terms (verified:
+  <path>/postings/     (term, doc_id, tf, positions) —
+                       repartitionByRange(term) +
+                       sortWithinPartitions(term, doc_id), so parquet
+                       row-group min/max stats on `term` make an
+                       IN-list predicate prune to the few row groups
+                       containing the query's terms (verified:
                        PushedFilters In(term, [...]) in the scan).
+                       ``positions`` (sorted 0-based token offsets,
+                       schema generation pos1/r10) feeds phrase_search;
+                       BM25 readers column-prune it away.
   <path>/doc_lengths/  (doc_id, dl)
   <path>/stats/        1 row (N docs, S total tokens)
 
@@ -57,8 +61,11 @@ TOGETHER (the old _SUCCESS-scan scheme could pair new stats with old
 parts). Dirs stay on disk for one publish after they leave the
 manifest (grace window), so a reader holding the previous snapshot
 finishes cleanly; a reader that naps across TWO publishes is the
-documented limit (``vacuum_index`` reaps eagerly and requires
-quiesced readers, same contract as the log's vacuum). Writers are
+documented limit. ``vacuum_index`` (r10) reclaims under a
+retain-N-generations policy resolved from the manifest's bounded
+snapshot history — the default (retain 1) is exactly as safe as the
+publish grace window, so maintenance loops vacuum without quiescing
+readers; retain 0 is the eager quiesced-readers reap. Writers are
 single-writer per artifact (the log's writer-fence assumption).
 
 Ties to the reference: none (the reference stores opaque bytes) —
@@ -88,18 +95,37 @@ MANIFEST = "MANIFEST.json"
 _COMPONENTS = ("postings", "doc_lengths", "stats", "tombstones")
 _REQUIRED = ("postings", "doc_lengths", "stats")
 
+# Snapshot-history entries kept in the manifest (metadata only; the
+# cap bounds manifest size, not disk — dirs are reclaimed by the
+# publish-time grace reap and by vacuum_index's retain policy).
+HISTORY_KEEP = 8
+
 
 def _read_manifest(path: str) -> dict | None:
     """Load the current snapshot pointer, or None for pre-manifest /
     in-construction artifacts. os.replace publication means a reader
-    sees a complete old or complete new file, never a torn one."""
+    sees a complete old or complete new file, never a torn one.
+
+    Only ABSENCE maps to None (the legacy-layout fallback); a manifest
+    that exists but cannot be read or parsed RAISES. Silently adopting
+    the legacy layout on a corrupt/unreadable manifest would make the
+    next maintenance op 'discover' component dirs that don't exist in
+    plain form and then reap every real versioned dir at publish —
+    destroying the artifact (r9 advisor finding)."""
     import json
 
-    try:
-        with open(os.path.join(path, MANIFEST)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+    mpath = os.path.join(path, MANIFEST)
+    if not os.path.exists(mpath):
         return None
+    try:
+        with open(mpath) as f:
+            return json.load(f)
+    except (OSError, ValueError) as e:
+        raise RuntimeError(
+            f"index manifest at {mpath} exists but is unreadable/corrupt "
+            f"({type(e).__name__}: {e}); refusing to fall back to the "
+            "legacy layout — restore or remove the manifest explicitly"
+        ) from e
 
 
 def _publish_manifest(path: str, components: dict[str, list[str]]) -> None:
@@ -119,6 +145,14 @@ def _publish_manifest(path: str, components: dict[str, list[str]]) -> None:
         "grace": sorted(
             {d for ds in cur["components"].values() for d in ds}
         )
+        if cur
+        else [],
+        # bounded snapshot history (metadata only — a history entry's
+        # dirs may already be reaped): what retain-N vacuum resolves
+        "history": (
+            [{"version": cur["version"], "components": cur["components"]}]
+            + cur.get("history", [])
+        )[:HISTORY_KEEP]
         if cur
         else [],
     }
@@ -150,19 +184,30 @@ def _owned_dirs(path: str) -> list[str]:
     return sorted(out)
 
 
-def vacuum_index(path: str) -> int:
-    """Reap every component dir the CURRENT manifest does not
-    reference (grace dirs included) — disk reclamation for artifacts
-    that accumulated maintenance generations. Requires quiesced
-    readers (a reader still holding an older snapshot would lose its
-    dirs mid-read — the log vacuum's exact contract). Returns the
-    number of dirs removed."""
+def vacuum_index(path: str, retain_generations: int = 1) -> int:
+    """Reap component dirs not referenced by the current manifest nor
+    by the newest ``retain_generations`` snapshot-history entries —
+    disk reclamation for artifacts that accumulated maintenance
+    generations. Returns the number of dirs removed.
+
+    The DEFAULT (retain 1 generation) is safe under live readers that
+    hold at most the previous snapshot — the same guarantee the
+    publish-time grace window gives, so a maintenance loop can vacuum
+    between publishes without coordinating with its readers (r9
+    verdict directive #5: the old eager reap silently required
+    quiesced readers). ``retain_generations=0`` restores the eager
+    everything-but-current reap for operators that KNOW readers are
+    quiesced (the log vacuum's contract); larger values cover readers
+    pinned to older snapshots (e.g. a long eval job), bounded by the
+    manifest's HISTORY_KEEP."""
     import shutil
 
     man = _read_manifest(path)
     if man is None:
         return 0
     live = {d for ds in man["components"].values() for d in ds}
+    for gen in man.get("history", [])[: max(0, retain_generations)]:
+        live |= {d for ds in gen["components"].values() for d in ds}
     n = 0
     for d in _owned_dirs(path):
         if d not in live:
@@ -184,7 +229,9 @@ def index_cache_path(
     import tempfile
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    sig = [os.path.abspath(sf_dir), text_col, id_col]
+    # "pos1": artifact schema generation (positional postings, r10) —
+    # bumping it makes stale pre-positions cached artifacts MISS
+    sig = [os.path.abspath(sf_dir), text_col, id_col, "pos1"]
     try:
         if os.path.isdir(src):
             for f in sorted(os.listdir(src)):
@@ -302,13 +349,7 @@ def build_inverted_index(
     cur = _read_manifest(path)
     v = (cur["version"] + 1) if cur else 1
     pdir, ldir, sdir = (f"{c}_v{v}" for c in _REQUIRED)
-    w = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(tokens(F.col(text_col)), lambda x: x != "")
-        ).alias("term"),
-    )
-    postings = w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    postings = _tokenize_postings(docs, text_col, id_col)
     (
         postings.repartitionByRange(partitions, "term")
         .sortWithinPartitions("term", "doc_id")
@@ -330,6 +371,28 @@ def build_inverted_index(
     )
     _publish_manifest(
         path, {"postings": [pdir], "doc_lengths": [ldir], "stats": [sdir]}
+    )
+
+
+def _tokenize_postings(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The one tokenize scan both build and delta-append run:
+    (term, doc_id, tf, positions) where ``positions`` is the sorted
+    0-based token offsets of the term within the doc's empty-filtered
+    token sequence. tf == size(positions) by construction; it stays a
+    separate column so BM25 readers prune the (wider) positions column
+    out of the parquet scan entirely — positional postings cost the
+    phrase path, not the scoring path (r9 verdict directive #4)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+    return w.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
     )
 
 
@@ -373,7 +436,18 @@ def append_index_delta(
     matching stats into visibility together — a racing reader sees
     the pre-append snapshot or the post-append snapshot, never new
     stats over old parts. Callers guarantee delta doc_ids are
-    disjoint from the existing index (append-only contract)."""
+    disjoint from the existing index (append-only contract).
+
+    Delta dirs are VERSIONED (postings_delta_<id>_v<version>), and a
+    ``delta_id`` already present in the live manifest raises: an
+    unversioned name would let a reused id overwrite a live,
+    manifest-referenced dir in place (Spark's overwrite deletes the
+    dir before the manifest flips — breaking snapshot isolation) and
+    then double-count those docs' tf/df via a duplicate manifest
+    entry (r9 advisor finding). A RETRY of a crashed append (dirs
+    written, manifest never published) reuses the same versioned name
+    safely: the orphan dir is not manifest-referenced, and the
+    overwrite is exactly the recovery."""
     spark = docs_delta.sparkSession
     cur = _read_manifest(path)
     if cur is not None:
@@ -385,17 +459,23 @@ def append_index_delta(
             for c in _COMPONENTS
         }
         v = 1
-    w = docs_delta.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(tokens(F.col(text_col)), lambda x: x != "")
-        ).alias("term"),
-    )
-    pdir = f"postings_delta_{delta_id}"
-    ldir = f"doc_lengths_delta_{delta_id}"
+    dup = [
+        d
+        for d in comp["postings"]
+        if d == f"postings_delta_{delta_id}"
+        or d.startswith(f"postings_delta_{delta_id}_v")
+    ]
+    if dup:
+        raise ValueError(
+            f"append_index_delta: delta_id {delta_id!r} is already "
+            f"applied to this index ({dup[0]}); delta ids are "
+            "append-once — retry-after-crash is safe, but re-appending "
+            "a published delta needs a new id"
+        )
+    pdir = f"postings_delta_{delta_id}_v{v}"
+    ldir = f"doc_lengths_delta_{delta_id}_v{v}"
     (
-        w.groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
+        _tokenize_postings(docs_delta, text_col, id_col)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(path, pdir))
@@ -656,4 +736,80 @@ def bm25_topk_indexed(
         per.withColumn("rank", F.row_number().over(wnd))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrases: list[tuple[str, list[str]]],
+) -> DataFrame:
+    """Exact-phrase retrieval from the positional index: for each
+    (phrase_id, [t0, t1, ...]) return (phrase_id, doc_id,
+    n_occurrences) over docs containing the terms ADJACENT in order —
+    the decontamination-by-phrase / phrase-query primitive (r9 verdict
+    directive #4). Phrases whose terms never co-occur adjacently
+    produce no rows; n_occurrences counts every start position
+    (overlapping matches included: 'x x x' contains 'x x' twice).
+
+    Plan shape: the term restriction is an IN-list the parquet scan
+    prunes on (the term-sorted layout skips row groups without the
+    phrase's terms — same path as bm25_topk_indexed's literal
+    branch); the phrase table is a broadcast; adjacency verification
+    is pure relational algebra — each posting's positions shift by
+    the term's slot k (p − k), any start s covered by ALL m slots is
+    an occurrence — one explode + one countDistinct aggregate keyed
+    (phrase_id, doc_id, s), everything whole-stage codegen. Work is
+    O(matching postings), never corpus-sized, and no per-doc state
+    leaves the executors.
+
+    Requires a positional artifact (build_inverted_index has written
+    a ``positions`` column since schema generation pos1); raises on a
+    pre-positions artifact rather than failing mid-plan."""
+    rows = [
+        (pid, k, t) for pid, ts in phrases for k, t in enumerate(ts)
+    ]
+    if not rows:
+        raise ValueError("phrase_search: empty phrase list")
+    postings = spark.read.parquet(*_part_paths(path, "postings"))
+    if "positions" not in postings.columns:
+        raise RuntimeError(
+            f"phrase_search: index at {path} has no positional "
+            "postings (pre-pos1 artifact) — rebuild with "
+            "build_inverted_index"
+        )
+    tparts = _part_paths(path, "tombstones")
+    hits = postings.select("term", "doc_id", "positions")
+    if tparts:
+        tomb = spark.read.parquet(*tparts).select("doc_id")
+        hits = hits.join(tomb, "doc_id", "left_anti")
+    terms = sorted({t for _pid, _k, t in rows})
+    hits = hits.where(F.col("term").isin(terms))
+    qdf = spark.createDataFrame(
+        rows, "phrase_id string, k int, term string"
+    )
+    lens = spark.createDataFrame(
+        [(pid, len(ts)) for pid, ts in phrases], "phrase_id string, m int"
+    )
+    # candidate start positions: slot k matched at token p covers a
+    # phrase start at s = p − k; an occurrence at s needs all m slots
+    starts = hits.join(F.broadcast(qdf), "term").select(
+        "phrase_id",
+        "doc_id",
+        "k",
+        F.explode(
+            F.transform("positions", lambda p: p - F.col("k"))
+        ).alias("s"),
+    )
+    occ = (
+        starts.where(F.col("s") >= 0)
+        .groupBy("phrase_id", "doc_id", "s")
+        .agg(F.countDistinct("k").alias("nk"))
+        .join(F.broadcast(lens), "phrase_id")
+        .where(F.col("nk") == F.col("m"))
+    )
+    return (
+        occ.groupBy("phrase_id", "doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("phrase_id", "doc_id")
     )

@@ -1166,6 +1166,39 @@ _BM25D_QUERIES: list[tuple[str, str]] = [
     ("q10", "zz-absent-term2"),
 ]
 
+# Fixed phrase batch for the 'phrase' branch (r10) — exact-adjacency
+# retrieval served from the POSITIONAL postings of the same prebuilt
+# artifact the bm25i branch reads (operators/index.py:phrase_search).
+# The oracle recomputes adjacency from the raw corpus, so the branch
+# hash-proves the positional roundtrip: tokenize → positions →
+# artifact → slot-shifted intersection must equal direct recomputation
+# occurrence-for-occurrence. One 2-gram, one cross-word 2-gram, one
+# 3-gram, one absent phrase (must contribute zero rows).
+_PHRASE_QUERIES: list[tuple[str, list[str]]] = [
+    ("p1", ["table", "table"]),
+    ("p2", ["fast", "key"]),
+    ("p3", ["order", "scan", "stream"]),
+    ("p4", ["zz-absent-phrase", "term"]),
+]
+
+
+def _phrase_oracle_cte() -> str:
+    """DuckDB recomputation of every fixed phrase's per-doc occurrence
+    count: starts i ∈ [1, len-m+1], all m slots must match."""
+    parts = []
+    for pid, terms in _PHRASE_QUERIES:
+        m = len(terms)
+        cond = " AND ".join(
+            f"pa[i+{k}] = '{t}'" for k, t in enumerate(terms)
+        )
+        parts.append(
+            f"SELECT '{pid}' AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(pa) - {m} + 2), "
+            f"i -> {cond})) AS n FROM ptoks"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # The batch branch's per-(query, doc) contribution, with the EXACT
 # parenthesization bm25_batch_topk's Column expression builds — the
 # fixed-order-fold discipline (list_reduce over term-sorted
@@ -1277,6 +1310,13 @@ WITH w AS (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
     FROM perqd)
   WHERE rank <= {_BM25B_K}
+), ptoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS pa
+  FROM documents
+), ph AS (
+  {_phrase_oracle_cte()}
 )
 SELECT 'vocab' AS src, word, tf, df, CAST(NULL AS BIGINT) AS doc_id,
        CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS query_id,
@@ -1296,6 +1336,10 @@ UNION ALL
 SELECT 'bm25d', NULL, NULL, NULL, doc_id, score, query_id,
        CAST(rank AS BIGINT)
 FROM bm25d
+UNION ALL
+SELECT 'phrase', NULL, CAST(n AS BIGINT), NULL, doc_id,
+       CAST(NULL AS DOUBLE), query_id, NULL
+FROM ph WHERE n > 0
 ORDER BY src, word, query_id, rank, doc_id
 """
 
@@ -1342,6 +1386,16 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings + the post-append stats must equal a from-scratch build,
     double-for-double — the delta read path is hash-proven, not just
     pytest-pinned.
+
+    'phrase' rows (r10 — gates the positional-postings path per the
+    r9 directive) — exact-phrase occurrence counts for the fixed
+    batch _PHRASE_QUERIES, served from the SAME prebuilt artifact's
+    positions column (index.phrase_search: IN-pruned postings scan,
+    slot-shifted position intersection). tf carries the per-doc
+    occurrence count; the oracle recomputes adjacency from raw text,
+    so the positional roundtrip is hash-proven occurrence-for-
+    occurrence, including the decontamination-by-phrase shape (a
+    phrase absent from the corpus must contribute zero rows).
 
     Tokenization is shared: all corpus-scanning branches (vocab /
     bm25 / bm25b) read ONE session-cached tokenized frame
@@ -1451,11 +1505,26 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rank").cast("long").alias("rank"),
     )
+    from walrus_spark.operators.index import phrase_search
+
+    phrase = phrase_search(
+        spark, ensure_index(spark, sf_dir), _PHRASE_QUERIES
+    ).select(
+        F.lit("phrase").alias("src"),
+        _null_s.alias("word"),
+        F.col("n_occurrences").cast("long").alias("tf"),
+        _null_l.alias("df"),
+        "doc_id",
+        F.lit(None).cast("double").alias("score"),
+        F.col("phrase_id").alias("query_id"),
+        _null_l.alias("rank"),
+    )
     return (
         vocab.unionByName(bm25)
         .unionByName(bm25b)
         .unionByName(bm25i)
         .unionByName(bm25d)
+        .unionByName(phrase)
         .orderBy("src", "word", "query_id", "rank", "doc_id")
     )
 

@@ -42,14 +42,21 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     must be able to `import walrus_spark`. When the driver runs from
     the repo root that's free (inherited cwd); addPyFile makes it true
     from ANY cwd — e.g. an externally-created session in a different
-    working directory — by distributing a zip of the package once."""
-    for k, v in RUNTIME_CONFS.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            # static conf on this build — leave as-is
-            pass
+    working directory — by distributing a zip of the package once.
+
+    Applied ONCE per session (guarded by a context attribute): the
+    conf loop is ~11 Py4J round trips and load_table calls this on
+    every table open, so re-running it per entry is pure per-entry
+    floor (r9 verdict directive #1b)."""
     sc = spark.sparkContext
+    if not getattr(sc, "_walrus_confs_applied", False):
+        for k, v in RUNTIME_CONFS.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                # static conf on this build — leave as-is
+                pass
+        sc._walrus_confs_applied = True
     if not getattr(sc, "_walrus_pyfiles_shipped", False):
         try:
             import tempfile
@@ -104,6 +111,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     not call this while any live DataFrame you intend to reuse was
     pinned via localCheckpoint (the connected-components /
     sketch-register pattern); finish or re-derive those first."""
+    from walrus_spark.catalog import clear_table_handles
     from walrus_spark.operators.dedup import (
         clear_shared_positions,
         clear_shared_sets,
@@ -115,6 +123,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     clear_shared_positions()
     clear_shared_tokens()
     clear_sketch_frames()
+    clear_table_handles()
     if spark is not None:
         try:
             spark.catalog.clearCache()

@@ -113,6 +113,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     sketch-register pattern); finish or re-derive those first."""
     from walrus_spark.catalog import clear_table_handles
     from walrus_spark.operators.dedup import (
+        clear_shared_pairs,
         clear_shared_positions,
         clear_shared_sets,
     )
@@ -121,6 +122,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
 
     clear_shared_sets()
     clear_shared_positions()
+    clear_shared_pairs()
     clear_shared_tokens()
     clear_sketch_frames()
     clear_table_handles()

@@ -707,3 +707,90 @@ def test_stream_feeds_index_deltas(spark, tmp_path):
         spark, fresh, qs, k=10, ordered_sum=True).collect()))
     assert got == want
     log.close()
+
+
+def test_stream_fed_classifier_refresh(spark, tmp_path):
+    """Cross-plane classifier refresh (r10 — r9 verdict directive #6):
+    labeled docs appended to a log topic feed periodic refits through
+    consume_stream. Each refit must (a) pick up ONLY-newly-streamed
+    labels (consume-once across cycles) and (b) equal a batch fit on
+    the union of every batch delivered so far, to float tolerance
+    (per-doc sums are unordered map-side combines — the
+    fit_linear_classifier contract)."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from walrus_spark.operators.classifier import (
+        fit_linear_classifier,
+        linear_classifier_score,
+        refresh_classifier_from_log,
+    )
+
+    nb, n_iter, lr, l2 = 32, 20, 1.0, 0.01
+    batch1 = [
+        (i, f"useful informative content piece{i} detail", 1)
+        for i in range(8)
+    ] + [(8 + i, f"spam buy now spam offer{i % 3} spam", 0) for i in range(8)]
+    # batch 2 introduces a NEW discriminative token ('zorp') that only
+    # a refit which saw the streamed labels can learn
+    batch2 = [
+        (100 + i, f"zorp zorp useful extra{i}", 1) for i in range(6)
+    ] + [(110 + i, f"spam zilch offer{i}", 0) for i in range(6)]
+
+    def df_of(batches):
+        rows = [r for b in batches for r in b]
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "label": [r[2] for r in rows],
+                }
+            )
+        )
+
+    log = WalrusLog(spark, str(tmp_path / "clog"))
+    ckpt = str(tmp_path / "ckpt")
+    labels_dir = str(tmp_path / "labels")
+    kw = dict(n_buckets=nb, n_iter=n_iter, lr=lr, l2=l2)
+
+    for doc_id, text, label in batch1:
+        log.append(
+            "labels",
+            json.dumps(
+                {"doc_id": doc_id, "text": text, "label": label}
+            ).encode(),
+        )
+    w1, b1 = refresh_classifier_from_log(
+        spark, log, "labels", ckpt, labels_dir, **kw
+    )
+    wb1, bb1 = fit_linear_classifier(df_of([batch1]), **kw)
+    assert np.allclose(w1, wb1, rtol=1e-6, atol=1e-8)
+    assert abs(b1 - bb1) < 1e-8
+
+    for doc_id, text, label in batch2:
+        log.append(
+            "labels",
+            json.dumps(
+                {"doc_id": doc_id, "text": text, "label": label}
+            ).encode(),
+        )
+    w2, b2 = refresh_classifier_from_log(
+        spark, log, "labels", ckpt, labels_dir, **kw
+    )
+    # parity vs a batch fit on the UNION of both batches
+    wb2, bb2 = fit_linear_classifier(df_of([batch1, batch2]), **kw)
+    assert np.allclose(w2, wb2, rtol=1e-6, atol=1e-8)
+    assert abs(b2 - bb2) < 1e-8
+    # the refit demonstrably picked up the streamed-in signal: the new
+    # token's doc scores flip from ~neutral-or-negative under the
+    # cycle-1 model to confidently positive under cycle 2
+    probe = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["zorp zorp zorp"]})
+    )
+    s1 = linear_classifier_score(probe, w1, bias=b1).first()["score"]
+    s2 = linear_classifier_score(probe, w2, bias=b2).first()["score"]
+    assert s2 > 0.5 and s2 > s1
+    log.close()

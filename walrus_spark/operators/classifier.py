@@ -29,7 +29,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from walrus_spark.operators.text import tokens
+def tokens(col):  # lazy alias — see text.tokens
+    """Deferred import of text.tokens: text.py's module body calls
+    back into this module (the clf oracle weights), so a module-level
+    import here is circular whenever classifier imports first."""
+    from walrus_spark.operators.text import tokens as _tokens
+
+    return _tokens(col)
+
 
 N_BUCKETS = 4096
 
@@ -257,6 +264,67 @@ def fit_linear_classifier(
     finally:
         feats.unpersist()
     return w, bias
+
+
+def refresh_classifier_from_log(
+    spark,
+    log,
+    topic: str,
+    checkpoint_dir: str,
+    labels_dir: str,
+    n_buckets: int = N_BUCKETS,
+    n_iter: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Stream-fed periodic refit (r9 verdict directive #6): drain NEW
+    labeled documents from a log topic and refit the quality filter on
+    everything labeled so far — the live half of the "fit on labeled
+    sample, score at scale" loop, wired through the log plane the same
+    way the r8 stream→index-delta feed is.
+
+    Payload contract: each log entry on ``topic`` is a UTF-8 JSON
+    object {"doc_id": long, "text": str, "label": 0|1} (the labeling
+    service's append). One refresh cycle = one availableNow streaming
+    run against ``checkpoint_dir`` (consume-once: a doc delivered in
+    an earlier cycle is never re-delivered), whose batches parse
+    executor-side (from_json, no driver collect) and land APPEND-mode
+    in the ``labels_dir`` parquet — the accumulated labeled store —
+    followed by one ``fit_linear_classifier`` over the full store.
+    Refit N is therefore provably a batch fit on the union of every
+    batch delivered through cycle N (pytest-pinned parity), while each
+    cycle's streaming work is proportional to the NEW labels only.
+
+    At 100 TB scale the labeled store is sample-sized (labels are
+    expensive), so the full-store refit is the cheap step; the
+    consume-once cursor is what keeps a high-volume labeling topic
+    from re-parsing history every cycle."""
+    from walrus_spark.streaming import consume_stream
+
+    schema = "doc_id long, text string, label int"
+
+    def sink(batch_df, _batch_id) -> None:
+        parsed = batch_df.select(
+            F.from_json(
+                F.decode(F.col("value"), "UTF-8"), schema
+            ).alias("d")
+        ).select("d.*")
+        parsed.write.mode("append").parquet(labels_dir)
+
+    consume_stream(
+        spark, log, checkpoint_dir, sink, topic=topic
+    ).awaitTermination()
+    import os
+
+    if not os.path.exists(labels_dir):
+        raise ValueError(
+            f"refresh_classifier_from_log: no labeled docs ever "
+            f"delivered on topic {topic!r}"
+        )
+    labeled = spark.read.parquet(labels_dir)
+    return fit_linear_classifier(
+        labeled, n_buckets=n_buckets, n_iter=n_iter, lr=lr, l2=l2
+    )
 
 
 def make_demo_weights(n_buckets: int, seed: int = 0x5EED) -> list[float]:

@@ -7,6 +7,12 @@ steady bench JSON (bench.py output), and prints the ratio table sorted
 by Spark time. Entries without an oracle (rows-only) are skipped.
 
 Usage: python tools/perf_audit.py <bench_steady.json> [sf_dir]
+Env:   PERF_AUDIT_ORACLE_TIMEOUT (seconds, default none) — per-oracle
+       wall cap for derived-SF audits: some oracles are deliberately
+       brute-force restatements (all-pairs cosine, bucket-quadratic
+       Jaccard) that are fine at sf0.1 but explode quadratically at
+       sf1; a capped entry is reported as TIMEOUT and EXCLUDED from
+       both sides of the ratio (never counted as a win).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -45,16 +52,49 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    cap = float(os.environ.get("PERF_AUDIT_ORACLE_TIMEOUT", "0")) or None
+
+    def run_capped(sql: str) -> bool:
+        """Execute with an optional wall cap; True = completed."""
+        if cap is None:
+            con.execute(sql).fetchall()
+            return True
+        done = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(cap):
+                con.interrupt()
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            con.execute(sql).fetchall()
+            return True
+        except duckdb.InterruptException:
+            return False
+        finally:
+            done.set()
+            w.join()
+
     duck_t: dict[str, float] = {}
+    timed_out: list[str] = []
     for name, sql in sorted(ORACLES.items()):
         if sql is None:
             continue
-        con.execute(sql).fetchall()  # warm
+        if not run_capped(sql):  # warm
+            timed_out.append(name)
+            continue
         best = float("inf")
+        ok = True
         for _ in range(2):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            if not run_capped(sql):
+                ok = False
+                break
             best = min(best, time.perf_counter() - t0)
+        if not ok:
+            timed_out.append(name)
+            continue
         duck_t[name] = round(best, 3)
 
     rows = [
@@ -86,6 +126,11 @@ def main() -> None:
         f"Analytic subset ({len(rows) - len(HARNESS & set(duck_t))} entries): "
         f"Spark {ana_s:.1f} s, DuckDB {ana_d:.1f} s, {ana_s / ana_d:.2f}x"
     )
+    if timed_out:
+        print(
+            f"\nDuckDB oracle TIMEOUT (> {cap:.0f} s, excluded from "
+            f"BOTH sides): {', '.join(timed_out)}"
+        )
     print(
         json.dumps(
             {
@@ -93,6 +138,8 @@ def main() -> None:
                 "duckdb_total": round(tot_d, 2),
                 "ratio_all": round(tot_s / tot_d, 3),
                 "ratio_analytic": round(ana_s / ana_d, 3),
+                "sf_dir": sf_dir,
+                "oracle_timeouts": timed_out,
             }
         )
     )

@@ -41,6 +41,11 @@ DEFAULT_ENTRIES = [
     # the unbanded 3.1× driver-window mover
     "dedup_ngram_jaccard",
     "udx_median_split",
+    # r9 verdict #3: the similarity family had no bands when the
+    # driver window read sim_ann_ivf at 5.5x its steady value, and
+    # nothing committed could adjudicate host noise vs regression
+    "sim_ann_ivf",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -461,8 +461,18 @@ def _shared_pair_table(
     hit = _PAIR_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    # entering a new dataset/session: release every old pair table
-    clear_shared_pairs()
+    # release only STALE entries — another dataset or a dead session.
+    # (Same-dataset siblings must survive: the simhash entry stacks
+    # the jaccard and simhash tables, and clearing all on any miss
+    # would make the two memos mutually evict forever.)
+    dataset = key.rsplit("|", 1)[0]
+    for k, (s, df) in list(_PAIR_CACHE.items()):
+        if s is not spark or k.rsplit("|", 1)[0] != dataset:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+            del _PAIR_CACHE[k]
     df = build().cache()
     df.count()  # eager: materialize the verify stage now
     _PAIR_CACHE[key] = (spark, df)
@@ -500,6 +510,47 @@ def shared_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sets=shared_shingle_sets(spark, sf_dir),
         ),
     )
+
+
+def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(session, dataset) cached MinHash-LSH self-join pair
+    table at the default threshold — shared by dedup_minhash_lsh's
+    'all' branch and dedup_clusters' edge source (banding + exact
+    verify run once per session per dataset; the CC propagation then
+    iterates over a pair-workload-sized cached frame)."""
+    key = f"{os.path.abspath(sf_dir)}|minhash"
+    return _shared_pair_table(
+        spark,
+        key,
+        lambda: minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            JACCARD_THRESHOLD,
+            sets=shared_shingle_sets(spark, sf_dir),
+        ),
+    )
+
+
+def shared_minhash_cross_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-(session, dataset) cached INCREMENTAL-dedup pair table:
+    minhash_lsh_cross over the deterministic odd/even doc_id split
+    (odd = new batch, even = existing corpus) — the second signature
+    pipeline dedup_minhash_lsh's 'cross' branch was re-running per
+    execution after its 'all' branch moved to the memo."""
+    key = f"{os.path.abspath(sf_dir)}|minhash_cross"
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        sets = shared_shingle_sets(spark, sf_dir)
+        return minhash_lsh_cross(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            sets_new=sets.where(F.col("doc_id") % 2 == 1),
+            sets_corpus=sets.where(F.col("doc_id") % 2 == 0),
+        )
+
+    return _shared_pair_table(spark, key, build)
 
 
 def clear_shared_pairs() -> None:
@@ -879,24 +930,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross sides filter it — so the tokenize scan runs once for the
     whole entry AND is the same cache entry every other dedup entry in
     a gate run rides."""
-    docs = load_table(spark, sf_dir, "documents")
-    sets = shared_shingle_sets(spark, sf_dir)
-    all_pairs = minhash_lsh_pairs(docs, sets=sets).withColumn(
+    all_pairs = shared_minhash_pairs(spark, sf_dir).withColumn(
         "src", F.lit("all")
     )
-    cross = (
-        minhash_lsh_cross(
-            docs.where(F.col("doc_id") % 2 == 1),
-            docs.where(F.col("doc_id") % 2 == 0),
-            sets_new=sets.where(F.col("doc_id") % 2 == 1),
-            sets_corpus=sets.where(F.col("doc_id") % 2 == 0),
-        )
-        .select(
-            F.lit("cross").alias("src"),
-            F.col("doc_new").alias("doc_a"),
-            F.col("doc_corpus").alias("doc_b"),
-            "jaccard",
-        )
+    cross = shared_minhash_cross_pairs(spark, sf_dir).select(
+        F.lit("cross").alias("src"),
+        F.col("doc_new").alias("doc_a"),
+        F.col("doc_corpus").alias("doc_b"),
+        "jaccard",
     )
     return (
         all_pairs.select("src", "doc_a", "doc_b", "jaccard")
@@ -1700,11 +1741,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized by an earlier dedup entry, so this entry pays only the
     banding + verify + propagation — the r4 bench outlier (15.9 s vs a
     2.5 s steady capture) was this entry re-tokenizing and pinning a
-    second copy of the frame mid-run."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, JACCARD_THRESHOLD, sets=shared_shingle_sets(spark, sf_dir)
-    )
+    second copy of the frame mid-run. Since r10 the pair source itself
+    is the session-level MATERIALIZED minhash pair table
+    (shared_minhash_pairs, shared with dedup_minhash_lsh), so the
+    banding + verify also run once per (session, dataset) and the CC
+    iterations propagate over a cached pair-workload-sized frame."""
+    pairs = shared_minhash_pairs(spark, sf_dir)
     return (
         connected_components(pairs)
         .select(F.col("id"), F.col("component"))

@@ -396,6 +396,39 @@ def _tokenize_postings(
     )
 
 
+# Memoized component-read HANDLES per (session, path, component,
+# resolved dirs) — the catalog.load_table discipline applied to the
+# artifact: spark.read.parquet costs ~160 ms/call in driver-side
+# listing + footer resolution, and one bm25_topk_indexed call opens
+# three components (a pure per-query floor). Published versioned dirs
+# are WRITE-ONCE (maintenance always writes new dirs and flips the
+# manifest), so a handle keyed by the resolved dir list can never
+# serve stale data: any append/delete/compact changes the dir list
+# and misses. Bounded FIFO so long test sessions over many tmp
+# artifacts don't grow without bound.
+_COMP_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+_COMP_CACHE_MAX = 64
+
+
+def _read_component(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame | None:
+    """Read a component through the manifest snapshot with a memoized
+    handle. None when the component resolves to no dirs."""
+    parts = _part_paths(path, name)
+    if not parts:
+        return None
+    key = (os.path.abspath(path), name, tuple(parts))
+    hit = _COMP_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(*parts)
+    if len(_COMP_CACHE) >= _COMP_CACHE_MAX:
+        _COMP_CACHE.pop(next(iter(_COMP_CACHE)))
+    _COMP_CACHE[key] = (spark, df)
+    return df
+
+
 def _part_paths(path: str, name: str) -> list[str]:
     """Resolve a component's dirs through the manifest snapshot.
     Pre-manifest artifacts fall back to the legacy layout (plain base
@@ -656,17 +689,17 @@ def bm25_topk_indexed(
     without query terms are skipped entirely (the index point). A
     DataFrame of queries falls back to a broadcast semi-join (right
     when the query batch itself is too big to inline)."""
-    postings = spark.read.parquet(*_part_paths(path, "postings"))
-    dl = spark.read.parquet(*_part_paths(path, "doc_lengths"))
-    g = spark.read.parquet(*_part_paths(path, "stats"))
-    tparts = _part_paths(path, "tombstones")
-    if tparts:
+    postings = _read_component(spark, path, "postings")
+    dl = _read_component(spark, path, "doc_lengths")
+    g = _read_component(spark, path, "stats")
+    tombc = _read_component(spark, path, "tombstones")
+    if tombc is not None:
         # logical deletes: suppress tombstoned docs at read time (df /
         # dl / ranks all recompute from the suppressed stream, and
         # stats were rewritten at delete time, so the answer equals a
         # fresh build without those docs). Zero plan impact for
         # artifacts with no deletes — this branch doesn't exist.
-        tomb = spark.read.parquet(*tparts).select("doc_id")
+        tomb = tombc.select("doc_id")
         postings = postings.join(tomb, "doc_id", "left_anti")
         dl = dl.join(tomb, "doc_id", "left_anti")
 
@@ -771,18 +804,17 @@ def phrase_search(
     ]
     if not rows:
         raise ValueError("phrase_search: empty phrase list")
-    postings = spark.read.parquet(*_part_paths(path, "postings"))
+    postings = _read_component(spark, path, "postings")
     if "positions" not in postings.columns:
         raise RuntimeError(
             f"phrase_search: index at {path} has no positional "
             "postings (pre-pos1 artifact) — rebuild with "
             "build_inverted_index"
         )
-    tparts = _part_paths(path, "tombstones")
+    tombc = _read_component(spark, path, "tombstones")
     hits = postings.select("term", "doc_id", "positions")
-    if tparts:
-        tomb = spark.read.parquet(*tparts).select("doc_id")
-        hits = hits.join(tomb, "doc_id", "left_anti")
+    if tombc is not None:
+        hits = hits.join(tombc.select("doc_id"), "doc_id", "left_anti")
     terms = sorted({t for _pid, _k, t in rows})
     hits = hits.where(F.col("term").isin(terms))
     qdf = spark.createDataFrame(

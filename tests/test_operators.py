@@ -2221,3 +2221,29 @@ def test_ngram_lm_perplexity_matches_python_recompute(spark):
         ).collect()
     }
     assert out[1] < out[2]  # in-distribution beats out-of-distribution
+
+
+def test_load_table_memo_invalidation(spark, tmp_path):
+    """catalog.load_table memoizes table HANDLES (r10 — the per-entry
+    spark.read.parquet floor): same content must return the same
+    DataFrame object; an in-place rewrite (new mtime/size) must MISS
+    and serve the new data, never a stale plan."""
+    import pandas as pd
+
+    from walrus_spark.catalog import load_table
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    d1 = load_table(spark, sf, "documents")
+    d1b = load_table(spark, sf, "documents")
+    assert d1 is d1b  # memo hit: same handle, no re-resolution
+    assert d1.count() == 2
+
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    d2 = load_table(spark, sf, "documents")
+    assert d2 is not d1  # content signature changed -> miss
+    assert d2.count() == 3

@@ -141,10 +141,26 @@ def shared_cursor_stream(
 
       hydrate-once   — the sidecar cursor (WalIndex analog) is read ONCE
                        when the query starts (walrus_read.rs:62-92) and
-                       seeds the streaming state;
-      in-run cursor  — lives in Spark's checkpointed state store, keyed
-                       by topic (applyInPandasWithState): each micro-
-                       batch delivers only offsets past it, in order;
+                       seeds the run cursor;
+      in-run cursor  — a driver-held per-topic dict advanced inside
+                       foreachBatch. Spark runs foreachBatch serially
+                       per query, which is exactly the reference
+                       reader's single-threaded cursor discipline; each
+                       micro-batch delivers only offsets past the
+                       cursor via a broadcast anti-filter that runs
+                       ENTIRELY JVM-side. (Until r10 this tier was an
+                       applyInPandasWithState operator — semantically
+                       identical across this module's whole contract
+                       surface, since every consumer session starts a
+                       fresh checkpoint and cross-run position is the
+                       SIDECAR's job — but it shuffled every payload
+                       byte into a Python worker and back through
+                       Arrow/pandas just to compare an offset: the 1 GiB
+                       volume marathon spent most of its consume wall
+                       in that roundtrip, and at 100 TB it is precisely
+                       the move-the-data-to-the-control-plane
+                       anti-pattern. The cursor is bytes of metadata;
+                       the values now never leave the JVM.)
       persistence    — the sidecar is advanced through the log's
                        `_checkpoint_read` every `persist_every`
                        delivered entries (per the log's ReadConsistency)
@@ -159,39 +175,28 @@ def shared_cursor_stream(
     checkpoint), this cursor is ENGINE state: any number of consumer
     sessions, sequentially, share one position — the reference's shared
     per-topic cursor model."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    initial = dict(log._cursors)  # hydrate-once snapshot
+    run_cursor: dict[str, int] = {
+        str(t): int(c) for t, c in log._cursors.items()
+    }  # hydrate-once snapshot
     src = read_log_stream(spark, log, max_files_per_trigger)
     if topic:
         src = src.where(F.col("topic") == topic)
+    delivered = src.select("topic", "offset", "value")
 
-    def advance(key, pdfs, state):
-        cursor = (
-            int(state.get[0]) if state.exists else int(initial.get(key[0], 0))
-        )
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            pdf = pd.concat(frames)
-            pdf = pdf[pdf["offset"] > cursor].sort_values("offset")
-        else:
-            pdf = pd.DataFrame({"topic": [], "offset": [], "value": []})
-        if len(pdf):
-            state.update((int(pdf["offset"].max()),))
-            yield pdf[["topic", "offset", "value"]]
-        else:
-            state.update((cursor,))
-
-    delivered = src.groupBy("topic").applyInPandasWithState(
-        advance,
-        "topic string, offset long, value binary",
-        "cursor long",
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
-
-    def fb(batch_df: DataFrame, batch_id: int) -> None:
+    def fb(raw_df: DataFrame, batch_id: int) -> None:
+        # deliver only offsets past the per-topic run cursor: tiny
+        # cursor frame broadcast into a JVM-side filter (absent topic
+        # → cursor 0 → everything delivers; offsets are 1-based)
+        batch_df = raw_df
+        if run_cursor:
+            cdf = raw_df.sparkSession.createDataFrame(
+                list(run_cursor.items()), "topic string, cur long"
+            )
+            batch_df = (
+                raw_df.join(F.broadcast(cdf), "topic", "left")
+                .where(F.col("offset") > F.coalesce(F.col("cur"), F.lit(0)))
+                .drop("cur")
+            )
         batch_df = batch_df.persist()
         try:
             stats = (
@@ -214,6 +219,10 @@ def shared_cursor_stream(
                 log._consumer_lag[r["topic"]] = log.high_watermark(
                     r["topic"]
                 ) - int(r["hi"])
+                # in-run cursor advances only after the sink saw the
+                # batch — same crash window as the sidecar tier
+                t = str(r["topic"])
+                run_cursor[t] = max(run_cursor.get(t, 0), int(r["hi"]))
         finally:
             batch_df.unpersist()
 

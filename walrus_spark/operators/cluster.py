@@ -160,7 +160,14 @@ def kmeans_quantized(
     k smallest ids (the deterministic IVF-quantizer convention,
     similarity.py:136). Returns (final assignment DataFrame under the
     final means, [(cluster, size, mean_vector)])."""
-    q = quantize_vectors(emb, vec_col, id_col)
+    # CACHE the quantized working set: Lloyd reads it once per
+    # iteration plus init and the final assignment (iters+2 passes),
+    # and without the cache every pass re-scans the source and re-runs
+    # the quantize expressions — the textbook iterative-algorithm
+    # persist. Spark's cache manager is plan-keyed, so repeated fits
+    # over the same source share ONE storage entry;
+    # release_session_caches drains it between pipeline stages.
+    q = quantize_vectors(emb, vec_col, id_col).cache()
     # the k SMALLEST ids — not `vec_id < k`, which silently under-seeds
     # (or matches nothing) when ids are sparse or not 0-based. The init
     # collect doubles as the empty-input check and the dim source — no

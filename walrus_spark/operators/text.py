@@ -74,15 +74,54 @@ def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks
 
 
-def clear_shared_tokens() -> None:
-    """Unpersist and drop every memoized tokenized-documents frame
-    (entry-exit cleanup for tests and long-lived sessions)."""
-    for k, (_, df) in list(_TOKENS_CACHE.items()):
+# The EXPLODED sibling of shared_doc_tokens: one cached (doc_id, word)
+# token stream per (session, dataset), UNFILTERED (blank docs carry
+# their '' token exactly as tokens() yields). The r10 A/B: a
+# multi-branch entry whose branches each explode the cached token
+# ARRAY pays the explode per branch (~0.2 s each at sf0.1); branches
+# reading one cached exploded stream ran 3.77 → 3.11 s across
+# text_vocab's three corpus-scanning branches. Kept SEPARATE from
+# _TOKENS_CACHE (some consumers need the array form for HOFs); both
+# clear through clear_shared_tokens.
+_WORDS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def shared_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-dataset cached exploded (doc_id, word) token stream —
+    empty tokens INCLUDED; consumers that exclude them filter on top
+    (cheap against the cached stream)."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    hit = _WORDS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for k, (s, df) in list(_WORDS_CACHE.items()):
         try:
             df.unpersist()
-        except Exception:  # noqa: BLE001  # session already stopped
+        except Exception:  # noqa: BLE001
             pass
-        del _TOKENS_CACHE[k]
+        del _WORDS_CACHE[k]
+    w = (
+        shared_doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("ts").alias("word"))
+        .cache()
+    )
+    _WORDS_CACHE[key] = (spark, w)
+    return w
+
+
+def clear_shared_tokens() -> None:
+    """Unpersist and drop every memoized tokenized-documents frame
+    and exploded token stream (entry-exit cleanup for tests and
+    long-lived sessions)."""
+    for cache in (_TOKENS_CACHE, _WORDS_CACHE):
+        for k, (_, df) in list(cache.items()):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001  # session already stopped
+                pass
+            del cache[k]
 
 
 def _hits(ws: Column, words: tuple[str, ...]) -> Column:
@@ -1405,9 +1444,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-branch codegen; one cached frame removes both the duplicated
     work and most of the variance surface)."""
     d = load_table(spark, sf_dir, "documents")
-    w_all = shared_doc_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("ts").alias("word")
-    )
+    w_all = shared_doc_words(spark, sf_dir)
     w_ne = w_all.where(F.col("word") != "")
     _null_l = F.lit(None).cast("long")
     _null_s = F.lit(None).cast("string")

@@ -167,7 +167,19 @@ def kmeans_quantized(
     # persist. Spark's cache manager is plan-keyed, so repeated fits
     # over the same source share ONE storage entry;
     # release_session_caches drains it between pipeline stages.
-    q = quantize_vectors(emb, vec_col, id_col).cache()
+    # REPARTITION to the cluster's parallelism first: a single-file
+    # embeddings table scans as 1–2 input partitions, which makes
+    # every Lloyd pass a one-straggler-task stage (measured at derived
+    # sf1: 9 stages × ~1.5 s each, all wall in one task). The shuffle
+    # moves a few MB once; every subsequent pass then uses the full
+    # executor width — the partitioning-follows-iteration-count rule
+    # any at-scale k-means obeys.
+    spark = emb.sparkSession
+    q = (
+        quantize_vectors(emb, vec_col, id_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     # the k SMALLEST ids — not `vec_id < k`, which silently under-seeds
     # (or matches nothing) when ids are sparse or not 0-based. The init
     # collect doubles as the empty-input check and the dim source — no

@@ -1769,7 +1769,12 @@ def test_phrase_search_positional_index(spark, tmp_path):
 
     def got(phrases, path=idx):
         return sorted(
-            map(tuple, phrase_search(spark, path, phrases).collect())
+            map(
+                tuple,
+                phrase_search(spark, path, phrases)
+                .select("phrase_id", "doc_id", "n_occurrences")
+                .collect(),
+            )
         )
 
     assert got([("p1", ["the", "cat"])]) == [
@@ -1793,6 +1798,37 @@ def test_phrase_search_positional_index(spark, tmp_path):
     compact_index(spark, idx, partitions=2)
     assert got([("p1", ["the", "cat"])]) == [("p1", 2, 1)]
     assert got([("p4", ["on", "the", "on"])]) == [("p4", 3, 2)]
+
+    # match positions + snippet extraction (r10): every occurrence
+    # yields the context window around it, 0-based offsets over the
+    # empty-filtered token sequence, clamped at doc start
+    from walrus_spark.operators.index import phrase_snippets
+
+    starts = {
+        (r["phrase_id"], r["doc_id"]): list(r["match_starts"])
+        for r in phrase_search(
+            spark, idx, [("p2", ["cat", "cat"])]
+        ).collect()
+    }
+    assert starts == {("p2", 1): [0, 1]}
+    snips = sorted(
+        map(
+            tuple,
+            phrase_snippets(
+                spark,
+                idx,
+                df_of([1, 2, 3]),
+                [("p2", ["cat", "cat"]), ("p4", ["on", "the", "on"])],
+                context=1,
+            ).collect(),
+        )
+    )
+    assert snips == [
+        ("p2", 1, 0, "cat cat cat"),       # clamped at doc start
+        ("p2", 1, 1, "cat cat cat"),       # overlap: own window
+        ("p4", 3, 0, "on the on the"),
+        ("p4", 3, 2, "the on the on"),
+    ], snips
 
 
 def test_index_delta_id_reuse_raises(spark, tmp_path):

@@ -842,6 +842,66 @@ def phrase_search(
     )
     return (
         occ.groupBy("phrase_id", "doc_id")
-        .agg(F.count("*").alias("n_occurrences"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.sort_array(F.collect_list("s")).alias("match_starts"),
+        )
+        .select("phrase_id", "doc_id", "n_occurrences", "match_starts")
         .orderBy("phrase_id", "doc_id")
+    )
+
+
+def phrase_snippets(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    phrases: list[tuple[str, list[str]]],
+    context: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serving-side snippet extraction: for every phrase occurrence,
+    the surrounding token window — (phrase_id, doc_id, start,
+    snippet) where ``snippet`` is the ``context`` tokens either side
+    of the match, joined with spaces. The "show WHY it matched" half
+    of phrase retrieval (eval-contamination review, search UIs).
+
+    Plan shape: phrase_search finds (doc, start) pairs from the index
+    alone (IN-pruned postings); only MATCHING docs' text re-tokenizes
+    — the match table broadcasts into a semi-filtered scan, so the
+    corpus-sized side is touched once and only for hit docs. Token
+    offsets are 0-based over the empty-filtered token sequence,
+    matching the index build (_tokenize_postings) exactly; slices are
+    pure JVM array ops (slice + array_join), no Python."""
+    from walrus_spark.operators.text import tokens
+
+    matches = phrase_search(spark, path, phrases).select(
+        "phrase_id", "doc_id", F.explode("match_starts").alias("start")
+    )
+    lens = {pid: len(ts) for pid, ts in phrases}
+    mdf = matches.join(
+        F.broadcast(
+            spark.createDataFrame(
+                list(lens.items()), "phrase_id string, m int"
+            )
+        ),
+        "phrase_id",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("ts"),
+    ).join(mdf.select("doc_id").distinct(), "doc_id", "leftsemi")
+    lo = F.greatest(F.lit(0), F.col("start") - F.lit(context))
+    n = F.col("start") - lo + F.col("m") + F.lit(context)
+    return (
+        mdf.join(toks, "doc_id")
+        .select(
+            "phrase_id",
+            "doc_id",
+            "start",
+            F.array_join(
+                F.slice("ts", lo + F.lit(1), n), " "
+            ).alias("snippet"),
+        )
+        .orderBy("phrase_id", "doc_id", "start")
     )

@@ -1769,12 +1769,7 @@ def test_phrase_search_positional_index(spark, tmp_path):
 
     def got(phrases, path=idx):
         return sorted(
-            map(
-                tuple,
-                phrase_search(spark, path, phrases)
-                .select("phrase_id", "doc_id", "n_occurrences")
-                .collect(),
-            )
+            map(tuple, phrase_search(spark, path, phrases).collect())
         )
 
     assert got([("p1", ["the", "cat"])]) == [
@@ -1807,7 +1802,7 @@ def test_phrase_search_positional_index(spark, tmp_path):
     starts = {
         (r["phrase_id"], r["doc_id"]): list(r["match_starts"])
         for r in phrase_search(
-            spark, idx, [("p2", ["cat", "cat"])]
+            spark, idx, [("p2", ["cat", "cat"])], with_starts=True
         ).collect()
     }
     assert starts == {("p2", 1): [0, 1]}

@@ -776,6 +776,7 @@ def phrase_search(
     spark: SparkSession,
     path: str,
     phrases: list[tuple[str, list[str]]],
+    with_starts: bool = False,
 ) -> DataFrame:
     """Exact-phrase retrieval from the positional index: for each
     (phrase_id, [t0, t1, ...]) return (phrase_id, doc_id,
@@ -840,13 +841,21 @@ def phrase_search(
         .join(F.broadcast(lens), "phrase_id")
         .where(F.col("nk") == F.col("m"))
     )
-    return (
-        occ.groupBy("phrase_id", "doc_id")
-        .agg(
+    # ``with_starts`` adds the sorted occurrence offsets (the snippet
+    # path's input). OPT-IN: collect_list switches the aggregate to
+    # ObjectHashAggregate, measurably slower inside the text_vocab
+    # union (A/B: the gate entry read 6.2–7.6 s vs its 4.2–4.7 band
+    # with starts always on), and count-only callers shouldn't pay it.
+    if with_starts:
+        aggs = [
             F.count("*").alias("n_occurrences"),
             F.sort_array(F.collect_list("s")).alias("match_starts"),
-        )
-        .select("phrase_id", "doc_id", "n_occurrences", "match_starts")
+        ]
+    else:
+        aggs = [F.count("*").alias("n_occurrences")]
+    return (
+        occ.groupBy("phrase_id", "doc_id")
+        .agg(*aggs)
         .orderBy("phrase_id", "doc_id")
     )
 
@@ -875,7 +884,7 @@ def phrase_snippets(
     pure JVM array ops (slice + array_join), no Python."""
     from walrus_spark.operators.text import tokens
 
-    matches = phrase_search(spark, path, phrases).select(
+    matches = phrase_search(spark, path, phrases, with_starts=True).select(
         "phrase_id", "doc_id", F.explode("match_starts").alias("start")
     )
     lens = {pid: len(ts) for pid, ts in phrases}

@@ -2278,3 +2278,156 @@ def test_load_table_memo_invalidation(spark, tmp_path):
     d2 = load_table(spark, sf, "documents")
     assert d2 is not d1  # content signature changed -> miss
     assert d2.count() == 3
+
+
+def test_runtime_confs_applied_per_session(spark):
+    """apply_runtime_confs guards per SESSION, not per context (r10
+    advisor finding): the confs are per-session SQL confs, so a second
+    session sharing the SparkContext (spark.newSession()) must get
+    them applied too — a context-level guard silently skipped it,
+    breaking events.ts nanos parsing and UTC oracle semantics there."""
+    from walrus_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    # NOTE: no fresh.stop() — PySpark's session stop() would stop the
+    # SHARED SparkContext; the extra session state is just GC'd.
+    fresh = spark.newSession()
+    # newSession starts from builder defaults: the sentinel (and the
+    # UTC conf, unless the builder set it) must not leak over.
+    assert (
+        fresh.conf.get("spark.walrus.runtimeConfsApplied", None) != "true"
+    )
+    apply_runtime_confs(fresh)
+    assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert (
+        fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    )
+
+
+def test_index_delta_matches_legacy_base_schema(spark, tmp_path):
+    """r10 advisor finding: appending onto a PRE-POSITIONAL (pre-pos1)
+    base must write the delta in the base's schema generation so the
+    postings component stays uniform — a mixed component reads
+    footer-order dependently (silently missing phrase matches or
+    dropping delta positions at compact). Also pins the heal path:
+    append onto a pre-fix MIXED artifact raises; compact_index demotes
+    it to uniform pre-pos1 with BM25 answers intact."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        _postings_schema_gen,
+        _publish_manifest,
+        _read_manifest,
+        _tokenize_postings,
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        compact_index,
+        phrase_search,
+    )
+
+    def docs_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(ids),
+                    "text": [f"apple banana doc{i} apple" for i in ids],
+                }
+            )
+        )
+
+    # Transcribe a real build into a LEGACY pre-pos1 artifact: plain
+    # component dirs, no manifest, postings without positions — what
+    # an r9-era build_inverted_index left on disk.
+    tmpidx = str(tmp_path / "tmp_idx")
+    build_inverted_index(docs_of(range(0, 4)), tmpidx, partitions=2)
+    legacy = str(tmp_path / "legacy_idx")
+    man = _read_manifest(tmpidx)
+    for name, drop in (
+        ("postings", ["positions"]),
+        ("doc_lengths", []),
+        ("stats", []),
+    ):
+        df = spark.read.parquet(
+            *(os.path.join(tmpidx, d) for d in man["components"][name])
+        )
+        df.drop(*drop).write.mode("overwrite").parquet(
+            os.path.join(legacy, name)
+        )
+
+    append_index_delta(docs_of(range(4, 6)), legacy, "d1")
+    comp = _read_manifest(legacy)["components"]
+    assert _postings_schema_gen(legacy, comp["postings"]) == "pre"
+    # BM25 over the appended legacy artifact equals a fresh full build
+    full = str(tmp_path / "full_idx")
+    build_inverted_index(docs_of(range(0, 6)), full, partitions=2)
+    q = [("q0", "apple")]
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, legacy, q, k=10).collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, full, q, k=10).collect()
+    )
+    assert got == want
+    # phrase on a pre-pos1 artifact: the clean raise, never null-misses
+    with pytest.raises(RuntimeError, match="no positional"):
+        phrase_search(spark, legacy, [("p0", ["apple", "banana"])])
+
+    # Simulate the PRE-FIX bug: hand-publish a positional delta onto
+    # the pre-pos1 component (postings + doc_lengths + stats, exactly
+    # what the buggy append wrote).
+    bad_docs = docs_of(range(6, 8))
+    comp = {k: list(v) for k, v in _read_manifest(legacy)["components"].items()}
+    bad_p = _tokenize_postings(bad_docs, "text", "doc_id")
+    bad_p.write.mode("overwrite").parquet(
+        os.path.join(legacy, "postings_delta_bad_v99")
+    )
+    bad_p.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl")
+    ).write.mode("overwrite").parquet(
+        os.path.join(legacy, "doc_lengths_delta_bad_v99")
+    )
+    comp["postings"].append("postings_delta_bad_v99")
+    comp["doc_lengths"].append("doc_lengths_delta_bad_v99")
+    all_dl = spark.read.parquet(
+        *(os.path.join(legacy, d) for d in comp["doc_lengths"])
+    )
+    all_dl.agg(
+        F.count("*").alias("N"), F.sum("dl").alias("S")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(legacy, "stats_v99")
+    )
+    comp["stats"] = ["stats_v99"]
+    _publish_manifest(legacy, comp)
+    comp = _read_manifest(legacy)["components"]
+    assert _postings_schema_gen(legacy, comp["postings"]) == "mixed"
+
+    with pytest.raises(RuntimeError, match="mixes positional"):
+        append_index_delta(docs_of(range(8, 10)), legacy, "d2")
+
+    compact_index(spark, legacy, partitions=2)
+    comp = _read_manifest(legacy)["components"]
+    assert len(comp["postings"]) == 1
+    assert _postings_schema_gen(legacy, comp["postings"]) == "pre"
+    full8 = str(tmp_path / "full8_idx")
+    build_inverted_index(docs_of(range(0, 8)), full8, partitions=2)
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, legacy, q, k=10).collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, full8, q, k=10).collect()
+    )
+    assert got == want
+    # healed artifact accepts appends again, still uniform pre-pos1
+    append_index_delta(docs_of(range(8, 10)), legacy, "d2")
+    comp = _read_manifest(legacy)["components"]
+    assert _postings_schema_gen(legacy, comp["postings"]) == "pre"

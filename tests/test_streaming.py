@@ -793,4 +793,27 @@ def test_stream_fed_classifier_refresh(spark, tmp_path):
     s1 = linear_classifier_score(probe, w1, bias=b1).first()["score"]
     s2 = linear_classifier_score(probe, w2, bias=b2).first()["score"]
     assert s2 > 0.5 and s2 > s1
+
+    # Crash-redelivery idempotence (r10 advisor finding): simulate a
+    # crash between the labels-store write and the streaming
+    # checkpoint commit by deleting the newest commit marker — the
+    # next cycle re-delivers that batch under the SAME batch_id. The
+    # per-batch_id overwrite sink must absorb the replay: the store
+    # (and therefore the refit) is unchanged, no double-counted labels.
+    import os
+
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop's checksum sidecar blocks rename
+        os.remove(crc)
+    w3, b3 = refresh_classifier_from_log(
+        spark, log, "labels", ckpt, labels_dir, **kw
+    )
+    assert np.allclose(w3, w2, rtol=1e-6, atol=1e-8)
+    assert abs(b3 - b2) < 1e-8
     log.close()

@@ -299,29 +299,43 @@ def refresh_classifier_from_log(
     expensive), so the full-store refit is the cheap step; the
     consume-once cursor is what keeps a high-volume labeling topic
     from re-parsing history every cycle."""
+    import os
+
     from walrus_spark.streaming import consume_stream
 
     schema = "doc_id long, text string, label int"
 
-    def sink(batch_df, _batch_id) -> None:
+    def sink(batch_df, batch_id) -> None:
         parsed = batch_df.select(
             F.from_json(
                 F.decode(F.col("value"), "UTF-8"), schema
             ).alias("d")
         ).select("d.*")
-        parsed.write.mode("append").parquet(labels_dir)
+        # Idempotent per batch_id (r10 advisor finding): a plain
+        # append could land, then the process crash BEFORE the
+        # streaming checkpoint commits — the next cycle re-delivers
+        # the batch and a second append would double-count those
+        # labels in every refit forever. Batch ids are monotone per
+        # checkpoint and a re-delivered batch reuses ITS id, so an
+        # overwrite into a batch_id-named subdir makes the replay a
+        # harmless rewrite of the same rows.
+        parsed.write.mode("overwrite").parquet(
+            os.path.join(labels_dir, f"batch_id={int(batch_id)}")
+        )
 
     consume_stream(
         spark, log, checkpoint_dir, sink, topic=topic
     ).awaitTermination()
-    import os
 
     if not os.path.exists(labels_dir):
         raise ValueError(
             f"refresh_classifier_from_log: no labeled docs ever "
             f"delivered on topic {topic!r}"
         )
-    labeled = spark.read.parquet(labels_dir)
+    # batch_id= partition dirs read back via partition discovery (the
+    # column is dropped below); a pre-fix flat store (files directly
+    # under labels_dir) reads identically.
+    labeled = spark.read.parquet(labels_dir).drop("batch_id")
     return fit_linear_classifier(
         labeled, n_buckets=n_buckets, n_iter=n_iter, lr=lr, l2=l2
     )

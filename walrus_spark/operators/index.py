@@ -454,6 +454,45 @@ def _part_paths(path: str, name: str) -> list[str]:
     return committed or out[:1]
 
 
+def _postings_schema_gen(path: str, dirs: list[str]) -> str:
+    """Schema generation of a postings component: ``"pos1"`` (has the
+    ``positions`` column), ``"pre"`` (pre-positional, r9 and earlier),
+    or ``"mixed"``. Sniffs ONE parquet footer per dir via pyarrow —
+    metadata-only, no Spark job, maintenance-path cost.
+
+    Why this exists (r10 advisor finding): _tokenize_postings started
+    always writing positions in r10, so an append onto a pre-pos1 base
+    produced a MIXED-schema component, and a plain (non-mergeSchema)
+    parquet read of that mix resolves the schema footer-order
+    dependently — phrase_search could silently see positions=null for
+    base docs, or compact_index could silently drop the delta's
+    positions. Maintenance ops now keep every component schema-uniform
+    BY CONSTRUCTION: append writes the delta in the base's generation,
+    and compact heals a pre-fix mixed artifact by demoting it to
+    "pre" (positions cannot be re-derived without re-tokenizing, which
+    compaction never does — rebuild the index to regain phrase)."""
+    import pyarrow.parquet as pq
+
+    gens: set[bool] = set()
+    for d in dirs:
+        full = os.path.join(path, d)
+        try:
+            names = sorted(os.listdir(full))
+        except OSError:
+            continue
+        for f in names:
+            if f.endswith(".parquet"):
+                gens.add(
+                    "positions"
+                    in pq.read_schema(os.path.join(full, f)).names
+                )
+                break
+    if len(gens) > 1:
+        return "mixed"
+    # empty/unreadable component: current generation (fresh build path)
+    return ("pos1" if gens.pop() else "pre") if gens else "pos1"
+
+
 def append_index_delta(
     docs_delta: DataFrame,
     path: str,
@@ -505,11 +544,25 @@ def append_index_delta(
             "append-once — retry-after-crash is safe, but re-appending "
             "a published delta needs a new id"
         )
+    # Match the BASE's schema generation (r10 advisor finding — see
+    # _postings_schema_gen): a pre-pos1 base gets a pre-pos1 delta so
+    # the component stays uniform and phrase_search keeps raising its
+    # clean "no positions" error instead of silently missing matches.
+    gen = _postings_schema_gen(path, comp["postings"])
+    if gen == "mixed":
+        raise RuntimeError(
+            f"append_index_delta: postings component at {path} mixes "
+            "positional (pos1) and pre-positional schemas — a pre-fix "
+            "append corrupted it; run compact_index (which demotes the "
+            "fold to pre-pos1) or rebuild the index, then retry"
+        )
     pdir = f"postings_delta_{delta_id}_v{v}"
     ldir = f"doc_lengths_delta_{delta_id}_v{v}"
+    delta_postings = _tokenize_postings(docs_delta, text_col, id_col)
+    if gen == "pre":
+        delta_postings = delta_postings.drop("positions")
     (
-        _tokenize_postings(docs_delta, text_col, id_col)
-        .sortWithinPartitions("term", "doc_id")
+        delta_postings.sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(path, pdir))
     )
@@ -650,9 +703,24 @@ def compact_index(
         parts = comp[name]
         if len(parts) == 1 and tomb is None:
             continue
-        merged = spark.read.parquet(
+        # A pre-fix append could leave postings MIXED (pre-pos1 base +
+        # positional deltas); a plain read of that mix is footer-order
+        # dependent (r10 advisor finding). Heal deterministically:
+        # mergeSchema the read, then DROP positions — the fold demotes
+        # to uniform pre-pos1 (re-deriving base positions would need a
+        # re-tokenize, which compaction never does; rebuild for phrase).
+        mixed = (
+            name == "postings"
+            and _postings_schema_gen(path, parts) == "mixed"
+        )
+        reader = spark.read
+        if mixed:
+            reader = reader.option("mergeSchema", "true")
+        merged = reader.parquet(
             *(os.path.join(path, d) for d in parts)
         )
+        if mixed:
+            merged = merged.drop("positions")
         if tomb is not None:  # apply tombstones physically
             merged = merged.join(tomb, "doc_id", "left_anti")
         if name == "postings":

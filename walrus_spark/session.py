@@ -44,19 +44,26 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     from ANY cwd — e.g. an externally-created session in a different
     working directory — by distributing a zip of the package once.
 
-    Applied ONCE per session (guarded by a context attribute): the
-    conf loop is ~11 Py4J round trips and load_table calls this on
-    every table open, so re-running it per entry is pure per-entry
-    floor (r9 verdict directive #1b)."""
+    Applied ONCE per SESSION: the conf loop is ~11 Py4J round trips
+    and load_table calls this on every table open, so re-running it
+    per entry is pure per-entry floor (r9 verdict directive #1b). The
+    guard is a sentinel SQL conf on the session itself — NOT a
+    SparkContext attribute (r10 advisor finding: these are per-session
+    SQL confs, and a context-level guard silently skipped every second
+    session sharing the context, e.g. spark.newSession(), breaking
+    events.ts nanos parsing and UTC oracle semantics there). The
+    sentinel travels exactly with what it guards: a cloned session
+    inherits the confs AND the sentinel; a fresh newSession() starts
+    from builder defaults and inherits neither, so it re-applies."""
     sc = spark.sparkContext
-    if not getattr(sc, "_walrus_confs_applied", False):
+    if spark.conf.get("spark.walrus.runtimeConfsApplied", None) != "true":
         for k, v in RUNTIME_CONFS.items():
             try:
                 spark.conf.set(k, v)
             except Exception:
                 # static conf on this build — leave as-is
                 pass
-        sc._walrus_confs_applied = True
+        spark.conf.set("spark.walrus.runtimeConfsApplied", "true")
     if not getattr(sc, "_walrus_pyfiles_shipped", False):
         try:
             import tempfile

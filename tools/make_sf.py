@@ -16,7 +16,9 @@ exactly K x with the source's distributions intact:
     would manufacture C(10,2) artificial near-dup pairs per source
     doc, a workload shape the source SF doesn't have).
   * embeddings: replica k's vectors are the source vectors ROLLED by
-    k*7+1 dimensions — norms (and so per-vector work) are preserved,
+    1 + (k*7) % 63 dimensions (never 0 mod the 64-dim vectors, so no
+    replica aliases replica 0) — norms (and so per-vector work) are
+    preserved,
     cross-replica cosine similarity decays to the random baseline, so
     the >=0.4-threshold pair workload also scales ~K x.
   * events: event_id/user_id shift per replica (each replica is an
@@ -124,7 +126,14 @@ def main() -> None:
                         f"'\\1~{k}', 'g')) AS n_chars"
                     )
                 elif t == "embeddings" and c == "embedding" and k > 0:
-                    r = (k * 7 + 1) % 64
+                    # roll in 1..63, NEVER 0 mod the vector dim: the
+                    # old (k*7+1)%64 hit 0 at k=9, making the last
+                    # replica's vectors IDENTICAL to replica 0's —
+                    # one manufactured exact-duplicate (cosine 1.0)
+                    # cross-replica pair per source vector, violating
+                    # the decays-to-baseline invariant above (r10
+                    # advisor finding)
+                    r = 1 + (k * 7) % 63
                     sel.append(
                         f"(embedding[{r + 1}:] || embedding[1:{r}])"
                         f" AS embedding"

@@ -2431,3 +2431,214 @@ def test_index_delta_matches_legacy_base_schema(spark, tmp_path):
     append_index_delta(docs_of(range(8, 10)), legacy, "d2")
     comp = _read_manifest(legacy)["components"]
     assert _postings_schema_gen(legacy, comp["postings"]) == "pre"
+
+
+def test_index_time_travel(spark, tmp_path):
+    """at_version reads (r11): a query against snapshot N answers
+    exactly as a reader holding snapshot N's manifest did — after an
+    append AND after a delete (historic stats/tombstones included).
+    Unknown versions and reclaimed snapshots raise precisely."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        delete_docs,
+        index_snapshots,
+        set_index_retention,
+        vacuum_index,
+    )
+
+    def docs_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(ids),
+                    "text": [f"apple pear doc{i} apple" for i in ids],
+                }
+            )
+        )
+
+    idx = str(tmp_path / "idx")
+    build_inverted_index(docs_of(range(0, 4)), idx, partitions=2)  # v1
+    set_index_retention(idx, 3)                                    # v2
+    append_index_delta(docs_of(range(4, 6)), idx, "d1")            # v3
+    delete_docs(spark, idx, [0, 5])                                # v4
+
+    snaps = index_snapshots(idx)
+    assert [s["version"] for s in snaps] == [4, 3, 2, 1]
+    assert snaps[0]["current"] and all(s["resolvable"] for s in snaps)
+
+    q = [("q0", "apple")]
+
+    def answer(**kw):
+        return sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_indexed(spark, idx, q, k=10, **kw).collect()
+        )
+
+    # v1 (and v2, the retention bump) == a fresh build of the base docs
+    ref1 = str(tmp_path / "ref1")
+    build_inverted_index(docs_of(range(0, 4)), ref1, partitions=2)
+    want1 = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, ref1, q, k=10).collect()
+    )
+    assert answer(at_version=1) == want1
+    assert answer(at_version=2) == want1
+    # v3 == base + delta, pre-delete
+    ref2 = str(tmp_path / "ref2")
+    build_inverted_index(docs_of(range(0, 6)), ref2, partitions=2)
+    assert answer(at_version=3) == sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, ref2, q, k=10).collect()
+    )
+    # current == v4 == post-delete; explicit and implicit agree
+    assert answer(at_version=4) == answer()
+    assert {d for d, _ in answer()} == {1, 2, 3, 4}
+
+    with pytest.raises(ValueError, match="no snapshot v9"):
+        answer(at_version=9)
+
+    # an eager vacuum must NOT expire what the policy promised: the
+    # retention floor (3) overrides retain_generations=0
+    assert vacuum_index(idx, retain_generations=0) == 0
+    assert answer(at_version=1) == want1
+
+    # dropping the policy to 0 (itself a publish, v5) reaps beyond the
+    # grace window: v1 stops resolving with the precise error; the
+    # current snapshot still serves
+    set_index_retention(idx, 0)
+    snaps = {s["version"]: s["resolvable"] for s in index_snapshots(idx)}
+    assert snaps[5] and snaps[4] and not snaps[1]
+    with pytest.raises(ValueError, match="no longer resolvable"):
+        answer(at_version=1)
+    assert {d for d, _ in answer(at_version=4)} == {1, 2, 3, 4}
+
+
+def test_semantic_dedup_matches_numpy_recompute(spark):
+    """semantic_dedup (r11, SemDeDup-style): kept/dropped verdicts
+    equal a brute-force numpy recompute of the same rule — within the
+    SAME fitted cluster, a vector drops iff some smaller-id cluster
+    mate has cosine >= threshold. Exact duplicates in one cluster keep
+    only the smallest id; near-dups split across clusters are NOT
+    dropped (the documented recall trade of cluster-scoped pruning)."""
+    import numpy as np
+    import pandas as pd
+
+    from walrus_spark.operators.cluster import kmeans_quantized
+    from walrus_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    # three exact duplicates of row 0 and one near-dup of row 5
+    base[11] = base[0]
+    base[23] = base[0]
+    base[17] = base[5] + 0.01 * rng.randn(8)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [
+                    [float(x) for x in row] for row in base
+                ],
+            }
+        )
+    )
+    th = 0.9
+    assigned, _ = kmeans_quantized(emb)
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(spark, emb, threshold=th).collect()
+    }
+    assert set(got) == set(range(40))
+
+    # numpy oracle over the SAME clusters
+    clusters = {
+        r["vec_id"]: r["cluster"] for r in assigned.collect()
+    }
+    E = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for i in range(40):
+        drop = any(
+            j < i
+            and clusters[j] == clusters[i]
+            and float(E[j] @ E[i]) >= th
+            for j in range(40)
+        )
+        assert got[i] == (clusters[i], not drop), f"vec {i}"
+    # sanity on the constructed structure: the duplicate family keeps
+    # exactly its smallest same-cluster representative
+    fam = [i for i in (0, 11, 23) if clusters[i] == clusters[0]]
+    assert got[fam[0]][1] and all(not got[i][1] for i in fam[1:])
+
+
+def test_ivf_batch_topk_and_recall(spark):
+    """ivf_batch_topk (r11): the batched serving path must return, per
+    query, exactly what the single-query ivf_topk returns; recall@k is
+    1.0 whenever the true top-k lies inside the probed clusters and in
+    [0,1] always, with the exact side equal to cosine_topk."""
+    import numpy as np
+    import pandas as pd
+
+    from walrus_spark.operators.similarity import (
+        ann_recall_at_k,
+        cosine_topk,
+        ivf_batch_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 8)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(60),
+                "embedding": [[float(x) for x in r] for r in base],
+            }
+        )
+    )
+    qids = [1, 7, 42]
+    batch = ivf_batch_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_vec_id"], []).append(
+            (r["rank"], r["vec_id"])
+        )
+    for q in qids:
+        single = [
+            r["vec_id"]
+            for r in ivf_topk(
+                emb, q, k=5, n_centroids=8, n_probe=3
+            ).collect()
+        ]
+        assert [v for _, v in sorted(got[q])] == single, f"query {q}"
+
+    rec = {
+        r["query_vec_id"]: r["recall"]
+        for r in ann_recall_at_k(
+            emb, qids, k=5, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    assert set(rec) == set(qids)
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # full-probe IVF degenerates to exact search -> recall 1 everywhere
+    rec_full = {
+        r["query_vec_id"]: r["recall"]
+        for r in ann_recall_at_k(
+            emb, qids, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert all(v == 1.0 for v in rec_full.values())
+    # and the exact side really is cosine_topk: spot-check via recall
+    # of "approx == exact" by construction above; also direct compare
+    exact_ids = [r["vec_id"] for r in cosine_topk(emb, 7, k=5).collect()]
+    batch_full = ivf_batch_topk(
+        emb, [7], k=5, n_centroids=8, n_probe=8
+    ).collect()
+    assert [r["vec_id"] for r in sorted(batch_full, key=lambda r: r["rank"])] == exact_ids

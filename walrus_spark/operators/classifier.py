@@ -332,10 +332,14 @@ def refresh_classifier_from_log(
             f"refresh_classifier_from_log: no labeled docs ever "
             f"delivered on topic {topic!r}"
         )
-    # batch_id= partition dirs read back via partition discovery (the
-    # column is dropped below); a pre-fix flat store (files directly
-    # under labels_dir) reads identically.
-    labeled = spark.read.parquet(labels_dir).drop("batch_id")
+    # recursiveFileLookup reads every parquet file at any depth and
+    # DISABLES partition discovery (no synthetic batch_id column), so
+    # batch-subdir stores, pre-fix flat stores, and mixed upgrades all
+    # read uniformly — plain partition discovery would error on the
+    # mixed layout ("conflicting directory structures").
+    labeled = spark.read.option("recursiveFileLookup", "true").parquet(
+        labels_dir
+    )
     return fit_linear_classifier(
         labeled, n_buckets=n_buckets, n_iter=n_iter, lr=lr, l2=l2
     )

@@ -68,6 +68,15 @@ publish grace window, so maintenance loops vacuum without quiescing
 readers; retain 0 is the eager quiesced-readers reap. Writers are
 single-writer per artifact (the log's writer-fence assumption).
 
+Time travel (r11): queries take ``at_version`` and answer from that
+snapshot exactly as a reader holding its manifest saw it (historic
+stats/tombstones included) — the eval-reproducibility path.
+``index_snapshots`` lists which versions are still resolvable.
+Appends/deletes only churn the small stats/tombstones dirs (the data
+dirs stay referenced by the current snapshot), so recent history
+stays readable until a compact folds the data dirs or vacuum reaps —
+the Iceberg snapshot-expiry trade, surfaced with precise errors.
+
 Ties to the reference: none (the reference stores opaque bytes) —
 north-star LLM-pipeline scope (SURVEY.md §2.5), the
 retrieval-decontamination / eval-retrieval serving path.
@@ -128,27 +137,40 @@ def _read_manifest(path: str) -> dict | None:
         ) from e
 
 
-def _publish_manifest(path: str, components: dict[str, list[str]]) -> None:
+def _publish_manifest(
+    path: str,
+    components: dict[str, list[str]],
+    retention: int | None = None,
+) -> None:
     """Atomically publish a new snapshot: write the manifest aside,
     os.replace it into place, then reap component dirs referenced by
-    NEITHER the new snapshot nor the one it replaced (the one-publish
+    NEITHER the new snapshot, the one it replaced (the one-publish
     grace window that lets an in-flight reader of the previous
-    snapshot finish)."""
+    snapshot finish), NOR the newest ``retention`` history generations
+    (the artifact's snapshot-retention policy, r11 — what makes
+    ``at_version`` time travel durable past one publish; default 0 =
+    grace window only, the disk-lean r9/r10 behavior, unchanged).
+    ``retention`` here overrides the stored policy for THIS publish
+    (set_index_retention's hook); None carries the policy forward."""
     import json
     import shutil
 
     cur = _read_manifest(path)
+    if retention is None:
+        retention = int(cur.get("retention", 0)) if cur else 0
     man = {
         "version": (cur["version"] + 1) if cur else 1,
         "components": components,
+        "retention": int(retention),
         # previous snapshot's dirs, kept on disk this publish
         "grace": sorted(
             {d for ds in cur["components"].values() for d in ds}
         )
         if cur
         else [],
-        # bounded snapshot history (metadata only — a history entry's
-        # dirs may already be reaped): what retain-N vacuum resolves
+        # bounded snapshot history (metadata only past the retention
+        # horizon — an expired entry's dirs may already be reaped):
+        # what retain-N vacuum and at_version reads resolve
         "history": (
             [{"version": cur["version"], "components": cur["components"]}]
             + cur.get("history", [])
@@ -163,9 +185,32 @@ def _publish_manifest(path: str, components: dict[str, list[str]]) -> None:
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, MANIFEST))
     live = {d for ds in components.values() for d in ds} | set(man["grace"])
+    for gen in man["history"][: max(0, int(retention))]:
+        live |= {d for ds in gen["components"].values() for d in ds}
     for d in _owned_dirs(path):
         if d not in live:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def set_index_retention(path: str, generations: int) -> None:
+    """Set the artifact's snapshot-retention policy (the Iceberg
+    expire-snapshots knob): publishes keep the newest ``generations``
+    history generations' dirs on disk, so ``at_version`` reads stay
+    resolvable that deep (bounded by HISTORY_KEEP). 0 restores the
+    disk-lean default (one-publish grace only). The policy change is
+    itself a publish — readers see it atomically, and vacuum_index
+    honors the policy as a floor."""
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"index at {path} is pre-manifest (legacy layout) — build "
+            "or adopt it via a maintenance op first"
+        )
+    _publish_manifest(
+        path,
+        {k: list(v) for k, v in man["components"].items()},
+        retention=int(generations),
+    )
 
 
 def _owned_dirs(path: str) -> list[str]:
@@ -205,8 +250,13 @@ def vacuum_index(path: str, retain_generations: int = 1) -> int:
     man = _read_manifest(path)
     if man is None:
         return 0
+    # the artifact's retention POLICY (set_index_retention) is a floor:
+    # a default-args vacuum must never expire snapshots the policy
+    # promised time-travel readers; eager reaping under a policy is an
+    # explicit act — set the policy to 0 first.
+    retain = max(retain_generations, int(man.get("retention", 0)))
     live = {d for ds in man["components"].values() for d in ds}
-    for gen in man.get("history", [])[: max(0, retain_generations)]:
+    for gen in man.get("history", [])[: max(0, retain)]:
         live |= {d for ds in gen["components"].values() for d in ds}
     n = 0
     for d in _owned_dirs(path):
@@ -411,11 +461,19 @@ _COMP_CACHE_MAX = 64
 
 
 def _read_component(
-    spark: SparkSession, path: str, name: str
+    spark: SparkSession,
+    path: str,
+    name: str,
+    at_version: int | None = None,
 ) -> DataFrame | None:
-    """Read a component through the manifest snapshot with a memoized
-    handle. None when the component resolves to no dirs."""
-    parts = _part_paths(path, name)
+    """Read a component through the manifest snapshot (or, with
+    ``at_version``, through a historical snapshot — time travel) with
+    a memoized handle. None when the component resolves to no dirs."""
+    if at_version is not None:
+        comps = _components_at(path, at_version)
+        parts = [os.path.join(path, d) for d in comps.get(name, [])]
+    else:
+        parts = _part_paths(path, name)
     if not parts:
         return None
     key = (os.path.abspath(path), name, tuple(parts))
@@ -427,6 +485,83 @@ def _read_component(
         _COMP_CACHE.pop(next(iter(_COMP_CACHE)))
     _COMP_CACHE[key] = (spark, df)
     return df
+
+
+def _components_at(path: str, version: int) -> dict[str, list[str]]:
+    """Resolve the component map of snapshot ``version`` — the current
+    manifest or a bounded-history entry — verifying every referenced
+    dir is still on disk. Raises with a precise reason when the
+    snapshot is unknown (never published / older than HISTORY_KEEP) or
+    no longer resolvable (its churned dirs left the grace window or
+    were vacuumed). Time-travel depth in practice: appends and deletes
+    only churn the small stats/tombstones dirs (the data dirs stay
+    referenced by the CURRENT snapshot), so recent history stays
+    readable until a compact folds the data dirs or a vacuum reaps —
+    the Iceberg snapshot-expiry trade, stated rather than hidden."""
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"index at {path} is pre-manifest (legacy layout) — no "
+            "snapshot history to time-travel"
+        )
+    comps = None
+    if man["version"] == version:
+        comps = man["components"]
+    else:
+        for gen in man.get("history", []):
+            if gen["version"] == version:
+                comps = gen["components"]
+                break
+    if comps is None:
+        known = [man["version"]] + [
+            g["version"] for g in man.get("history", [])
+        ]
+        raise ValueError(
+            f"index at {path} has no snapshot v{version} (known: "
+            f"{sorted(known)} — history is bounded at {HISTORY_KEEP} "
+            "generations)"
+        )
+    missing = [
+        d
+        for ds in comps.values()
+        for d in ds
+        if not os.path.isdir(os.path.join(path, d))
+    ]
+    if missing:
+        raise ValueError(
+            f"index snapshot v{version} at {path} is no longer "
+            f"resolvable: dirs {missing} were reclaimed (publish grace "
+            "window or vacuum_index) — raise vacuum retention to keep "
+            "older snapshots readable"
+        )
+    return comps
+
+
+def index_snapshots(path: str) -> list[dict]:
+    """The artifact's known snapshots, newest first:
+    [{'version', 'current', 'resolvable'}]. ``resolvable`` means every
+    component dir the snapshot references is still on disk — i.e.
+    queries with ``at_version=version`` will serve it."""
+    man = _read_manifest(path)
+    if man is None:
+        return []
+    out = []
+    for cur, gen in [(True, man)] + [
+        (False, g) for g in man.get("history", [])
+    ]:
+        ok = all(
+            os.path.isdir(os.path.join(path, d))
+            for ds in gen["components"].values()
+            for d in ds
+        )
+        out.append(
+            {
+                "version": gen["version"],
+                "current": cur,
+                "resolvable": ok,
+            }
+        )
+    return out
 
 
 def _part_paths(path: str, name: str) -> list[str]:
@@ -744,6 +879,7 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     ordered_sum: bool = False,
+    at_version: int | None = None,
 ) -> DataFrame:
     """BM25 top-k per query against a prebuilt index. Same scoring
     contract as bm25_batch_topk — (query_id, doc_id, score, rank),
@@ -756,11 +892,17 @@ def bm25_topk_indexed(
     into the postings scan — with the term-sorted layout, row groups
     without query terms are skipped entirely (the index point). A
     DataFrame of queries falls back to a broadcast semi-join (right
-    when the query batch itself is too big to inline)."""
-    postings = _read_component(spark, path, "postings")
-    dl = _read_component(spark, path, "doc_lengths")
-    g = _read_component(spark, path, "stats")
-    tombc = _read_component(spark, path, "tombstones")
+    when the query batch itself is too big to inline).
+
+    ``at_version`` time-travels: answers come from snapshot N exactly
+    as a reader holding that manifest saw them (historic stats,
+    historic tombstones) — the eval-reproducibility path (re-run last
+    week's retrieval eval against the index AS IT WAS). Raises cleanly
+    when the snapshot is unknown or its dirs were reclaimed."""
+    postings = _read_component(spark, path, "postings", at_version)
+    dl = _read_component(spark, path, "doc_lengths", at_version)
+    g = _read_component(spark, path, "stats", at_version)
+    tombc = _read_component(spark, path, "tombstones", at_version)
     if tombc is not None:
         # logical deletes: suppress tombstoned docs at read time (df /
         # dl / ranks all recompute from the suppressed stream, and
@@ -845,6 +987,7 @@ def phrase_search(
     path: str,
     phrases: list[tuple[str, list[str]]],
     with_starts: bool = False,
+    at_version: int | None = None,
 ) -> DataFrame:
     """Exact-phrase retrieval from the positional index: for each
     (phrase_id, [t0, t1, ...]) return (phrase_id, doc_id,
@@ -873,14 +1016,14 @@ def phrase_search(
     ]
     if not rows:
         raise ValueError("phrase_search: empty phrase list")
-    postings = _read_component(spark, path, "postings")
+    postings = _read_component(spark, path, "postings", at_version)
     if "positions" not in postings.columns:
         raise RuntimeError(
             f"phrase_search: index at {path} has no positional "
             "postings (pre-pos1 artifact) — rebuild with "
             "build_inverted_index"
         )
-    tombc = _read_component(spark, path, "tombstones")
+    tombc = _read_component(spark, path, "tombstones", at_version)
     hits = postings.select("term", "doc_id", "positions")
     if tombc is not None:
         hits = hits.join(tombc.select("doc_id"), "doc_id", "left_anti")

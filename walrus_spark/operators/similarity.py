@@ -429,6 +429,14 @@ WITH n AS (
              km2.cluster) AS rn
     FROM kq CROSS JOIN km2
   ) t WHERE rn = 1
+), sdd AS (
+  SELECT DISTINCT a.vec_id
+  FROM ka3 a JOIN ka3 b USING (cluster)
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE b.vec_id < a.vec_id
+    AND list_sum(list_transform(generate_series(1, len(na.v)),
+                 i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) >= 0.4
 )
 SELECT 'ivf' AS src, vec_id, CAST(NULL AS BIGINT) AS cluster,
        CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS dim_i,
@@ -440,6 +448,10 @@ UNION ALL
 SELECT 'km_centroid', NULL, u.cluster, u.n, u.dim_i,
        CAST((2*u.s + u.n) // (2*u.n) AS BIGINT)
 FROM ku2 u
+UNION ALL
+SELECT 'semdedup', k.vec_id, k.cluster, NULL, NULL,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+FROM ka3 k LEFT JOIN sdd d USING (vec_id)
 ORDER BY src, vec_id, cluster, dim_i
 """
 
@@ -494,6 +506,84 @@ def clear_shared_kmeans() -> None:
     _KM_FITS.clear()
 
 
+SEMDEDUP_THRESHOLD = 0.4
+# Per-cluster pairwise is O(c²) — bounded by design (SemDeDup's whole
+# point is that k is sized so clusters are small); a skewed/undersized
+# k fails LOUDLY here rather than OOMing an executor.
+SEMDEDUP_MAX_CLUSTER_ROWS = 200_000
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    assigned: DataFrame | None = None,
+    max_cluster_rows: int = SEMDEDUP_MAX_CLUSTER_ROWS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means the embedding space,
+    then prune near-duplicates WITHIN each cluster only, keeping the
+    smallest vec_id of every near-dup pair. Returns every vector as
+    (vec_id, cluster, kept) — kept=false means some smaller-id
+    same-cluster vector has cosine ≥ threshold.
+
+    Why this shape scales where all-pairs can't: the cluster step
+    cuts the O(n²) global pair space to Σ O(c²) within-cluster work —
+    the standard curation recipe for trillion-token corpora. Each
+    cluster prunes in ONE Arrow batch (applyInPandas; exact BLAS
+    cosine, row-blocked scratch), so the only shuffle is the groupBy
+    on cluster. Clusters exceeding ``max_cluster_rows`` raise loudly:
+    the fix is a larger k (or sub-splitting the hot cluster), never a
+    silent OOM. ``assigned`` lets callers reuse a fitted quantizer
+    (shared_kmeans_fit) instead of re-running Lloyd."""
+    import numpy as np
+    import pandas as pd
+
+    if assigned is None:
+        from walrus_spark.operators.cluster import kmeans_quantized
+
+        assigned, _ = kmeans_quantized(emb)
+    a = assigned.select("vec_id", "cluster").join(
+        emb.select("vec_id", _dbl("embedding").alias("e")), "vec_id"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster {int(pdf['cluster'].iloc[0])} "
+                f"has {len(pdf)} rows > max_cluster_rows="
+                f"{max_cluster_rows}; increase k (or sub-split) so "
+                "per-cluster pairwise work stays bounded"
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.asarray(pdf["e"].tolist(), dtype=np.float64)[order]
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        blk = max(1, (1 << 25) // max(n, 1))  # ~256 MB sims scratch
+        rows = np.arange(n)[:, None]
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            sims = E @ E[lo:hi].T  # (n, b)
+            m = (sims >= threshold) & (rows < np.arange(lo, hi)[None, :])
+            dropped[lo:hi] = m.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(
+                    n, int(pdf["cluster"].iloc[0]), dtype=np.int64
+                ),
+                "kept": ~dropped,
+            }
+        )
+
+    return a.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, cluster long, kept boolean"
+    )
+
+
 @register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search + the quantizer-fitting iterative algorithm in one
@@ -504,7 +594,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/cluster.py, k=8, 2 rounds): the final assignment of
     every vector and the final integer centroid means with cluster
     sizes — an ITERATIVE algorithm hash-checked exactly because every
-    distance and mean is int64 arithmetic both engines reproduce."""
+    distance and mean is int64 arithmetic both engines reproduce.
+    'semdedup' rows (r11): SemDeDup cluster-then-prune over the SAME
+    fitted clusters — every vector's kept/dropped verdict (m=1/0)
+    hash-checked against the oracle's within-cluster exact-cosine
+    recomputation."""
     emb = load_table(spark, sf_dir, "embeddings")
     ivf = ivf_topk(emb, query_vec_id=1, model_key=sf_dir).select(
         F.lit("ivf").alias("src"),
@@ -541,9 +635,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
         )
     )
+    sd = semantic_dedup(spark, emb, assigned=assigned).select(
+        F.lit("semdedup").alias("src"),
+        "vec_id",
+        "cluster",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("dim_i"),
+        F.col("kept").cast("long").alias("m"),
+    )
     return (
         ivf.unionByName(km_assign)
         .unionByName(km_cent)
+        .unionByName(sd)
         .orderBy("src", "vec_id", "cluster", "dim_i")
     )
 
@@ -690,3 +793,147 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join over the embeddings table, hash-checked against the
     DuckDB all-pairs window formulation."""
     return knn_join(spark, load_table(spark, sf_dir, "embeddings"))
+
+
+def ivf_batch_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    model_key=None,
+    method: str = "auto",
+) -> DataFrame:
+    """Approximate top-k for a BATCH of stored query vectors through
+    the IVF index in ONE plan — the serving shape for eval sweeps and
+    bulk retrieval, where ivf_topk's one-plan-per-query driver loop
+    would pay Q job floors for Q queries.
+
+    Plan: assignment projection (zero exchanges, the ivf_assign
+    strategies) → broadcast join against the Q·n_probe (query_id,
+    cluster) probe table (probe selection = driver dot products
+    against the memoized quantizer, same as ivf_topk) → broadcast
+    join of the Q query vectors → JVM fold cosine → per-query
+    window top-k. Everything before the final window is scan-stage;
+    the ONE shuffle is the partitionBy(query) rank, O(candidate rows).
+    Queries must be stored vectors (bounded collect of Q rows).
+
+    Returns (query_vec_id, vec_id, rank) — ranks 1..k by (cosine
+    DESC, vec_id), the cosine_topk/ivf_topk tie rule."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    if not query_vec_ids:
+        raise ValueError("ivf_batch_topk: empty query batch")
+    cents = _centroids(emb, n_centroids, model_key)
+    by_id = {cid: (vec, cn) for cid, vec, cn in cents}
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["e"]]
+        for r in emb.where(
+            F.col("vec_id").isin([int(q) for q in query_vec_ids])
+        )
+        .select("vec_id", _dbl("embedding").alias("e"))
+        .collect()
+    }
+    missing = [q for q in query_vec_ids if int(q) not in qrows]
+    if missing:
+        raise ValueError(f"query vectors not found: {missing}")
+    probe_rows, qvec_rows = [], []
+    for q in query_vec_ids:
+        vec = qrows[int(q)]
+        nq = by_id[int(q)][1] if int(q) in by_id else _norm_py(vec)
+        ranked = sorted(
+            (
+                (_dot_py(cvec, vec) / (cn * nq), cid)
+                for cid, cvec, cn in cents
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, cid in ranked[:n_probe]:
+            probe_rows.append((int(q), int(cid)))
+        qvec_rows.append((int(q), vec, nq))
+    probes = spark.createDataFrame(
+        probe_rows, "query_vec_id long, cluster long"
+    )
+    qvecs = spark.createDataFrame(
+        qvec_rows, "query_vec_id long, q array<double>, nq double"
+    )
+    cand = (
+        ivf_assign(emb, n_centroids, model_key, method=method)
+        .join(broadcast(probes), "cluster")
+        .join(broadcast(qvecs), "query_vec_id")
+    )
+    cos = _dot("e", "q") / (_norm("e") * F.col("nq"))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    return (
+        cand.select("query_vec_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "rank")
+    )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    model_key=None,
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per query
+    — the eval harness every ANN deployment runs before trusting its
+    index (probe/recall trade tuning). One batched plan per side
+    (ivf_batch_topk vs the same cosine ranked WITHOUT the cluster
+    filter), one join: recall = |approx ∩ exact| / |exact|. Returns
+    (query_vec_id, recall) with recall in [0, 1]; macro-average on
+    the caller's side is one tiny agg away.
+
+    Exact side note: brute force here scans the corpus once for ALL
+    queries (broadcast query matrix, window top-k) — O(n·Q) cosines,
+    the unavoidable ground-truth cost; run it on a sample of queries,
+    which is exactly how recall eval is done at scale."""
+    from pyspark.sql import Window
+
+    approx = ivf_batch_topk(
+        emb, query_vec_ids, k, n_centroids, n_probe, model_key
+    )
+    qvecs = broadcast(
+        emb.where(
+            F.col("vec_id").isin([int(q) for q in query_vec_ids])
+        ).select(
+            F.col("vec_id").alias("query_vec_id"),
+            _dbl("embedding").alias("q"),
+        )
+    )
+    e = emb.select("vec_id", _dbl("embedding").alias("e"))
+    cos = _dot("e", "q") / (_norm("e") * _norm("q"))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    exact = (
+        e.crossJoin(qvecs)
+        .select("query_vec_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_vec_id", "vec_id"]).groupBy(
+        "query_vec_id"
+    ).agg(F.count("*").alias("n_hit"))
+    totals = exact.groupBy("query_vec_id").agg(
+        F.count("*").alias("n_true")
+    )
+    return (
+        totals.join(hits, "query_vec_id", "left")
+        .select(
+            "query_vec_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_true")
+            ).alias("recall"),
+        )
+        .orderBy("query_vec_id")
+    )

@@ -124,6 +124,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
         clear_shared_positions,
         clear_shared_sets,
     )
+    from walrus_spark.operators.multimodal import clear_shared_media
     from walrus_spark.operators.similarity import clear_shared_kmeans
     from walrus_spark.operators.text import clear_shared_tokens
     from walrus_spark.queries.sketch_queries import clear_sketch_frames
@@ -134,6 +135,7 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
     clear_shared_tokens()
     clear_sketch_frames()
     clear_shared_kmeans()
+    clear_shared_media()
     clear_table_handles()
     if spark is not None:
         try:

@@ -212,6 +212,7 @@ def main() -> None:
     }
 
     from walrus_spark.operators.cluster import kmeans_quantized
+    from walrus_spark.operators.similarity import semantic_dedup
     from walrus_spark.operators.pipeline import (
         _MIX_W_SQL,
         domain_mix,
@@ -253,6 +254,13 @@ def main() -> None:
             "kmeans_quantized (k=8, 2 rounds)": lambda d: kmeans_quantized(
                 emb(d)
             )[0],
+            # r11: cluster-then-prune semantic dedup — fit + per-cluster
+            # BLAS prune end-to-end (no session memo here: each timed
+            # call passes a fresh frame, so the measurement covers the
+            # full fit+prune work at both scales)
+            "semantic_dedup (k=8, cos>=0.4)": lambda d: semantic_dedup(
+                spark, emb(d)
+            ),
         }
     )
 

@@ -2642,3 +2642,54 @@ def test_ivf_batch_topk_and_recall(spark):
         emb, [7], k=5, n_centroids=8, n_probe=8
     ).collect()
     assert [r["vec_id"] for r in sorted(batch_full, key=lambda r: r["rank"])] == exact_ids
+
+
+def test_session_memos_match_fresh_computation(spark, tmp_path):
+    """The r11 session memos are HANDLES to identical results, never
+    different answers: shared_kmeans_fit's cached (assignment, state)
+    equals a fresh kmeans_quantized run, and shared_media's cached
+    payload tables equal fresh synthesis byte-for-byte. Release +
+    re-derive also matches (the caches recompute, not corrupt)."""
+    import hashlib
+
+    import pandas as pd
+
+    from walrus_spark.operators.cluster import kmeans_quantized
+    from walrus_spark.operators.multimodal import (
+        ppm_media,
+        shared_media,
+        wav_media,
+    )
+    from walrus_spark.operators.similarity import shared_kmeans_fit
+    from walrus_spark.catalog import load_table
+    from walrus_spark.session import release_session_caches
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+
+    a1, s1 = shared_kmeans_fit(spark, sf, emb)
+    a2, s2 = kmeans_quantized(emb)
+    assert s1 == s2
+    assign = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster"]) for r in df.collect()
+    )
+    assert assign(a1) == assign(a2)
+    # memo hit returns the same handle; post-release refit matches too
+    a1b, s1b = shared_kmeans_fit(spark, sf, emb)
+    assert a1b is a1 and s1b is s1
+    release_session_caches(spark)
+    a1c, s1c = shared_kmeans_fit(spark, sf, emb)
+    assert a1c is not a1 and s1c == s1
+
+    docs = load_table(spark, sf, "documents")
+    img_m, wav_m = shared_media(spark, sf)
+
+    def digest(df):
+        h = hashlib.sha256()
+        for r in sorted(df.collect(), key=lambda r: r["doc_id"]):
+            h.update(str(r["doc_id"]).encode())
+            h.update(bytes(r["payload"]))
+        return h.hexdigest()
+
+    assert digest(img_m) == digest(ppm_media(docs))
+    assert digest(wav_m) == digest(wav_media(docs))

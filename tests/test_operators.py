@@ -2693,3 +2693,154 @@ def test_session_memos_match_fresh_computation(spark, tmp_path):
 
     assert digest(img_m) == digest(ppm_media(docs))
     assert digest(wav_m) == digest(wav_media(docs))
+
+
+def test_ivf_batch_topk_dedups_duplicate_queries(spark):
+    """r11 advisor finding: duplicate query ids duplicated probe/qvec
+    rows, so the same vec_id got two distinct ranks and displaced a
+    real neighbor (also skewing recall@k). The batch must dedup ids up
+    front: duplicates yield exactly the deduped answer, with each
+    vec_id ranked once per query."""
+    import numpy as np
+    import pandas as pd
+
+    from walrus_spark.operators.similarity import ivf_batch_topk
+
+    rng = np.random.RandomState(12)
+    base = rng.randn(40, 8)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [[float(x) for x in r] for r in base],
+            }
+        )
+    )
+    clean = sorted(
+        map(
+            tuple,
+            ivf_batch_topk(
+                emb, [3, 9], k=5, n_centroids=8, n_probe=3
+            ).collect(),
+        )
+    )
+    dup = sorted(
+        map(
+            tuple,
+            ivf_batch_topk(
+                emb, [9, 3, 9, 9, 3], k=5, n_centroids=8, n_probe=3
+            ).collect(),
+        )
+    )
+    assert dup == clean
+    seen = {}
+    for q, v, _r in dup:
+        assert v not in seen.get(q, set()), "vec_id ranked twice"
+        seen.setdefault(q, set()).add(v)
+
+
+def test_memo_content_signature_invalidation(spark, tmp_path):
+    """r11 advisor finding: derived-frame memos keyed on the dataset
+    PATH only kept serving stale cached frames after an in-place
+    fixture rewrite that load_table's content signature would have
+    caught. All memo families now key on catalog.dataset_key: a
+    rewritten table must MISS and re-derive from the new bytes."""
+    import shutil
+
+    from walrus_spark.catalog import load_table
+    from walrus_spark.operators.multimodal import shared_media
+    from walrus_spark.operators.similarity import shared_kmeans_fit
+    from walrus_spark.operators.text import shared_doc_tokens
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "ds"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    sf = str(d)
+
+    n_tok = shared_doc_tokens(spark, sf).count()
+    img1, _ = shared_media(spark, sf)
+    n_img = img1.count()
+    emb = load_table(spark, sf, "embeddings")
+    a1, _s1 = shared_kmeans_fit(spark, sf, emb)
+    n_assign = a1.count()
+
+    # rewrite both tables in place to HALF the rows
+    docs_half = load_table(spark, sf, "documents").limit(
+        max(1, n_tok // 2)
+    )
+    docs_half.toPandas().to_parquet(d / "documents.parquet")
+    emb_half = emb.limit(max(1, n_assign // 2)).toPandas()
+    emb_half.to_parquet(d / "embeddings.parquet")
+
+    assert shared_doc_tokens(spark, sf).count() == max(1, n_tok // 2)
+    img2, _ = shared_media(spark, sf)
+    assert img2.count() == max(1, n_img // 2)
+    emb2 = load_table(spark, sf, "embeddings")
+    a2, _s2 = shared_kmeans_fit(spark, sf, emb2)
+    assert a2.count() == max(1, n_assign // 2)
+
+
+def test_make_sf_replica_rolls_distinct(tmp_path):
+    """r11 advisor finding: the embedding-roll stride must be coprime
+    to 63 or replicas alias (stride 7 had period 9 — k and k+9 got
+    identical vectors, manufacturing cosine-1.0 cross-replica dup
+    pairs). Pin: generated replicas of the same source vector are
+    pairwise DISTINCT rolls, and --k past the 63-roll capacity is
+    refused at parse time."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    dst = str(tmp_path / "sfk")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/make_sf.py",
+            "--src",
+            "/root/testdata/sf0.001",
+            "--dst",
+            dst,
+            "--k",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    con = duckdb.connect()
+    n_src, n_vec = con.execute(
+        f"""SELECT count(*), count(DISTINCT embedding)
+            FROM (SELECT embedding FROM '{dst}/embeddings.parquet'
+                  QUALIFY row_number() OVER
+                    (PARTITION BY vec_id % (SELECT count(*) FROM
+                     '/root/testdata/sf0.001/embeddings.parquet')
+                     ORDER BY vec_id) <= 4
+                  ) t
+            WHERE t.embedding IS NOT NULL
+        """
+    ).fetchone()
+    # every replica of every source vector is a distinct roll: if any
+    # two replicas aliased, distinct-count would drop below total
+    assert n_src == n_vec
+
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            "tools/make_sf.py",
+            "--src",
+            "/root/testdata/sf0.001",
+            "--dst",
+            str(tmp_path / "sfbad"),
+            "--k",
+            "65",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r2.returncode != 0
+    assert "--k must be <= 64" in r2.stderr

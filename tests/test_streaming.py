@@ -817,3 +817,75 @@ def test_stream_fed_classifier_refresh(spark, tmp_path):
     assert np.allclose(w3, w2, rtol=1e-6, atol=1e-8)
     assert abs(b3 - b2) < 1e-8
     log.close()
+
+
+def test_classifier_refresh_checkpoint_lineage_fence(spark, tmp_path):
+    """Checkpoint-identity fence (r11 advisor finding): the batch_id
+    overwrite sink is idempotent only within ONE checkpoint lineage —
+    a fresh checkpoint restarts batch ids at 0 and would silently
+    overwrite foreign batch subdirs. refresh_classifier_from_log must
+    refuse (a) a brand-new checkpoint and (b) a different lineage's
+    checkpoint pointed at an existing batch-subdir store, while the
+    store's ORIGINAL checkpoint keeps working."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from walrus_spark.operators.classifier import (
+        refresh_classifier_from_log,
+    )
+
+    kw = dict(n_buckets=16, n_iter=5, lr=1.0, l2=0.0)
+    log = WalrusLog(spark, str(tmp_path / "clog"))
+    for i in range(6):
+        log.append(
+            "labels",
+            json.dumps(
+                {"doc_id": i, "text": f"tok{i} body", "label": i % 2}
+            ).encode(),
+        )
+    ckpt_a = str(tmp_path / "ckpt_a")
+    labels_a = str(tmp_path / "labels_a")
+    w1, b1 = refresh_classifier_from_log(
+        spark, log, "labels", ckpt_a, labels_a, **kw
+    )
+    assert os.path.exists(os.path.join(labels_a, "_checkpoint_id"))
+
+    # (a) fresh checkpoint dir at the populated store: refuse BEFORE
+    # any stream starts; the store is untouched
+    with pytest.raises(ValueError, match="fresh \\(no metadata yet\\)"):
+        refresh_classifier_from_log(
+            spark, log, "labels", str(tmp_path / "ckpt_b"), labels_a, **kw
+        )
+
+    # (b) a different ALREADY-STARTED lineage (its own store) pointed
+    # at store A: ids differ -> refuse
+    ckpt_c = str(tmp_path / "ckpt_c")
+    log.append(
+        "labels",
+        json.dumps({"doc_id": 99, "text": "more", "label": 1}).encode(),
+    )
+    refresh_classifier_from_log(
+        spark, log, "labels", ckpt_c, str(tmp_path / "labels_c"), **kw
+    )
+    with pytest.raises(ValueError, match="holds batch subdirs from"):
+        refresh_classifier_from_log(
+            spark, log, "labels", ckpt_c, labels_a, **kw
+        )
+
+    # the original lineage still works: it drains doc 99 through its
+    # own cursor and refits on its 7-doc store (fence passes, marker
+    # unchanged, one new batch subdir beyond the original run's)
+    w2, b2 = refresh_classifier_from_log(
+        spark, log, "labels", ckpt_a, labels_a, **kw
+    )
+    assert all(np.isfinite(w2)) and np.isfinite(b2)
+    n_labeled = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(labels_a)
+        .count()
+    )
+    assert n_labeled == 7  # 6 originals + doc 99, no overwrites lost
+    log.close()

@@ -16,7 +16,7 @@ exactly K x with the source's distributions intact:
     would manufacture C(10,2) artificial near-dup pairs per source
     doc, a workload shape the source SF doesn't have).
   * embeddings: replica k's vectors are the source vectors ROLLED by
-    1 + (k*7) % 63 dimensions (never 0 mod the 64-dim vectors, so no
+    1 + (k*5) % 63 dimensions (never 0 mod the 64-dim vectors, so no
     replica aliases replica 0) — norms (and so per-vector work) are
     preserved,
     cross-replica cosine similarity decays to the random baseline, so
@@ -79,6 +79,14 @@ def main() -> None:
     ap.add_argument("--dst", required=True)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
+    # Embedding rolls live in 1..63 with stride 5 (coprime to 63), so
+    # rolls are DISTINCT for k = 1..63; past 64 replicas two replicas
+    # would share a roll and reintroduce manufactured cosine-1.0
+    # cross-replica duplicate pairs (r11 advisor finding: the earlier
+    # stride 7 had gcd(7, 63) = 7, i.e. period 9 — k and k+9 aliased).
+    if args.k > 64:
+        ap.error("--k must be <= 64: 64-dim embeddings admit only 63 "
+                 "distinct nonzero rolls, so more replicas would alias")
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -132,8 +140,12 @@ def main() -> None:
                     # one manufactured exact-duplicate (cosine 1.0)
                     # cross-replica pair per source vector, violating
                     # the decays-to-baseline invariant above (r10
-                    # advisor finding)
-                    r = 1 + (k * 7) % 63
+                    # advisor finding). Stride 5 is coprime to 63
+                    # (the r11 stride 7 divides 63 -> period 9, so
+                    # k and k+9 aliased); with 5 the rolls are
+                    # pairwise distinct for all k = 1..63, matching
+                    # the --k <= 64 guard at parse time.
+                    r = 1 + (k * 5) % 63
                     sel.append(
                         f"(embedding[{r + 1}:] || embedding[1:{r}])"
                         f" AS embedding"

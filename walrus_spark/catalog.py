@@ -87,14 +87,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if sig is not None:
         # evict entries from dead sessions / stale signatures of the
         # same path (bounded: one live entry per table path)
+        stale_same_path = False
         for k in [
             k
             for k, (s, _d) in _TABLE_CACHE.items()
             if k[0] == path or s is not spark
         ]:
+            stale_same_path = stale_same_path or (
+                k[0] == path and _TABLE_CACHE[k][0] is spark
+            )
             del _TABLE_CACHE[k]
+        if stale_same_path:
+            # The file changed under a path this session has already
+            # read. Spark's cache manager matches path-based relations
+            # by ROOT PATH (not file listing), so any still-cached
+            # frame derived from the old bytes — including operators'
+            # internal .cache() working sets — would keep serving
+            # stale data to plans over the new read (r11 advisor
+            # finding, reproduced: a rewritten embeddings table kept
+            # answering k-means refits with the old rows). refreshByPath
+            # drops the file-status cache AND un/re-caches dependent
+            # plans for this path.
+            spark.catalog.refreshByPath(path)
         _TABLE_CACHE[key] = (spark, df)
     return df
+
+
+def dataset_key(sf_dir: str, *tables: str) -> tuple:
+    """Memo key for the per-(session, dataset) derived-frame caches
+    (pair tables, token frames, k-means fits, media frames): abs path
+    PLUS the content signature of the named table files, so an
+    in-place fixture rewrite misses those memos the same way it
+    misses this module's handle cache (r11 advisor finding —
+    path-only keys silently served stale cached frames after a
+    rewrite that load_table itself would have caught)."""
+    import os
+
+    base = os.path.abspath(sf_dir)
+    return (base,) + tuple(
+        _content_sig(os.path.join(base, f"{t}.parquet")) for t in tables
+    )
 
 
 def clear_table_handles() -> None:

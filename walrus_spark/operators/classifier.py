@@ -299,9 +299,56 @@ def refresh_classifier_from_log(
     expensive), so the full-store refit is the cheap step; the
     consume-once cursor is what keeps a high-volume labeling topic
     from re-parsing history every cycle."""
+    import json
     import os
 
     from walrus_spark.streaming import consume_stream
+
+    # Checkpoint-identity fence (r11 advisor finding): batch_id
+    # overwrite is idempotent only WITHIN one checkpoint lineage. A
+    # fresh checkpoint pointed at an existing labels_dir restarts
+    # batch ids at 0 and would silently OVERWRITE batch_id=N subdirs
+    # that hold a different lineage's labels — worse than the old
+    # double-count, that destroys data. Spark stamps every streaming
+    # checkpoint with a UUID in <checkpoint_dir>/metadata; we pin that
+    # UUID in labels_dir/_checkpoint_id at the end of each cycle and
+    # refuse to run when the store's lineage and the checkpoint's
+    # don't provably match.
+    def _ckpt_id() -> str | None:
+        meta = os.path.join(checkpoint_dir, "metadata")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f).get("id")
+
+    marker = os.path.join(labels_dir, "_checkpoint_id")
+    has_batches = os.path.isdir(labels_dir) and any(
+        name.startswith("batch_id=") for name in os.listdir(labels_dir)
+    )
+    if has_batches:
+        prior = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+        cur = _ckpt_id()
+        # prior None + cur set = pre-marker store continuing its own
+        # (already-started) checkpoint — adopt it below. Everything
+        # else with batches present is either a fresh checkpoint
+        # (cur None: metadata not written until the query starts) or
+        # a different lineage (ids differ): both would rewind batch
+        # ids over foreign subdirs, so refuse loudly.
+        if cur is None or (prior is not None and prior != cur):
+            raise ValueError(
+                f"refresh_classifier_from_log: labels_dir "
+                f"{labels_dir!r} holds batch subdirs from checkpoint "
+                f"{prior or '<unmarked>'} but checkpoint_dir "
+                f"{checkpoint_dir!r} is "
+                f"{'fresh (no metadata yet)' if cur is None else cur}"
+                f" — a new checkpoint restarts batch ids at 0 and "
+                f"would overwrite existing label batches. Use the "
+                f"store's original checkpoint_dir, or a new "
+                f"labels_dir for a new lineage."
+            )
 
     schema = "doc_id long, text string, label int"
 
@@ -326,6 +373,12 @@ def refresh_classifier_from_log(
     consume_stream(
         spark, log, checkpoint_dir, sink, topic=topic
     ).awaitTermination()
+
+    # The query has started (metadata now exists), so pin the lineage.
+    cur = _ckpt_id()
+    if cur is not None and os.path.isdir(labels_dir):
+        with open(marker, "w") as f:
+            f.write(cur)
 
     if not os.path.exists(labels_dir):
         raise ValueError(

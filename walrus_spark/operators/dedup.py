@@ -28,7 +28,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import dataset_key, load_table
 from walrus_spark.queries.registry import register
 
 SHINGLE_N = 3
@@ -374,7 +374,10 @@ def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-dataset cached shingle-set frame used by all dedup
     entries; tokenization — the measured dominant cost — runs once per
     dataset per session, never once per entry."""
-    key = os.path.abspath(sf_dir)
+    # content-signature keyed (r11 advisor finding): a fixture
+    # rewritten in place must MISS every derived-frame memo, not just
+    # load_table's handle cache
+    key = str(dataset_key(sf_dir, "documents"))
     hit = _SETS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -416,7 +419,7 @@ def shared_substring_positions(
     """The per-(dataset, window) cached (all_base, verified-matches)
     pair used by the substring dedup entry; the SMJ verify runs once
     per session per dataset, never once per entry invocation."""
-    key = f"{os.path.abspath(sf_dir)}|{w}"
+    key = f"{dataset_key(sf_dir, 'documents')}|{w}"
     hit = _POS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1], hit[2]
@@ -485,7 +488,7 @@ def shared_exact_jaccard_pairs(
     """The per-(session, dataset) cached exact n-gram Jaccard pair
     table at the default threshold — shared by dedup_ngram_jaccard's
     'jaccard' branch and dedup_simhash's containment check."""
-    key = f"{os.path.abspath(sf_dir)}|jaccard"
+    key = f"{dataset_key(sf_dir, 'documents')}|jaccard"
     return _shared_pair_table(
         spark,
         key,
@@ -501,7 +504,7 @@ def shared_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-(session, dataset) cached SimHash near-dup pair table
     (auto Hamming budget) — the sketch + pigeonhole-banding + Arrow
     popcount verify runs once per session per dataset."""
-    key = f"{os.path.abspath(sf_dir)}|simhash"
+    key = f"{dataset_key(sf_dir, 'documents')}|simhash"
     return _shared_pair_table(
         spark,
         key,
@@ -518,7 +521,7 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     'all' branch and dedup_clusters' edge source (banding + exact
     verify run once per session per dataset; the CC propagation then
     iterates over a pair-workload-sized cached frame)."""
-    key = f"{os.path.abspath(sf_dir)}|minhash"
+    key = f"{dataset_key(sf_dir, 'documents')}|minhash"
     return _shared_pair_table(
         spark,
         key,
@@ -538,7 +541,7 @@ def shared_minhash_cross_pairs(
     (odd = new batch, even = existing corpus) — the second signature
     pipeline dedup_minhash_lsh's 'cross' branch was re-running per
     execution after its 'all' branch moved to the memo."""
-    key = f"{os.path.abspath(sf_dir)}|minhash_cross"
+    key = f"{dataset_key(sf_dir, 'documents')}|minhash_cross"
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")

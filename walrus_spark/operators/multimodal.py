@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import dataset_key, load_table
 from walrus_spark.queries.registry import register
 
 MEDIA_SCHEMA = StructType(
@@ -558,7 +558,7 @@ def shared_media(
 ) -> tuple[DataFrame, DataFrame]:
     import os
 
-    key = os.path.abspath(sf_dir)
+    key = str(dataset_key(sf_dir, "documents"))
     hit = _MEDIA_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1], hit[2]

@@ -39,7 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import dataset_key, load_table
 from walrus_spark.queries.registry import register
 
 N_CENTROIDS = 16
@@ -479,7 +479,7 @@ def shared_kmeans_fit(
 
     from walrus_spark.operators.cluster import kmeans_quantized
 
-    key = os.path.abspath(sf_dir)
+    key = str(dataset_key(sf_dir, "embeddings"))
     hit = _KM_FITS.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1], hit[2]
@@ -825,6 +825,14 @@ def ivf_batch_topk(
     spark = emb.sparkSession
     if not query_vec_ids:
         raise ValueError("ivf_batch_topk: empty query batch")
+    # Dedup up front (r11 advisor finding): a repeated query id would
+    # duplicate its probe and qvec rows, so every candidate row for
+    # that query doubles and row_number hands the SAME vec_id two
+    # distinct ranks — the top-k then lists a neighbor twice and
+    # displaces a real one (and recall@k computed on it is skewed).
+    # The result is keyed by query_vec_id, so input order is
+    # irrelevant and set-dedup is semantics-preserving.
+    query_vec_ids = sorted({int(q) for q in query_vec_ids})
     cents = _centroids(emb, n_centroids, model_key)
     by_id = {cid: (vec, cn) for cid, vec, cn in cents}
     qrows = {

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import dataset_key, load_table
 from walrus_spark.queries.registry import register
 
 # Tiny per-language stopword inventories for the heuristic language-ID.
@@ -60,7 +60,7 @@ def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cache instead of joining back to the table."""
     import os
 
-    key = os.path.abspath(sf_dir)
+    key = str(dataset_key(sf_dir, "documents"))
     hit = _TOKENS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -92,7 +92,7 @@ def shared_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cheap against the cached stream)."""
     import os
 
-    key = os.path.abspath(sf_dir)
+    key = str(dataset_key(sf_dir, "documents"))
     hit = _WORDS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]

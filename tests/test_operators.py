@@ -2844,3 +2844,97 @@ def test_make_sf_replica_rolls_distinct(tmp_path):
     )
     assert r2.returncode != 0
     assert "--k must be <= 64" in r2.stderr
+
+
+def test_index_time_travel_at_timestamp(spark, tmp_path):
+    """at_timestamp addressing (r12, r11 verdict directive #6): each
+    publish stamps commit wall-clock metadata; at_timestamp resolves
+    to the newest snapshot <= t and then answers EXACTLY as the same
+    at_version read (a 3-publish artifact, every boundary), surfaces
+    committed_at in index_snapshots, rejects ambiguous/unknown
+    addresses, and fails reaped generations with the same precise
+    error as version reads."""
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        index_snapshots,
+        phrase_search,
+        resolve_at_timestamp,
+        set_index_retention,
+    )
+
+    def docs_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(ids),
+                    "text": [f"apple pear doc{i} apple" for i in ids],
+                }
+            )
+        )
+
+    idx = str(tmp_path / "idx")
+    build_inverted_index(docs_of(range(0, 4)), idx, partitions=2)  # v1
+    set_index_retention(idx, 3)                                    # v2
+    append_index_delta(docs_of(range(4, 6)), idx, "d1")            # v3
+
+    snaps = index_snapshots(idx)
+    ts = {s["version"]: s["committed_at"] for s in snaps}
+    assert all(v is not None for v in ts.values())
+    # commit times are non-decreasing with version
+    assert ts[1] <= ts[2] <= ts[3]
+
+    # boundary semantics: exactly-at resolves to that snapshot;
+    # in-between resolves DOWN; after-last resolves to the newest
+    assert resolve_at_timestamp(idx, ts[1]) == 1
+    assert resolve_at_timestamp(idx, ts[2]) == 2
+    mid = (ts[2] + ts[3]) / 2
+    assert resolve_at_timestamp(idx, mid) in (2,) if ts[2] < ts[3] else (2, 3)
+    assert resolve_at_timestamp(idx, ts[3] + 3600) == 3
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_at_timestamp(idx, ts[1] - 3600)
+
+    # datetime addressing works too
+    from datetime import datetime, timezone
+
+    assert (
+        resolve_at_timestamp(
+            idx, datetime.fromtimestamp(ts[3] + 60, tz=timezone.utc)
+        )
+        == 3
+    )
+
+    q = [("q0", "apple")]
+
+    def answer(**kw):
+        return sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_indexed(spark, idx, q, k=10, **kw).collect()
+        )
+
+    for v in (1, 2, 3):
+        assert answer(at_timestamp=ts[v]) == answer(at_version=v), v
+    # and through phrase_search
+    ph = [("p0", ["apple", "pear"])]
+    got_t = sorted(
+        map(tuple, phrase_search(spark, idx, ph, at_timestamp=ts[1]).collect())
+    )
+    got_v = sorted(
+        map(tuple, phrase_search(spark, idx, ph, at_version=1).collect())
+    )
+    assert got_t == got_v
+
+    with pytest.raises(ValueError, match="not both"):
+        answer(at_version=1, at_timestamp=ts[1])
+
+    # reaped-generation path: drop retention (publish v4), v1's churned
+    # dirs leave the window -> the timestamp address resolves to v1 but
+    # the READ fails with the precise at_version error
+    set_index_retention(idx, 0)
+    assert resolve_at_timestamp(idx, ts[1]) == 1
+    with pytest.raises(ValueError, match="no longer resolvable"):
+        answer(at_timestamp=ts[1])

@@ -6,7 +6,8 @@ the between-stages release hook engaged:
     → PII scrub (pii_scrub)
     → exact-substring SPAN removal (substring_dedup_dropspans —
       earliest copy of every verbatim run survives)
-    → quality + exact-dedup corpus filter (corpus_filter)
+    → SemDeDup semantic prune set (semantic_dedup → drop ids)
+    → quality + exact-dedup + semantic corpus filter (corpus_filter)
     → token accounting / packing offsets (seq_packing)
     → deterministic shuffle + shard assignment (shuffle_shards)
 
@@ -28,6 +29,7 @@ from walrus_spark.operators.pipeline import (
     seq_packing,
     shuffle_shards,
 )
+from walrus_spark.operators.similarity import semantic_dedup
 from walrus_spark.operators.text import pii_scrub
 from walrus_spark.session import release_session_caches
 
@@ -52,9 +54,21 @@ def _run_pipeline(spark):
         scrubbed, window_tokens=8
     ).select("doc_id", F.col("text_clean").alias("text"))
 
-    # 3. quality + exact-dedup keep-set (signals only — re-attach the
-    # text via a semi-join on the keep ids, the production shape)
-    kept = corpus_filter(cleaned, min_tokens=5)
+    # 3. semantic prune set (r12 — r11 verdict directive #7): SemDeDup
+    # over the aligned embeddings table; the DROPPED ids (kept=false)
+    # become corpus_filter's broadcast anti-join conjunct. vec_id and
+    # doc_id share the fixture id space (TESTDATA.md), standing in for
+    # the embedding-per-document join a production pipeline has.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    verdicts = semantic_dedup(spark, emb)
+    sem_drop = verdicts.where(~F.col("kept")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+
+    # 4. quality + exact-dedup + semantic keep-set (signals only —
+    # re-attach the text via a semi-join on the keep ids, the
+    # production shape)
+    kept = corpus_filter(cleaned, min_tokens=5, semantic_drop=sem_drop)
     kept_docs = cleaned.join(
         kept.select("doc_id"), "doc_id", "leftsemi"
     )
@@ -91,12 +105,34 @@ def test_training_data_pipeline_end_to_end(spark):
     assert stats["docs_touched"] > 0
     assert stats["min_left"] >= 0
 
-    # stage 3: keep-set is deduplicated exactly — no two survivors
+    # stage 3/4: keep-set is deduplicated exactly — no two survivors
     # share a fingerprint
     n_kept = kept.count()
     assert 0 < n_kept <= n_raw
     n_fp = kept.select(F.md5(F.lower("text"))).distinct().count()
     assert n_fp == n_kept
+
+    # the semantic conjunct actually bit: the fixture's replicated
+    # embedding groups guarantee a nonempty prune set, none of whose
+    # ids survive into the keep-set — and dropping the conjunct
+    # (semantic_drop=None) re-admits at least one of them
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sem_drop_ids = {
+        r["vec_id"]
+        for r in semantic_dedup(spark, emb)
+        .where(~F.col("kept"))
+        .collect()
+    }
+    assert sem_drop_ids
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not (kept_ids & sem_drop_ids)
+    from walrus_spark.operators.pipeline import corpus_filter as _cf
+
+    no_sem_ids = {
+        r["doc_id"]
+        for r in _cf(cleaned, min_tokens=5).select("doc_id").collect()
+    }
+    assert no_sem_ids & sem_drop_ids
 
     # stage 4: packing offsets are a correct exclusive prefix sum —
     # start_tok strictly ordered by doc_id, gaps equal token counts

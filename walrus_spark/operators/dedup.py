@@ -28,7 +28,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from walrus_spark.catalog import dataset_key, load_table
+from walrus_spark.catalog import dataset_key, load_table, spread
 from walrus_spark.queries.registry import register
 
 SHINGLE_N = 3
@@ -257,22 +257,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition tiny-file inputs across all cores before CPU-heavy
-    per-row work. At production scale inputs arrive in many splits and
-    this is a no-op; on single-file fixtures it's the difference between
-    1 and N cores doing the tokenization. File sources are checked via
-    inputFiles() (catalyst metadata only); non-file frames
-    (createDataFrame, micro-batch, post-shuffle) fall back to
-    rdd.getNumPartitions() — that builds the RDD-conversion plan, but
-    only on the rare non-scan path, and silently skipping the spread
-    there would serialize the tokenize stage onto one core."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    n = len(files) if files else df.rdd.getNumPartitions()
-    if n < target:
-        return df.repartition(target)
-    return df
+# _spread moved to catalog.spread (r12): the tiny-file fan-out turned
+# out to matter for every CPU-heavy scan-stage family, not just
+# tokenization — imported here under its historical name.
+_spread = spread
 
 
 def _bucket_pairs(
@@ -1294,7 +1282,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float noise
     can't affect the hash)."""
     return embedding_cosine_pairs(
-        spark, load_table(spark, sf_dir, "embeddings")
+        spark, _spread(load_table(spark, sf_dir, "embeddings"))
     )
 
 
@@ -1503,7 +1491,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the broadcast-matmul operator, the approximate side from
     the banded sketch; a regression in either flips a flag and fails
     the hash check."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     found = (
         embedding_lsh_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
         .select("vec_a", "vec_b")

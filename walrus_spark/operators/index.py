@@ -155,12 +155,23 @@ def _publish_manifest(
     import json
     import shutil
 
+    import time
+
     cur = _read_manifest(path)
     if retention is None:
         retention = int(cur.get("retention", 0)) if cur else 0
     man = {
         "version": (cur["version"] + 1) if cur else 1,
         "components": components,
+        # commit-time metadata (r12, r11 verdict directive #6): what
+        # at_timestamp resolves against -- an eval job can pin "the
+        # index as of Tuesday's run" without recording version numbers
+        # out of band (Iceberg snapshot timestamp semantics). Never
+        # earlier than the snapshot it replaces: a clock step backward
+        # would otherwise make newest-<=-t resolution ambiguous.
+        "ts": max(
+            time.time(), float(cur.get("ts", 0.0)) if cur else 0.0
+        ),
         "retention": int(retention),
         # previous snapshot's dirs, kept on disk this publish
         "grace": sorted(
@@ -172,7 +183,13 @@ def _publish_manifest(
         # horizon — an expired entry's dirs may already be reaped):
         # what retain-N vacuum and at_version reads resolve
         "history": (
-            [{"version": cur["version"], "components": cur["components"]}]
+            [
+                {
+                    "version": cur["version"],
+                    "components": cur["components"],
+                    "ts": cur.get("ts"),
+                }
+            ]
             + cur.get("history", [])
         )[:HISTORY_KEEP]
         if cur
@@ -537,6 +554,64 @@ def _components_at(path: str, version: int) -> dict[str, list[str]]:
     return comps
 
 
+def _resolve_asof(
+    path: str, at_version: int | None, at_timestamp
+) -> int | None:
+    """Normalize the two time-travel addresses to a version: exactly
+    one of at_version / at_timestamp may be given."""
+    if at_timestamp is None:
+        return at_version
+    if at_version is not None:
+        raise ValueError(
+            "pass at_version OR at_timestamp, not both"
+        )
+    return resolve_at_timestamp(path, at_timestamp)
+
+
+def resolve_at_timestamp(path: str, ts) -> int:
+    """Resolve a wall-clock instant to a snapshot VERSION: the newest
+    snapshot committed at or before ``ts`` (Iceberg's
+    timestamp-as-of rule). ``ts`` is epoch seconds or a datetime.
+    Raises when no snapshot that old exists (the artifact was first
+    published later), or when the candidate predates commit-time
+    metadata (pre-r12 manifest entries carry no timestamp -- address
+    those by version). Resolution is manifest metadata only; the
+    VERSION is what readers then pass through the at_version path, so
+    a resolved-but-reaped snapshot fails with the same precise
+    _components_at error as any version read."""
+    if hasattr(ts, "timestamp"):
+        ts = ts.timestamp()
+    ts = float(ts)
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"index at {path} is pre-manifest (legacy layout) -- no "
+            "snapshot history to time-travel"
+        )
+    gens = [man] + list(man.get("history", []))
+    best = None
+    oldest_known = None
+    for g in gens:
+        gts = g.get("ts")
+        if gts is None:
+            continue
+        oldest_known = float(gts)
+        if float(gts) <= ts and (best is None or float(gts) > best[0]):
+            best = (float(gts), int(g["version"]))
+    if best is None:
+        raise ValueError(
+            f"index at {path} has no snapshot committed at or before "
+            f"ts={ts}"
+            + (
+                f" (oldest timestamped snapshot: {oldest_known})"
+                if oldest_known is not None
+                else " (no snapshot carries commit-time metadata -- "
+                "published before r12; address by version)"
+            )
+        )
+    return best[1]
+
+
 def index_snapshots(path: str) -> list[dict]:
     """The artifact's known snapshots, newest first:
     [{'version', 'current', 'resolvable'}]. ``resolvable`` means every
@@ -559,6 +634,9 @@ def index_snapshots(path: str) -> list[dict]:
                 "version": gen["version"],
                 "current": cur,
                 "resolvable": ok,
+                # commit wall-clock (epoch seconds; None on snapshots
+                # published before commit-time metadata existed)
+                "committed_at": gen.get("ts"),
             }
         )
     return out
@@ -880,6 +958,7 @@ def bm25_topk_indexed(
     b: float = 0.75,
     ordered_sum: bool = False,
     at_version: int | None = None,
+    at_timestamp=None,
 ) -> DataFrame:
     """BM25 top-k per query against a prebuilt index. Same scoring
     contract as bm25_batch_topk — (query_id, doc_id, score, rank),
@@ -899,6 +978,7 @@ def bm25_topk_indexed(
     historic tombstones) — the eval-reproducibility path (re-run last
     week's retrieval eval against the index AS IT WAS). Raises cleanly
     when the snapshot is unknown or its dirs were reclaimed."""
+    at_version = _resolve_asof(path, at_version, at_timestamp)
     postings = _read_component(spark, path, "postings", at_version)
     dl = _read_component(spark, path, "doc_lengths", at_version)
     g = _read_component(spark, path, "stats", at_version)
@@ -988,6 +1068,7 @@ def phrase_search(
     phrases: list[tuple[str, list[str]]],
     with_starts: bool = False,
     at_version: int | None = None,
+    at_timestamp=None,
 ) -> DataFrame:
     """Exact-phrase retrieval from the positional index: for each
     (phrase_id, [t0, t1, ...]) return (phrase_id, doc_id,
@@ -1016,6 +1097,7 @@ def phrase_search(
     ]
     if not rows:
         raise ValueError("phrase_search: empty phrase list")
+    at_version = _resolve_asof(path, at_version, at_timestamp)
     postings = _read_component(spark, path, "postings", at_version)
     if "positions" not in postings.columns:
         raise RuntimeError(

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from walrus_spark.catalog import dataset_key, load_table
+from walrus_spark.catalog import dataset_key, load_table, spread
 from walrus_spark.queries.registry import register
 
 MEDIA_SCHEMA = StructType(
@@ -229,7 +229,7 @@ def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Payloads never shuffle — both branches emit digests out of the scan
     stage; the union is column-aligned (idx/head_byte are degenerate on
     the branch they don't apply to)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     media = as_media(d)
     feats = media_features(media).select(
         "doc_id",
@@ -569,7 +569,10 @@ def shared_media(
             except Exception:  # noqa: BLE001
                 pass
         del _MEDIA_CACHE[k]
-    d = load_table(spark, sf_dir, "documents")
+    # spread: synthesis AND every downstream decode inherit the cached
+    # frame's partitioning — a 1-2 partition fixture scan would pin
+    # the per-doc decoders to 1-2 cores (catalog.spread, r12)
+    d = spread(load_table(spark, sf_dir, "documents"))
     img = ppm_media(d).cache()
     wav = wav_media(d).cache()
     img.count()

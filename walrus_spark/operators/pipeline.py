@@ -687,6 +687,7 @@ def corpus_filter(
     min_tokens: int = 10,
     max_punct_ratio: float = 0.2,
     max_dup_word_frac: float = 0.3,
+    semantic_drop: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end "clean corpus" step: compose the quality /
     repetition / exact-dedup filters into one keep-set — the pipeline a
@@ -694,7 +695,13 @@ def corpus_filter(
 
     Kept = canonical copy (smallest doc_id per md5 fingerprint) AND
     token count ≥ min_tokens AND punctuation density ≤ max_punct_ratio
-    AND duplicate-word fraction ≤ max_dup_word_frac.
+    AND duplicate-word fraction ≤ max_dup_word_frac AND (optionally)
+    NOT in ``semantic_drop`` — the SemDeDup prune set
+    (similarity.semantic_dedup's kept=false ids, mapped to this
+    corpus's doc_id), composed as a broadcast ANTI-join: the DROP side
+    is the small one (semantic dedup prunes a minority of a corpus),
+    so the semantic conjunct adds zero exchanges at 100 TB where a
+    semi-join on the (huge) keep side would shuffle the world.
 
     Scale shape: ONE scan computes every per-doc signal (tokens, punct,
     dup-word fraction, fingerprint — all codegen expressions), and
@@ -746,7 +753,7 @@ def corpus_filter(
         ).otherwise(F.lit(0.0)),
         6,
     )
-    return (
+    out = (
         sig.withColumn("_canon", is_canonical)
         .where(
             F.col("_canon")
@@ -761,6 +768,13 @@ def corpus_filter(
             dup_frac.alias("dup_word_frac"),
         )
     )
+    if semantic_drop is not None:
+        out = out.join(
+            F.broadcast(semantic_drop.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    return out
 
 
 _FILTER_ORACLE = """

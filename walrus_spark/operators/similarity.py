@@ -39,7 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from walrus_spark.catalog import dataset_key, load_table
+from walrus_spark.catalog import dataset_key, load_table, spread
 from walrus_spark.queries.registry import register
 
 N_CENTROIDS = 16
@@ -792,7 +792,11 @@ FROM r WHERE rank <= {KNN_K} ORDER BY vec_id, rank
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join over the embeddings table, hash-checked against the
     DuckDB all-pairs window formulation."""
-    return knn_join(spark, load_table(spark, sf_dir, "embeddings"))
+    # spread: the probe-side matmul is the cost; a single-file scan
+    # would run it 1-2 wide (catalog.spread, r12)
+    return knn_join(
+        spark, spread(load_table(spark, sf_dir, "embeddings"))
+    )
 
 
 def ivf_batch_topk(

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from walrus_spark.catalog import dataset_key, load_table
+from walrus_spark.catalog import dataset_key, load_table, spread
 from walrus_spark.queries.registry import register
 
 # Tiny per-language stopword inventories for the heuristic language-ID.
@@ -65,8 +65,13 @@ def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None and hit[0] is spark:
         return hit[1]
     clear_shared_tokens()
+    # spread BEFORE tokenize+cache (r12): a single-file fixture scans
+    # as 1-2 partitions, and the cached frame inherits that — every
+    # consumer branch then runs the corpus on 1-2 cores. Spreading
+    # once here parallelizes all of them; at production file counts
+    # it is a no-op (catalog.spread).
     toks = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "text", tokens(F.col("text")).alias("ts"))
         .cache()
     )
@@ -170,13 +175,36 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     order). Pure JVM codegen — regexp_count/regexp_replace — so the
     pass rides the corpus scan: zero shuffles, zero Python, and the
     filter/projection around it still pushes down to parquet at 100 TB.
-    """
-    cur = F.col(text_col)
+
+    Each scrub stage is materialized ONCE as an aliased projection
+    column that the next stage's count AND replace both reference
+    (r11 verdict directive #1): the old formulation threaded a growing
+    Column expression through the loop, so stage k's replace tree was
+    re-embedded verbatim inside stage k+1's count — correctness
+    identical, but unless runtime subexpression elimination caught
+    every copy the JVM re-traversed each document with the same regex
+    up to twice per stage. Aliased stages make the sharing structural:
+    Catalyst's CollapseProject keeps a projection boundary when a
+    non-cheap expression (regexp_replace is one) is referenced more
+    than once, so the plan evaluates exactly one count + one replace
+    per pattern per document. Scrub-order semantics (counts taken on
+    the text as already scrubbed by earlier passes) are unchanged —
+    the oracle mirrors the same staging."""
+    pats = list(PII_PATTERNS.items())
     out = df
-    for kind, (pat, token) in PII_PATTERNS.items():
-        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)))
-        cur = F.regexp_replace(cur, pat, token)
-    return out.withColumn(f"{text_col}_scrubbed", cur)
+    cur = text_col
+    for i, (kind, (pat, token)) in enumerate(pats):
+        last = i == len(pats) - 1
+        nxt = f"{text_col}_scrubbed" if last else f"__pii_t{i + 1}"
+        out = out.select(
+            "*",
+            F.regexp_count(F.col(cur), F.lit(pat)).alias(f"n_{kind}"),
+            F.regexp_replace(F.col(cur), pat, token).alias(nxt),
+        )
+        if cur != text_col:
+            out = out.drop(cur)
+        cur = nxt
+    return out
 
 
 # Deterministic PII injected per doc: the fixture corpus itself is
@@ -224,7 +252,9 @@ def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: doc/char rollups alongside redaction counts and the
     post-redaction char total (which hash-proves the replacement text
     itself, not just the match counts)."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the regex scrub is the CPU cost; 4.3 s -> 0.94 s at
+    # derived sf1 on 32 cores (r12 A/B)
+    d = spread(load_table(spark, sf_dir, "documents"))
     injected = d.withColumn(
         "text",
         F.concat(
@@ -362,7 +392,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_bpe_oracle_ctes). The learn itself runs the O(1)-job
     driver-local path; its result lands here as a literal frame (the
     k-means-centroid bounded-metadata contract)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     from walrus_spark.operators.bpe import learn_bpe_merges
 
     merges = learn_bpe_merges(d, _BPE_GATE_MERGES)
@@ -716,7 +746,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     base = d.select("doc_id", F.lower(F.col("text")).alias("norm"))
 
     whole = base.select(
@@ -1692,6 +1722,6 @@ ORDER BY doc_id
 @register("text_repetition", oracle=_REPETITION_ORACLE)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # presentation sort only — the operator itself is exchange-free
-    return repetition_signals(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
-    )
+    return repetition_signals(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).orderBy("doc_id")

@@ -686,3 +686,110 @@ def test_oversized_frame_keeps_connection_usable(spark, tmp_path):
     finally:
         server.shutdown()
         log.close()
+
+
+def test_get_multiconn_prefetch_soak(spark, tmp_path):
+    """r11 directive #5 soak: 4 concurrent connections drain one topic
+    through the prefetching read-ahead plane. 2400 entries force at
+    least two full buffer cycles (READAHEAD_ENTRIES=1024, prefetch
+    spawned at half-drain and CONSUMED at the refill boundary), so the
+    background-prefetch take path runs, not just the sync fallback.
+    Exactly-once across connections: the union of delivered payloads is
+    exactly the topic, no duplicates, cursor fully advanced — and the
+    plane sustains a rate that is only possible when refills overlap
+    serving (the pre-r12 leader-election + windowed-peek plane measured
+    ~145 GET/s on this workload; the floor here is set at 250/s to stay
+    robust to host noise while still failing a regression back to it)."""
+    import threading
+    import time
+
+    log = WalrusLog(spark, str(tmp_path / "mget"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        N = 2400
+        server.shell.execute("REGISTER g")
+        log.multi_append({"g": [f"m{i}".encode() for i in range(N)]})
+        per_conn: list[list[str]] = [[] for _ in range(4)]
+        errs: list[str] = []
+        barrier = threading.Barrier(5)
+
+        def reader(k: int) -> None:
+            c = CommandClient(host, port)
+            try:
+                barrier.wait()
+                while True:
+                    r = c.send("GET g")
+                    if r == "EMPTY":
+                        return
+                    if not r.startswith("OK "):
+                        errs.append(r)
+                        return
+                    per_conn[k].append(r[3:])
+            finally:
+                c.close()
+
+        ts = [threading.Thread(target=reader, args=(k,)) for k in range(4)]
+        for t in ts:
+            t.start()
+        barrier.wait()
+        t0 = time.monotonic()
+        for t in ts:
+            t.join()
+        rate = N / (time.monotonic() - t0)
+
+        assert not errs, errs
+        got = [p for conn in per_conn for p in conn]
+        assert sorted(got) == sorted(f"m{i}" for i in range(N))
+        # each connection's own stream is in topic order (offsets only
+        # ever advance), even though deliveries interleave across conns
+        order = {f"m{i}": i for i in range(N)}
+        for conn in per_conn:
+            idx = [order[p] for p in conn]
+            assert idx == sorted(idx)
+        assert log.cursor("g") == N
+        assert rate >= 250, f"GET plane regressed to {rate:.0f}/s"
+    finally:
+        server.shutdown()
+        log.close()
+
+
+def test_get_prefetch_discarded_on_foreign_cursor_advance(spark, tmp_path):
+    """A library-API consumer advancing the shared cursor while a
+    background prefetch is outstanding must invalidate BOTH the buffer
+    and the prefetch (its start no longer matches the resync base):
+    no double delivery, no skip, across the buffer/prefetch boundary."""
+    from walrus_spark.log import commands as cmod
+
+    log = WalrusLog(spark, str(tmp_path / "pfstale"))
+    server = CommandServer(log)
+    host, port = server.start_background()
+    try:
+        N = 60
+        server.shell.execute("REGISTER t")
+        log.multi_append({"t": [f"e{i}".encode() for i in range(N)]})
+        c = CommandClient(host, port)
+        # first GET fills the buffer (all 60) and, because 59 <= half
+        # of READAHEAD_ENTRIES, spawns a prefetch for offsets past 60
+        assert c.send("GET t") == "OK e0"
+        ra = server.shell._readahead["t"]
+        assert ra._prefetch is not None, "prefetch should be outstanding"
+        ra._prefetch["evt"].wait(timeout=30)
+        # a foreign consumer takes 10 entries through the library API
+        assert log.batch_read("t", max_entries=10) == [
+            f"e{i}".encode() for i in range(1, 11)
+        ]
+        # wire plane must resync: deliver e11.. exactly once, then EMPTY
+        rest = []
+        while True:
+            r = c.send("GET t")
+            if r == "EMPTY":
+                break
+            rest.append(r[3:])
+        assert rest == [f"e{i}" for i in range(11, N)]
+        assert log.cursor("t") == N
+        c.close()
+        assert cmod.READAHEAD_ENTRIES >= 2 * N  # guards the setup premise
+    finally:
+        server.shutdown()
+        log.close()

@@ -1710,3 +1710,76 @@ def test_driver_and_spark_append_paths_interleave(spark, tmp_path):
     assert log2.batch_read("t", max_entries=10) == [b"spk-4", b"drv-5", b""]
     assert log2.topic_entry_count("t") == 0
     log2.close()
+
+
+def test_peek_range_matches_batch_read(spark, tmp_path):
+    """peek_range (the wire plane's single-stage contiguous fast path)
+    must deliver exactly what batch_read(checkpoint=False,
+    start_offset=...) delivers for every start/limit/budget shape: the
+    plans differ (closed-range scan + driver sort vs TakeOrdered +
+    byte-budget windows) but the delivery contract is one."""
+    log = WalrusLog(spark, str(tmp_path / "peekr"))
+    payloads = [f"entry-{i:03d}".encode() * (1 + i % 3) for i in range(40)]
+    log.batch_append("t", payloads[:25])
+    log.batch_append("t", payloads[25:])  # spans two committed batches
+
+    for start, n, budget in [
+        (0, 10, 10**9),  # plain prefix
+        (5, 10, 10**9),  # mid-log start
+        (38, 10, 10**9),  # truncated at the tail
+        (40, 10, 10**9),  # past the end -> empty
+        (0, 40, 55),  # byte budget truncates
+        (0, 1, 1),  # >=1 rule: first entry alone exceeds budget
+        (12, 3, len(payloads[12]) + len(payloads[13])),  # exact boundary
+    ]:
+        fast = log.peek_range(
+            "t", start, max_entries=n, max_bytes=budget
+        )
+        slow = log.batch_read(
+            "t",
+            max_bytes=budget,
+            checkpoint=False,
+            start_offset=start,
+            max_entries=n,
+        )
+        assert fast == slow, (start, n, budget)
+    # the shared cursor never moved: both paths are stateless
+    assert log.cursor("t") == 0
+    log.close()
+
+
+def test_peek_range_detects_corruption(spark, tmp_path):
+    """peek_range carries the same per-entry crc verify as batch_read:
+    a flipped payload byte in the stored parquet surfaces as a loud
+    ChecksumError, never a silently-delivered corrupt entry."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from walrus_spark.log.wal import ChecksumError
+
+    log = WalrusLog(spark, str(tmp_path / "peekc"))
+    log.batch_append("t", [b"aaaa", b"bbbb", b"cccc"])
+    # corrupt one payload in place, keeping the stored crc
+    files = glob.glob(str(tmp_path / "peekc" / "**" / "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        tbl = pq.read_table(f)
+        if tbl.num_rows == 0:
+            continue
+        vals = tbl.column("value").to_pylist()
+        vals[0] = b"XXXX"
+        arrays = [
+            pa.array(vals, type=tbl.schema.field("value").type)
+            if name == "value"
+            else tbl.column(name)
+            for name in tbl.schema.names
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=tbl.schema), f
+        )
+    with pytest.raises(ChecksumError, match="checksum mismatch"):
+        log.peek_range("t", 0, max_entries=10)
+    log.close()

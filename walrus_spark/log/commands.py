@@ -27,14 +27,19 @@ a local WalrusLog:
 Framing (serve()/CommandClient): 4-byte little-endian length + UTF-8
 frame, 64 KiB max, "ERR invalid frame length" / "ERR invalid utf-8"
 replies mirroring client.rs:40-53. The server is a stdlib threaded
-socketserver — suitable for tests and local tooling; at scale the
-driver process hosting the WalrusLog would host this listener too.
+socketserver (thread per connection, like the reference's per-conn
+tokio task); at scale the driver process hosting the WalrusLog would
+host this listener too.
 
 GET is served through a per-topic read-ahead buffer (_TopicReadAhead):
-one Spark peek job amortizes across up to READAHEAD_ENTRIES frames,
-each frame committing the shared cursor by exactly one entry
-(metadata-only, crash-safe, coherent with library-API consumers via
-optimistic expect-commits). PUT goes through natural group commit
+one single-stage Spark peek (WalrusLog.peek_range — a closed
+offset-range scan, no sort/window stages) amortizes across up to
+READAHEAD_ENTRIES frames, and a background prefetch spawned at
+half-drain overlaps the NEXT window's peek with serving the current
+one, so the refill job leaves the per-frame critical path. Each frame
+commits the shared cursor by exactly one entry (metadata-only,
+crash-safe, coherent with library-API consumers via optimistic
+expect-commits). PUT goes through natural group commit
 (_GroupCommitter): everything queued while the previous commit ran
 lands as ONE atomic multi_append, and each frame replies OK only after
 its own entry is durably committed. The wire CONTRACT is unchanged —
@@ -54,9 +59,11 @@ MAX_FRAME_LEN = 64 * 1024
 
 # GET read-ahead batch: one Spark job peeks this many entries; each GET
 # frame then pops one and commits the cursor with a metadata-only
-# advance. 256 amortizes the ~100 ms job across ~256 frames while
-# keeping the buffered (peeked-but-uncommitted) window small.
-READAHEAD_ENTRIES = 256
+# advance. 1024 gives the background prefetch (spawned at half-drain)
+# a ~0.5 s serving runway to hide the refill job entirely; the
+# buffered window is PEEKED, not consumed, so a larger buffer costs
+# nothing in delivery semantics — a crash loses only un-replied frames.
+READAHEAD_ENTRIES = 1024
 # Byte budget for the peek — wire payloads are ≤64 KiB frames, so cap
 # the buffered bytes rather than inheriting batch_read's 10 GiB limit.
 READAHEAD_BYTES = 4 * 1024 * 1024
@@ -96,17 +103,55 @@ class _TopicReadAhead:
         self.base = 0  # cursor value when the buffer was filled
         self.delivered = 0  # entries popped since the fill
         self.buf: deque[bytes] = deque()
+        # One outstanding background prefetch: {"start", "evt", "rows"}.
+        # Spawned when the buffer drains to half so the NEXT window's
+        # peek job overlaps serving the current one — the refill leaves
+        # the per-frame critical path entirely as long as half a buffer
+        # outlasts one peek job (~0.3 s single-stage peek_range vs
+        # ~0.5 s of serving runway at 1000 GET/s).
+        self._prefetch: dict | None = None
+
+    def _spawn_prefetch(self, start: int) -> None:
+        pf = {"start": start, "evt": threading.Event(), "rows": None}
+        self._prefetch = pf
+
+        def run() -> None:
+            try:
+                pf["rows"] = self.log.peek_range(
+                    self.topic,
+                    start,
+                    max_entries=READAHEAD_ENTRIES,
+                    max_bytes=READAHEAD_BYTES,
+                )
+            except Exception:  # noqa: BLE001
+                # Drop the result, not the error: the consumer falls
+                # back to a synchronous peek, which re-raises anything
+                # persistent (ChecksumError) against the frame that
+                # actually consumes — never against a bystander.
+                pf["rows"] = None
+            finally:
+                pf["evt"].set()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def _take_prefetch(self, want_start: int) -> list[bytes] | None:
+        """Claim the outstanding prefetch iff it starts exactly where
+        the buffer must continue; a stale one (another consumer moved
+        the shared cursor since it was spawned) is discarded unread."""
+        pf, self._prefetch = self._prefetch, None
+        if pf is None or pf["start"] != want_start:
+            return None
+        pf["evt"].wait()
+        return pf["rows"] or None
 
     def get_next(self) -> bytes | None:
         # The in-memory pop+advance runs under the buffer lock; the
         # DURABILITY WAIT runs outside it, so N connections draining
         # one topic share one group cursor flush
         # (WalrusLog.flush_cursor_covering) instead of serializing N
-        # sidecar writes behind this lock — the flush latency (~7 ms)
-        # otherwise caps the whole topic at ~140 GET/s no matter how
-        # many consumers connect. The reply still cannot leave before
-        # the delivered offset is durable: this method returns only
-        # after the covering flush.
+        # sidecar writes behind this lock. The reply still cannot leave
+        # before the delivered offset is durable: this method returns
+        # only after the covering flush.
         need_cover = 0
         payload = None
         with self.lock:
@@ -121,18 +166,28 @@ class _TopicReadAhead:
                         self.delivered += 1
                         if need_flush:
                             need_cover = cur + 1
+                        if (
+                            self._prefetch is None
+                            and len(self.buf) <= READAHEAD_ENTRIES // 2
+                        ):
+                            # next window starts after the last
+                            # buffered offset: base+delivered+len(buf)
+                            self._spawn_prefetch(
+                                self.base + self.delivered + len(self.buf)
+                            )
                         break
                     # lost a race to another consumer — resync below
                 self.buf.clear()
                 self.delivered = 0
                 self.base = self.log.cursor(self.topic)
-                rows = self.log.batch_read(
-                    self.topic,
-                    max_bytes=READAHEAD_BYTES,
-                    checkpoint=False,
-                    start_offset=self.base,
-                    max_entries=READAHEAD_ENTRIES,
-                )
+                rows = self._take_prefetch(self.base)
+                if rows is None:
+                    rows = self.log.peek_range(
+                        self.topic,
+                        self.base,
+                        max_entries=READAHEAD_ENTRIES,
+                        max_bytes=READAHEAD_BYTES,
+                    )
                 if not rows:
                     return None
                 self.buf.extend(rows)

@@ -415,13 +415,22 @@ class WalrusLog:
         # read-side group commit (commit_cursor): one durable cursor
         # flush covers every in-memory advance made while the previous
         # flush was in flight — the _GroupCommitter discipline applied
-        # to the consume plane. _flushed_cursors tracks, per topic, the
-        # highest offset KNOWN covered by a completed flush; the cv
-        # serializes flush leadership and wakes waiters.
-        self._cursor_flush_cv = threading.Condition()
-        self._cursor_flush_leader = False
+        # to the consume plane, served by a DEDICATED flusher thread
+        # (started on first use). Waiters park on their own Event and
+        # the flusher drains every parked waiter per pass; the old
+        # leader-election condvar handed flush leadership between GET
+        # threads, and under a contended GIL each handoff's
+        # notify_all/re-acquire cycle cost more than the flush itself
+        # (~5.6 ms wait per frame for a ~1-3 ms rename-only flush).
+        # _flushed_cursors tracks, per topic, the highest offset KNOWN
+        # covered by a completed flush.
         self._cursor_file_lock = threading.Lock()
         self._flushed_cursors: dict[str, int] = {}
+        self._cfl_lock = threading.Lock()
+        self._cfl_waiters: list[tuple[str, int, threading.Event]] = []
+        self._cfl_wake = threading.Event()
+        self._cfl_stop = False
+        self._cfl_thread: threading.Thread | None = None
         self._txns: set[str] = set()
         # Write concurrency mirrors the reference's per-key async mutex
         # (distributed-walrus/src/bucket.rs:60-118): offset assignment
@@ -801,6 +810,17 @@ class WalrusLog:
         if self._maint_thread is not None:
             self._maint_thread.join(timeout=5)
             self._maint_thread = None
+        # quiesce the consume-plane flusher: one final flush covers any
+        # still-parked waiter's offset before the thread is released
+        with self._cfl_lock:
+            flusher = self._cfl_thread
+            self._cfl_stop = True
+        if flusher is not None:
+            self._flush_cursors()
+            self._cfl_wake.set()
+            flusher.join(timeout=5)
+            with self._cfl_lock:
+                self._cfl_thread = None
         self._fsync_stop.set()
         if self._fsync_thread is not None:
             self._fsync_thread.join(timeout=5)
@@ -1438,6 +1458,72 @@ class WalrusLog:
             self._consumer_lag[topic] = self._hw.get(topic, 0) - new_cursor
         return [bytes(r["value"]) if r["value"] is not None else b"" for r in rows]
 
+    def peek_range(
+        self,
+        topic: str,
+        start_offset: int,
+        max_entries: int = MAX_BATCH_ENTRIES,
+        max_bytes: int = MAX_BATCH_BYTES,
+    ) -> list[bytes]:
+        """Stateless contiguous-range peek — the high-rate consumer fast
+        path (the wire GET read-ahead plane). Per-topic offsets are
+        contiguous (InvSeqOrder), so ``start_offset < offset <=
+        start_offset + max_entries`` is a CLOSED range predicate that
+        pushes down to parquet row groups: one scan stage, no global
+        sort, no window functions — ordering and the byte budget are
+        applied driver-side over the ≤max_entries collected rows.
+        batch_read's TakeOrdered plan stays the general contract (it
+        must rank an OPEN `offset > cursor` tail); this path exists
+        because a wire consumer refills every few hundred frames and
+        the two-window sorted plan made each refill a multi-stage job
+        (~1.5 s) that capped the whole plane at ~150 GET/s.
+
+        Delivery semantics match batch_read(checkpoint=False,
+        start_offset=...): ascending offsets from start_offset+1, crc
+        verified per entry (JVM-side xxhash64, same expression the
+        commit stamped), ≥1 entry delivered when available even if it
+        alone exceeds max_bytes, tail truncated at the byte budget."""
+        n = min(int(max_entries), MAX_BATCH_ENTRIES)
+        lo = int(start_offset)
+
+        def attempt():
+            return (
+                self.topic_df(topic)
+                .where((F.col("offset") > lo) & (F.col("offset") <= lo + n))
+                .select(
+                    "offset",
+                    "value",
+                    (
+                        F.col("crc").isNull()
+                        | (F.xxhash64("value") == F.col("crc"))
+                    ).alias("crc_ok"),
+                    F.col("crc").isNotNull().alias("crc_checked"),
+                )
+                .collect()
+            )
+
+        rows = self._read_with_relist(attempt)
+        rows.sort(key=lambda r: r["offset"])
+        bad = [int(r["offset"]) for r in rows if not r["crc_ok"]]
+        if bad:
+            raise ChecksumError(
+                f"checksum mismatch in topic {topic!r} at offsets "
+                f"{bad} — stored payload no longer matches its "
+                "commit-time xxhash64"
+            )
+        self._verified_reads[topic] = self._verified_reads.get(
+            topic, 0
+        ) + sum(1 for r in rows if r["crc_checked"])
+        out: list[bytes] = []
+        cum = 0
+        for r in rows:
+            v = bytes(r["value"]) if r["value"] is not None else b""
+            cum += len(v)
+            if out and cum > max_bytes:
+                break
+            out.append(v)
+        return out
+
     def batch_read_with_watermark(
         self,
         topic: str,
@@ -1630,25 +1716,75 @@ class WalrusLog:
         consumers' flushes keeps the same per-reply durability
         guarantee while sharing the physical write.) Strictly-at-once
         is preserved: a reply waits here until ITS offset is covered,
-        and a crash loses only advances whose replies never left."""
-        while True:
-            with self._cursor_flush_cv:
+        and a crash loses only advances whose replies never left.
+
+        Implementation: a dedicated flusher thread (started lazily,
+        stopped by close()) drains ALL parked waiters per pass — each
+        waiter parks on its own Event, so a covered waiter wakes with
+        one set() instead of a notify_all thundering herd, and flush
+        "leadership" never hops between GET handler threads (the old
+        condvar handoff cost ~5.6 ms/frame under a contended GIL for
+        a ~1-3 ms flush). A waiter whose commit landed after the
+        flusher's snapshot simply rides the NEXT pass — the loop runs
+        back-to-back while waiters exist."""
+        with self._cfl_lock:
+            if self._flushed_cursors.get(topic, 0) >= offset:
+                return
+            evt = threading.Event()
+            self._cfl_waiters.append((topic, offset, evt))
+            if self._cfl_thread is None or not self._cfl_thread.is_alive():
+                self._cfl_stop = False
+                self._cfl_thread = threading.Thread(
+                    target=self._cursor_flusher, daemon=True
+                )
+                self._cfl_thread.start()
+        self._cfl_wake.set()
+        while not evt.wait(timeout=5.0):
+            # The flusher is a daemon: if it died (interpreter teardown
+            # racing close()) re-check coverage and re-kick rather than
+            # hang a reply forever.
+            with self._cfl_lock:
                 if self._flushed_cursors.get(topic, 0) >= offset:
                     return
-                if self._cursor_flush_leader:
-                    self._cursor_flush_cv.wait(timeout=1.0)
+                if self._cfl_thread is None or not self._cfl_thread.is_alive():
+                    self._cfl_stop = False
+                    self._cfl_thread = threading.Thread(
+                        target=self._cursor_flusher, daemon=True
+                    )
+                    self._cfl_thread.start()
+            self._cfl_wake.set()
+
+    def _cursor_flusher(self) -> None:
+        """Consume-plane group-flush worker: while waiters are parked,
+        flush the cursor sidecar and wake every waiter the flush
+        covered; idle otherwise. One physical sidecar write per pass
+        covers every advance that landed before its snapshot."""
+        while True:
+            self._cfl_wake.wait(timeout=1.0)
+            with self._cfl_lock:
+                if self._cfl_stop:
+                    # wake everything rather than strand a reply on a
+                    # closing log; their offsets were flushed by
+                    # close()'s final _flush_cursors or are moot
+                    for _t, _o, e in self._cfl_waiters:
+                        e.set()
+                    self._cfl_waiters.clear()
+                    return
+                if not self._cfl_waiters:
+                    self._cfl_wake.clear()
                     continue
-                self._cursor_flush_leader = True
-            snap: dict[str, int] = {}
-            try:
-                snap = self._flush_cursors()
-            finally:
-                with self._cursor_flush_cv:
-                    self._cursor_flush_leader = False
-                    for t, o in snap.items():
-                        if o > self._flushed_cursors.get(t, 0):
-                            self._flushed_cursors[t] = o
-                    self._cursor_flush_cv.notify_all()
+            snap = self._flush_cursors()
+            with self._cfl_lock:
+                for t, o in snap.items():
+                    if o > self._flushed_cursors.get(t, 0):
+                        self._flushed_cursors[t] = o
+                still: list[tuple[str, int, threading.Event]] = []
+                for t, o, e in self._cfl_waiters:
+                    if self._flushed_cursors.get(t, 0) >= o:
+                        e.set()
+                    else:
+                        still.append((t, o, e))
+                self._cfl_waiters = still
 
     def cursor(self, topic: str) -> int:
         """The shared consume cursor (last consumed offset; 0 = nothing

@@ -57,16 +57,16 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, "object"]:
-    """REAL pixel decode for binary PPM (P6), implemented pure-Python —
-    no codec library needed. Returns (width, height, ndarray[h,w,3]
-    uint8). Handles the full header grammar: magic, whitespace runs,
-    `#` comments, arbitrary token split, then exactly one whitespace
-    byte before the raster. Malformed input raises ValueError (never a
-    silent wrong image). Production swaps this one function for
-    Pillow/ffmpeg; everything around it (Arrow batching, schema,
-    fan-out) is codec-agnostic."""
-    import numpy as np
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Header walk + raster slice of a binary PPM (P6) — the pure-
+    Python, no-numpy half of decode_image, split out so batched
+    decoders (image_stats) can parse per-doc but materialize ONE
+    numpy array per Arrow batch instead of one per image (tiny
+    fixtures make per-image ndarray overhead the dominant cost).
+    Handles the full header grammar: magic, whitespace runs, `#`
+    comments, arbitrary token split, then exactly one whitespace byte
+    before the raster. Malformed input raises ValueError (never a
+    silent wrong image)."""
 
     def token(pos: int) -> tuple[bytes, int]:
         while pos < len(payload):
@@ -100,6 +100,18 @@ def decode_image(payload: bytes) -> tuple[int, int, "object"]:
         raise ValueError(
             f"raster truncated: want {w * h * 3} bytes, have {len(raster)}"
         )
+    return w, h, raster
+
+
+def decode_image(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL pixel decode for binary PPM (P6), implemented pure-Python —
+    no codec library needed. Returns (width, height, ndarray[h,w,3]
+    uint8). Production swaps this one function for Pillow/ffmpeg;
+    everything around it (Arrow batching, schema, fan-out) is
+    codec-agnostic. See _parse_ppm for the header grammar."""
+    import numpy as np
+
+    w, h, raster = _parse_ppm(payload)
     return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -309,22 +321,60 @@ def image_stats(media: DataFrame) -> DataFrame:
     """Decode every payload with the pure-Python PPM decoder and emit
     per-image pixel statistics — the canonical decode→feature-extract
     stage of a multimodal pipeline, Arrow-batched, payloads never
-    shuffled (stats come out of the scan stage)."""
+    shuffled (stats come out of the scan stage).
+
+    The raster math is vectorized ACROSS the Arrow batch (r11 verdict
+    directive #3): headers are parsed per-doc in pure Python
+    (_parse_ppm — no numpy in the loop), the raster slices concatenate
+    into ONE (Σpixels, 3) int64 array, and per-image channel sums come
+    from a single np.add.reduceat over the image boundaries — one
+    ndarray per batch instead of one per image, so tiny fixture images
+    don't pay per-image ndarray construction as the dominant cost."""
     import numpy as np
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, px = decode_image(bytes(payload))
-                sums = px.sum(axis=(0, 1), dtype=np.int64)
-                rows["doc_id"].append(int(doc_id))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(sums[0]))
-                rows["sum_g"].append(int(sums[1]))
-                rows["sum_b"].append(int(sums[2]))
-            yield pd.DataFrame(rows)
+            n = len(pdf)
+            ws = np.empty(n, dtype=np.int64)
+            hs = np.empty(n, dtype=np.int64)
+            rasters: list[bytes] = []
+            for i, payload in enumerate(pdf["payload"]):
+                w, h, raster = _parse_ppm(bytes(payload))
+                ws[i] = w
+                hs[i] = h
+                rasters.append(raster)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "width": ws,
+                "height": hs,
+            }
+            areas = ws * hs
+            if n and int(areas.min()) > 0:
+                big = (
+                    np.frombuffer(b"".join(rasters), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(-1, 3)
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(areas[:-1], out=starts[1:])
+                sums = np.add.reduceat(big, starts, axis=0)
+            else:
+                # degenerate 0-area images would corrupt reduceat's
+                # segment boundaries — take the per-image path (absent
+                # from real corpora; correctness guard only)
+                sums = np.zeros((n, 3), dtype=np.int64)
+                for i, raster in enumerate(rasters):
+                    if areas[i]:
+                        sums[i] = (
+                            np.frombuffer(raster, dtype=np.uint8)
+                            .astype(np.int64)
+                            .reshape(-1, 3)
+                            .sum(axis=0)
+                        )
+            out["sum_r"] = sums[:, 0]
+            out["sum_g"] = sums[:, 1]
+            out["sum_b"] = sums[:, 2]
+            yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
         stats, IMAGE_STATS_SCHEMA
@@ -372,16 +422,14 @@ def resize_images(
     )
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
-    """REAL pure-Python WAV (RIFF / PCM16) decoder → (sample_rate,
-    n_channels, int16 numpy samples). Walks the chunk list (so extra
-    chunks like LIST are tolerated, as in the wild), validates the
-    format tag, and fails loudly on truncation — the audio counterpart
-    of ``decode_image``; swap in ffmpeg/soundfile for compressed
-    codecs, same plumbing."""
+def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF chunk walk of a PCM16 WAV → (sample_rate, n_channels,
+    raw sample bytes) — the pure-Python, no-numpy half of decode_audio
+    (the _parse_ppm analog; batched decoders materialize one array per
+    Arrow batch, not per clip). Walks the chunk list (extra chunks like
+    LIST are tolerated, as in the wild), validates the format tag, and
+    fails loudly on truncation."""
     import struct
-
-    import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("bad RIFF/WAVE magic")
@@ -404,6 +452,17 @@ def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
         raise ValueError(f"unsupported format: fmt={audio_fmt} bits={bits}")
     if len(data) % (2 * n_ch):
         raise ValueError("truncated sample data")
+    return rate, n_ch, data
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL pure-Python WAV (RIFF / PCM16) decoder → (sample_rate,
+    n_channels, int16 numpy samples) — the audio counterpart of
+    ``decode_image``; swap in ffmpeg/soundfile for compressed codecs,
+    same plumbing. See _parse_wav for the chunk grammar."""
+    import numpy as np
+
+    rate, n_ch, data = _parse_wav(payload)
     return rate, n_ch, np.frombuffer(data, dtype="<i2")
 
 
@@ -474,23 +533,52 @@ AUDIO_STATS_SCHEMA = StructType(
 
 def audio_stats(media: DataFrame) -> DataFrame:
     """Decode every WAV payload and emit per-clip signal statistics —
-    Arrow-batched in the scan stage, payloads never shuffled."""
+    Arrow-batched in the scan stage, payloads never shuffled.
+
+    Vectorized across the Arrow batch (r11 verdict directive #3):
+    chunk walks run per-doc in pure Python (_parse_wav — no numpy in
+    the loop), the PCM sample bytes concatenate into ONE int64 array,
+    and per-clip sum_abs/peak/energy come from np.add.reduceat /
+    np.maximum.reduceat over the clip boundaries — one ndarray per
+    batch instead of three reductions per clip."""
     import numpy as np
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, _ch, s = decode_audio(bytes(payload))
-                s64 = s.astype(np.int64)
-                rows["doc_id"].append(int(doc_id))
-                rows["sample_rate"].append(rate)
-                rows["n_samples"].append(len(s))
-                rows["duration_ms"].append(len(s) * 1000 // rate)
-                rows["sum_abs"].append(int(np.abs(s64).sum()))
-                rows["peak"].append(int(np.abs(s64).max()))
-                rows["energy"].append(int((s64 * s64).sum()))
-            yield pd.DataFrame(rows)
+            n = len(pdf)
+            rates = np.empty(n, dtype=np.int64)
+            lens = np.empty(n, dtype=np.int64)
+            datas: list[bytes] = []
+            for i, payload in enumerate(pdf["payload"]):
+                rate, _ch, data = _parse_wav(bytes(payload))
+                if not data:
+                    # reduceat segments must be non-empty; the per-clip
+                    # path raised here too (max of an empty reduction)
+                    raise ValueError("empty data chunk")
+                rates[i] = rate
+                lens[i] = len(data) // 2
+                datas.append(data)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "sample_rate": rates,
+                "n_samples": lens,
+                "duration_ms": lens * 1000 // rates,
+            }
+            if n:
+                big = np.frombuffer(b"".join(datas), dtype="<i2").astype(
+                    np.int64
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                mag = np.abs(big)
+                out["sum_abs"] = np.add.reduceat(mag, starts)
+                out["peak"] = np.maximum.reduceat(mag, starts)
+                out["energy"] = np.add.reduceat(big * big, starts)
+            else:
+                out["sum_abs"] = out["peak"] = out["energy"] = np.array(
+                    [], dtype=np.int64
+                )
+            yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
         stats, AUDIO_STATS_SCHEMA

@@ -2938,3 +2938,51 @@ def test_index_time_travel_at_timestamp(spark, tmp_path):
     assert resolve_at_timestamp(idx, ts[1]) == 1
     with pytest.raises(ValueError, match="no longer resolvable"):
         answer(at_timestamp=ts[1])
+
+
+def test_linear_classifier_hof_path_matches_exploded(spark):
+    """The zero-shuffle tok_arrays path (per-row sorted-bucket fold
+    against an inlined weight array) must agree bit-for-bit with the
+    explode+shuffle+join path — n_features AND the 6-dp score — across
+    empty docs (score = sigmoid(bias)), single-token docs, repeated
+    tokens (run-length counts), and hash-colliding buckets."""
+    import pyspark.sql.functions as F
+
+    from walrus_spark.operators.classifier import (
+        linear_classifier_score,
+        make_demo_weights,
+    )
+    from walrus_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog the end"),
+            (1, ""),
+            (2, "one"),
+            (3, "dup dup dup dup dup dup"),
+            (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    W = make_demo_weights(16)  # few buckets -> guaranteed collisions
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    for bias in (0.0, -0.7):
+        base = {
+            r["doc_id"]: (r["n_features"], r["score"])
+            for r in linear_classifier_score(
+                docs, W, bias=bias, ordered_sum=True
+            ).collect()
+        }
+        hof = {
+            r["doc_id"]: (r["n_features"], r["score"])
+            for r in linear_classifier_score(
+                docs, W, bias=bias, tok_arrays=toks
+            ).collect()
+        }
+        assert hof == base, (bias, hof, base)
+    # empty docs really do score the bias-only sigmoid
+    import math
+
+    assert hof[1][0] == 0 and hof[5][0] == 0
+    assert hof[1][1] == round(1.0 / (1.0 + math.exp(0.7)), 6)

@@ -656,9 +656,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _clf_weights(),
         bias=_CLF_BIAS,
         ordered_sum=True,
-        words=shared.select(
-            "doc_id", F.explode("ts").alias("word")
-        ).where(F.col("word") != ""),
+        # array-form tokens -> the zero-shuffle per-row HOF fold
+        # (r12 A/B: 1.39 s -> 0.52 s at sf1, bit-identical)
+        tok_arrays=shared.select("doc_id", "ts"),
     ).select(
         F.lit("clf").alias("src"),
         "doc_id",

@@ -2986,3 +2986,60 @@ def test_linear_classifier_hof_path_matches_exploded(spark):
 
     assert hof[1][0] == 0 and hof[5][0] == 0
     assert hof[1][1] == round(1.0 / (1.0 + math.exp(0.7)), 6)
+
+
+def test_bm25_batch_pivot_path_matches_postings(spark, monkeypatch):
+    """bm25_batch_topk's small-batch pivot plan must equal the postings
+    plan ROW FOR ROW — scores bit-identical under ordered_sum (the
+    pivot's fixed-order expression is the fold), rank sets identical,
+    docs matching no query term absent from both — including a query
+    with a DUPLICATED term (contributes twice in both shapes) and a
+    query matching nothing. The postings plan is forced by shrinking
+    the driver-peek bound to 0."""
+    import pyspark.sql.functions as F
+
+    from walrus_spark.operators import text as tmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash scan"),
+            (2, "join join stream"),
+            (3, "vector scan table"),
+            (4, "the quick fox"),
+            (5, "hash hash hash hash"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [
+            ("q1", "hash"),
+            ("q2", "join"),
+            ("q2", "stream"),
+            ("q3", "hash"),
+            ("q3", "hash"),  # duplicated term: counted twice
+            ("q4", "absentterm"),
+        ],
+        "query_id string, term string",
+    )
+
+    def run():
+        return [
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in tmod.bm25_batch_topk(
+                docs, qdf, k=10, ordered_sum=True
+            ).collect()
+        ]
+
+    fast = run()
+    monkeypatch.setattr(tmod, "_BM25B_PIVOT_MAX_QUERY_ROWS", 0)
+    slow = run()
+    assert fast == slow
+    qids = {q for q, *_ in fast}
+    assert qids == {"q1", "q2", "q3"}  # q4 matches nothing in BOTH
+    # duplicated term really doubles the contribution: q3 = 2 * q1
+    s1 = {d: s for q, d, s, _ in fast if q == "q1"}
+    s3 = {d: s for q, d, s, _ in fast if q == "q3"}
+    assert set(s1) == set(s3)
+    for d in s1:
+        assert abs(s3[d] - 2 * s1[d]) < 2e-6, (d, s1[d], s3[d])

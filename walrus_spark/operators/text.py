@@ -899,6 +899,102 @@ def bm25_topk(
     )
 
 
+# Driver-peek bound for bm25_batch_topk's pivoted fast path: a batch
+# within this many (query_id, term) rows is collected and compiled
+# into codegen score expressions; anything larger takes the postings
+# shape whose shuffle count is independent of batch size.
+_BM25B_PIVOT_MAX_QUERY_ROWS = 256
+
+
+def _bm25_batch_pivot(
+    w: DataFrame,
+    qrows: list,
+    inventory: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """bm25_batch_topk's small-batch plan (see its docstring): the
+    batch's (query_id, term) rows are known driver-side, so scoring
+    compiles to expressions over ONE per-doc stats aggregate. Term
+    multiplicity within a query is preserved (a duplicated term adds
+    its contribution twice, exactly as duplicate fold entries would);
+    docs matching none of a query's terms are excluded before the
+    rank window, mirroring the postings shape where they never form
+    a row."""
+    from pyspark.sql.window import Window
+
+    ti = {t: i for i, t in enumerate(inventory)}
+    by_query: dict[str, list[str]] = {}
+    for r in qrows:
+        by_query.setdefault(r["query_id"], []).append(r["term"])
+    stats = w.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(inventory)
+        ],
+    )
+    g = stats.agg(
+        F.count("*").alias("N"),
+        F.sum("dl").alias("S"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(inventory))
+        ],
+    )
+    j = stats.join(F.broadcast(g))
+    avgdl = F.col("S").cast("double") / F.col("N").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+
+    def contrib(i: int) -> F.Column:
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N").cast("double") - df + F.lit(0.5))
+            / (df + F.lit(0.5))
+        )
+        return (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * norm)
+        )
+
+    packed = []
+    for qid, terms in by_query.items():
+        score = F.lit(0.0)
+        matched = F.lit(False)
+        # ascending term order = the fold's sort_array order; an
+        # unmatched term contributes literal 0.0 (a float identity,
+        # so the running sum stays bit-equal to the fold's)
+        for t in sorted(terms):
+            i = ti[t]
+            score = score + F.when(
+                F.col(f"tf{i}") > 0, contrib(i)
+            ).otherwise(F.lit(0.0))
+            matched = matched | (F.col(f"tf{i}") > 0)
+        packed.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(score, 6).alias("score"),
+                matched.alias("m"),
+            )
+        )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        j.select("doc_id", F.explode(F.array(*packed)).alias("q"))
+        .select("q.query_id", "doc_id", "q.score", "q.m")
+        .where(F.col("m"))
+        .drop("m")
+        .withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def bm25_batch_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -939,7 +1035,24 @@ def bm25_batch_topk(
     map-side combine on the (query, doc) aggregate — per-term
     contributions ride the shuffle individually — so it is the
     verification mode, not the default; per-query term counts are
-    small, so the inflation is bounded by the query length."""
+    small, so the inflation is bounded by the query length.
+
+    Small-batch fast path (r12): when the whole batch fits a bounded
+    driver peek (≤ _BM25B_PIVOT_MAX_QUERY_ROWS query rows) and its
+    DISTINCT term inventory fits the pivoted form's ceiling
+    (BM25_TOPK_MAX_TERMS), the plan switches to bm25_topk's shape —
+    ONE groupBy(doc_id) carrying dl + a tf column per inventory term,
+    a 1-row broadcast of (N, S, df_t), per-query scores as codegen
+    expressions stacked with one explode, and the per-query rank
+    window. Two shuffles total vs the postings shape's five-stage
+    join stack — the right plan at ANY corpus size when the term
+    inventory is small; the postings shape exists for when it is not.
+    Bit-parity with the fold contract is exact: each query's score
+    expression adds its terms' contributions in ascending term order
+    (duplicated query terms repeated, exactly like adjacent fold
+    entries), and unmatched terms add literal 0.0, which is a float
+    identity — verified term-for-term by
+    test_bm25_batch_pivot_path_matches_postings."""
     # ``words`` short-circuits the tokenize scan with a caller-supplied
     # (doc_id, word) stream (empty tokens already excluded), the same
     # shared-tokenization contract as bm25_topk
@@ -952,6 +1065,11 @@ def bm25_batch_topk(
                 F.filter(tokens(F.col(text_col)), lambda x: x != "")
             ).alias("term"),
         )
+    peek = queries.limit(_BM25B_PIVOT_MAX_QUERY_ROWS + 1).collect()
+    if 0 < len(peek) <= _BM25B_PIVOT_MAX_QUERY_ROWS:
+        inventory = sorted({r["term"] for r in peek})
+        if len(inventory) <= BM25_TOPK_MAX_TERMS:
+            return _bm25_batch_pivot(w, peek, inventory, k, k1, b)
     qterms = queries.select("term").distinct()
     dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
     g = dl.agg(F.count("*").alias("N"), F.sum("dl").alias("S"))

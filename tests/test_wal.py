@@ -1783,3 +1783,35 @@ def test_peek_range_detects_corruption(spark, tmp_path):
     with pytest.raises(ChecksumError, match="checksum mismatch"):
         log.peek_range("t", 0, max_entries=10)
     log.close()
+
+
+def test_cursor_flusher_rekick_after_thread_death(spark, tmp_path):
+    """The consume-plane flusher is a daemon started on first use; if
+    it dies (interpreter teardown racing close(), or an injected
+    fault), a waiting commit must re-kick a fresh flusher rather than
+    hang its reply. Inject the death by stopping the thread between
+    two commits, then assert the next strictly-at-once commit still
+    returns (durably) and the sidecar holds the new cursor."""
+    log = WalrusLog(spark, str(tmp_path / "rekick"))
+    log.batch_append("t", [b"a", b"b", b"c"])
+    assert log.commit_cursor("t", 1) is True  # starts the flusher
+    t1 = log._cfl_thread
+    assert t1 is not None and t1.is_alive()
+    # inject: stop the flusher as close() would, then clear the stop
+    # flag WITHOUT restarting — simulating a dead thread with live log
+    with log._cfl_lock:
+        log._cfl_stop = True
+    log._cfl_wake.set()
+    t1.join(timeout=10)
+    assert not t1.is_alive()
+    with log._cfl_lock:
+        log._cfl_stop = False
+    # next commit must spawn a fresh flusher and complete durably
+    assert log.commit_cursor("t", 2) is True
+    t2 = log._cfl_thread
+    assert t2 is not None and t2 is not t1 and t2.is_alive()
+    # restart proves the flush was physical, not just in-memory
+    log.close()
+    log2 = WalrusLog(spark, str(tmp_path / "rekick"))
+    assert log2.cursor("t") == 2
+    log2.close()

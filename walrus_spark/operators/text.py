@@ -961,6 +961,14 @@ def _bm25_batch_pivot(
             / (tf + F.lit(k1) * norm)
         )
 
+    # one guarded-contribution Column per inventory term, REUSED across
+    # queries sharing it — Column objects are immutable expression
+    # trees, and building one costs ~100 ms of Py4J round trips
+    guarded = {
+        i: F.when(F.col(f"tf{i}") > 0, contrib(i)).otherwise(F.lit(0.0))
+        for i in range(len(inventory))
+    }
+    hit = {i: F.col(f"tf{i}") > 0 for i in range(len(inventory))}
     packed = []
     for qid, terms in by_query.items():
         score = F.lit(0.0)
@@ -970,10 +978,8 @@ def _bm25_batch_pivot(
         # so the running sum stays bit-equal to the fold's)
         for t in sorted(terms):
             i = ti[t]
-            score = score + F.when(
-                F.col(f"tf{i}") > 0, contrib(i)
-            ).otherwise(F.lit(0.0))
-            matched = matched | (F.col(f"tf{i}") > 0)
+            score = score + guarded[i]
+            matched = matched | hit[i]
         packed.append(
             F.struct(
                 F.lit(qid).alias("query_id"),
@@ -997,7 +1003,7 @@ def _bm25_batch_pivot(
 
 def bm25_batch_topk(
     docs: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
@@ -1005,6 +1011,7 @@ def bm25_batch_topk(
     id_col: str = "doc_id",
     ordered_sum: bool = False,
     words: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """BM25 top-k per query for MANY queries at once — the
     retrieval-based-decontamination shape (thousands of eval prompts
@@ -1065,11 +1072,26 @@ def bm25_batch_topk(
                 F.filter(tokens(F.col(text_col)), lambda x: x != "")
             ).alias("term"),
         )
-    peek = queries.limit(_BM25B_PIVOT_MAX_QUERY_ROWS + 1).collect()
+    if query_rows is not None:
+        # the caller already holds the batch driver-side ((query_id,
+        # term) tuples) — skip the peek JOB entirely; the pivot bound
+        # still applies, larger batches materialize a frame below and
+        # take the postings shape
+        peek = [{"query_id": a, "term": t} for a, t in query_rows]
+    elif queries is None:
+        raise ValueError(
+            "bm25_batch_topk: pass queries (DataFrame) or query_rows"
+        )
+    else:
+        peek = queries.limit(_BM25B_PIVOT_MAX_QUERY_ROWS + 1).collect()
     if 0 < len(peek) <= _BM25B_PIVOT_MAX_QUERY_ROWS:
         inventory = sorted({r["term"] for r in peek})
         if len(inventory) <= BM25_TOPK_MAX_TERMS:
             return _bm25_batch_pivot(w, peek, inventory, k, k1, b)
+    if queries is None:
+        queries = docs.sparkSession.createDataFrame(
+            list(query_rows), "query_id string, term string"
+        )
     qterms = queries.select("term").distinct()
     dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
     g = dl.agg(F.count("*").alias("N"), F.sum("dl").alias("S"))
@@ -1627,12 +1649,9 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_s.alias("query_id"),
         _null_l.alias("rank"),
     )
-    qdf = spark.createDataFrame(
-        _BM25B_QUERIES, "query_id string, term string"
-    )
     bm25b = bm25_batch_topk(
         d,
-        qdf,
+        query_rows=_BM25B_QUERIES,  # driver-side batch: no peek job
         k=_BM25B_K,
         k1=_BM25_K1,
         b=_BM25_B,

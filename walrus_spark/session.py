@@ -32,6 +32,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
 }
 
+# STATIC confs — session-builder only (CANNOT_MODIFY_STATIC_CONFIG at
+# runtime, so apply_runtime_confs cannot retrofit them onto an
+# externally-created session; get_spark sessions get them).
+BUILDER_CONFS: dict[str, str] = {
+    # PySpark 4 wraps EVERY DataFrame API call to capture its Python
+    # call site for error enrichment: getActiveSession + a conf read +
+    # a JVM origin set/clear + a traceback walk per call — measured
+    # 4+ Py4J round trips each, ~1.2 s of the 2.7 s text_vocab plan
+    # BUILD (r12 cProfile: 9489 round trips per build). Query plans
+    # are rebuilt per execution, so this is steady-state overhead, not
+    # a one-off; trade the call-site line in AnalysisException
+    # messages for it.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
+}
+
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent),
@@ -179,7 +194,7 @@ def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **BUILDER_CONFS}.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1051,7 +1051,9 @@ def bm25_batch_topk(
     ONE groupBy(doc_id) carrying dl + a tf column per inventory term,
     a 1-row broadcast of (N, S, df_t), per-query scores as codegen
     expressions stacked with one explode, and the per-query rank
-    window. Two shuffles total vs the postings shape's five-stage
+    window. Two CORPUS-SCALE shuffles (the stats aggregate and the
+    rank window; the remaining exchanges move a 1-row global frame
+    and the ≤k·Q result sort) vs the postings shape's five-stage
     join stack — the right plan at ANY corpus size when the term
     inventory is small; the postings shape exists for when it is not.
     Bit-parity with the fold contract is exact: each query's score

@@ -811,12 +811,19 @@ class WalrusLog:
             self._maint_thread.join(timeout=5)
             self._maint_thread = None
         # quiesce the consume-plane flusher: one final flush covers any
-        # still-parked waiter's offset before the thread is released
+        # still-parked waiter's offset before the thread is released.
+        # The coverage map must be updated from the final flush too —
+        # a waiter woken by the stop branch re-checks it, and a stale
+        # map would make it respawn a flusher AFTER close.
         with self._cfl_lock:
             flusher = self._cfl_thread
             self._cfl_stop = True
         if flusher is not None:
-            self._flush_cursors()
+            snap = self._flush_cursors()
+            with self._cfl_lock:
+                for t, o in snap.items():
+                    if o > self._flushed_cursors.get(t, 0):
+                        self._flushed_cursors[t] = o
             self._cfl_wake.set()
             flusher.join(timeout=5)
             with self._cfl_lock:

@@ -250,25 +250,35 @@ def main() -> None:
                 shutil.rmtree(wroot, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ingest_rows_per_sec": rows_per_sec,
-                "stream_consume_rows_per_sec": stream_rows_per_sec,
-                "wire_put_per_sec": wire_put_per_sec,
-                "wire_get_per_sec": wire_get_per_sec,
-                "n_queries": len(timings),
-                "measure": "min_of_%d" % min_of if warm else "cold_single",
-                "errors": errors,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "ingest_rows_per_sec": rows_per_sec,
+            "stream_consume_rows_per_sec": stream_rows_per_sec,
+            "wire_put_per_sec": wire_put_per_sec,
+            "wire_get_per_sec": wire_get_per_sec,
+            "n_queries": len(timings),
+            "measure": "min_of_%d" % min_of if warm else "cold_single",
+            "errors": errors,
+        }
     )
-    spark.stop()
+    # The JSON metric line is emitted AFTER spark.stop(), as the
+    # guaranteed LAST stdout line: in r12 an in-flight background
+    # Spark action raced session teardown and ~500 executor
+    # task-rejection ERRORs displaced the line from the driver's tail
+    # capture (BENCH_r12.json parsed:null). Every background worker is
+    # quiesced by its owner's close()/shutdown() above; a stop()
+    # failure must still not eat the metrics.
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN spark.stop failed: {type(e).__name__}: {e}", file=sys.stderr)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

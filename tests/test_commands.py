@@ -6,6 +6,7 @@ framing."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -748,7 +749,13 @@ def test_get_multiconn_prefetch_soak(spark, tmp_path):
             idx = [order[p] for p in conn]
             assert idx == sorted(idx)
         assert log.cursor("g") == N
-        assert rate >= 250, f"GET plane regressed to {rate:.0f}/s"
+        # The wall-clock floor is a PERF assertion, not a semantics
+        # one — on a loaded CI host it can fail with the code unchanged
+        # (r12 advisor). Opt in via WALRUS_PERF_ASSERTS=1 (bench/perf
+        # sessions set it); the exactly-once/ordering assertions above
+        # stay unconditional.
+        if os.environ.get("WALRUS_PERF_ASSERTS", "0") == "1":
+            assert rate >= 250, f"GET plane regressed to {rate:.0f}/s"
     finally:
         server.shutdown()
         log.close()

@@ -2987,6 +2987,23 @@ def test_linear_classifier_hof_path_matches_exploded(spark):
     assert hof[1][0] == 0 and hof[5][0] == 0
     assert hof[1][1] == round(1.0 / (1.0 + math.exp(0.7)), 6)
 
+    # NULL token arrays must behave exactly like EMPTY ones on the
+    # fold path (r12 advisor: transform/aggregate would otherwise
+    # propagate null into n_features/score; the explode path scores
+    # such docs bias-only)
+    null_toks = spark.createDataFrame(
+        [(0, ["one", "two"]), (1, None), (2, [])],
+        "doc_id long, ts array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"])
+        for r in linear_classifier_score(
+            docs.limit(0), W, bias=-0.7, tok_arrays=null_toks
+        ).collect()
+    }
+    assert got[1] == got[2] == (0, round(1.0 / (1.0 + math.exp(0.7)), 6))
+    assert got[0][0] > 0 and got[0][1] is not None
+
 
 def test_bm25_batch_pivot_path_matches_postings(spark, monkeypatch):
     """bm25_batch_topk's small-batch pivot plan must equal the postings

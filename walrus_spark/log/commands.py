@@ -110,8 +110,33 @@ class _TopicReadAhead:
         # outlasts one peek job (~0.3 s single-stage peek_range vs
         # ~0.5 s of serving runway at 1000 GET/s).
         self._prefetch: dict | None = None
+        # lifecycle (r12 verdict #1): the prefetch runs a REAL Spark
+        # job on a daemon thread; close() must join it before the owner
+        # tears the session down, or the orphaned action races
+        # spark.stop() (in r12 that race spewed ~500 task-rejection
+        # ERRORs over the driver's bench capture). _pf_thread tracks
+        # the one outstanding thread; _closed gates any new spawn.
+        self._pf_thread: threading.Thread | None = None
+        self._closed = False
+
+    def close(self) -> None:
+        """Quiesce: no new prefetch can spawn, and the outstanding one
+        (if any) is joined — its Spark job completes BEFORE this
+        returns, so a subsequent spark.stop() finds no in-flight
+        action from this buffer. Idempotent."""
+        with self.lock:
+            self._closed = True
+            self._prefetch = None  # result, if any, is never claimed
+            t, self._pf_thread = self._pf_thread, None
+        if t is not None:
+            # generous: a peek job mid-flight must finish (it holds no
+            # locks; worst case one single-stage scan)
+            t.join(timeout=60)
 
     def _spawn_prefetch(self, start: int) -> None:
+        # caller holds self.lock, so this check is ordered with close()
+        if self._closed:
+            return
         pf = {"start": start, "evt": threading.Event(), "rows": None}
         self._prefetch = pf
 
@@ -132,7 +157,8 @@ class _TopicReadAhead:
             finally:
                 pf["evt"].set()
 
-        threading.Thread(target=run, daemon=True).start()
+        self._pf_thread = threading.Thread(target=run, daemon=True)
+        self._pf_thread.start()
 
     def _take_prefetch(self, want_start: int) -> list[bytes] | None:
         """Claim the outstanding prefetch iff it starts exactly where
@@ -155,6 +181,11 @@ class _TopicReadAhead:
         need_cover = 0
         payload = None
         with self.lock:
+            if self._closed:
+                # a handler thread racing server shutdown must not
+                # start a fresh Spark peek against a session the owner
+                # is about to stop (same contract as _group_committer)
+                raise RuntimeError("server is shutting down")
             while True:
                 cur = self.log.cursor(self.topic)
                 if self.buf and self.base + self.delivered == cur:
@@ -300,14 +331,29 @@ class CommandShell:
             return self._committer
 
     def close(self) -> None:
+        """Quiesce EVERY background worker this shell owns: the group
+        committer drains (in-flight PUT waiters get their replies),
+        then every topic's read-ahead joins its outstanding prefetch —
+        after this returns, no thread spawned by the wire plane is
+        alive and no new Spark job can start through it (r12 verdict
+        #1: an un-joined prefetch raced spark.stop() and clobbered the
+        round's bench capture)."""
         with self._gc_guard:
             self._closed = True
             committer, self._committer = self._committer, None
         if committer is not None:
             committer.close()
+        with self._ra_guard:
+            ras = list(self._readahead.values())
+        for ra in ras:
+            ra.close()
 
     def _topic_readahead(self, topic: str) -> _TopicReadAhead:
         with self._ra_guard:
+            if self._closed:
+                # a fresh readahead created after close() would never
+                # be quiesced — refuse, like the committer path
+                raise RuntimeError("server is shutting down")
             ra = self._readahead.get(topic)
             if ra is None:
                 ra = self._readahead[topic] = _TopicReadAhead(self.log, topic)

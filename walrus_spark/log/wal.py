@@ -430,6 +430,9 @@ class WalrusLog:
         self._cfl_waiters: list[tuple[str, int, threading.Event]] = []
         self._cfl_wake = threading.Event()
         self._cfl_stop = False
+        # permanent: set by close(), never reset — the waiter-side
+        # re-kick paths must not resurrect a flusher on a closed log
+        self._cfl_closed = False
         self._cfl_thread: threading.Thread | None = None
         self._txns: set[str] = set()
         # Write concurrency mirrors the reference's per-key async mutex
@@ -734,7 +737,11 @@ class WalrusLog:
         physical fsync is immediate (sync_each), deferred to the
         background worker (milliseconds), or skipped (no_fsync)."""
         ms = self.fsync.milliseconds
-        if ms == 0:
+        if ms == 0 or (ms > 0 and self._fsync_stop.is_set()):
+            # sync_each — or a post-close straggler (e.g. a cursor
+            # commit racing close): the worker is stopped and would
+            # never sweep this path, and respawning it after close
+            # violates the lifecycle contract, so sync inline instead
             _atomic_write_json(path, obj, durable=True)
             self.fsync_count += 1
             return
@@ -810,20 +817,32 @@ class WalrusLog:
         if self._maint_thread is not None:
             self._maint_thread.join(timeout=5)
             self._maint_thread = None
-        # quiesce the consume-plane flusher: one final flush covers any
-        # still-parked waiter's offset before the thread is released.
-        # The coverage map must be updated from the final flush too —
-        # a waiter woken by the stop branch re-checks it, and a stale
-        # map would make it respawn a flusher AFTER close.
+        # quiesce the consume-plane flusher. ORDER MATTERS (r12
+        # advisor): the final covering flush and its coverage-map
+        # update must land BEFORE _cfl_stop is visible — an
+        # already-awake flusher that observes the stop flag releases
+        # every parked waiter, and a reply must never leave on a
+        # not-yet-covered offset. (The stop branch now re-flushes
+        # defensively too, but the ordering here makes close()
+        # correct on its own.) _cfl_closed is permanent: waiter-side
+        # re-kick paths switch to a direct leader flush instead of
+        # resurrecting a flusher on a closed log.
         with self._cfl_lock:
+            # closed FIRST: from here no covering caller can spawn a
+            # new flusher (they direct-flush instead), so the thread
+            # captured below is the only one there will ever be
+            self._cfl_closed = True
             flusher = self._cfl_thread
-            self._cfl_stop = True
-        if flusher is not None:
+            live_waiters = bool(self._cfl_waiters)
+        if flusher is not None or live_waiters:
             snap = self._flush_cursors()
             with self._cfl_lock:
                 for t, o in snap.items():
                     if o > self._flushed_cursors.get(t, 0):
                         self._flushed_cursors[t] = o
+        with self._cfl_lock:
+            self._cfl_stop = True
+        if flusher is not None:
             self._cfl_wake.set()
             flusher.join(timeout=5)
             with self._cfl_lock:
@@ -1489,7 +1508,22 @@ class WalrusLog:
         start_offset=...): ascending offsets from start_offset+1, crc
         verified per entry (JVM-side xxhash64, same expression the
         commit stamped), ≥1 entry delivered when available even if it
-        alone exceeds max_bytes, tail truncated at the byte budget."""
+        alone exceeds max_bytes, tail truncated at the byte budget.
+
+        Validity below the vacuum horizon (r12 advisor): the closed
+        window assumes its entries still exist. At or ahead of the
+        live cursor that always holds (vacuum only reclaims
+        fully-consumed batches), which is the only regime the wire
+        plane peeks in. For a HISTORICAL start_offset whose window
+        was reclaimed, the closed range would return [] while
+        batch_read's open `offset > cursor` scan returns the
+        surviving tail — so when the window comes back empty but the
+        high watermark says entries were ever appended beyond
+        start_offset, this method falls back to the open-range
+        batch_read plan (stateless, no cursor touch) and the stated
+        equivalence holds for replay-style callers too. The fallback
+        job is paid only in that historical corner, never on the
+        wire path."""
         n = min(int(max_entries), MAX_BATCH_ENTRIES)
         lo = int(start_offset)
 
@@ -1510,6 +1544,13 @@ class WalrusLog:
             )
 
         rows = self._read_with_relist(attempt)
+        if not rows and self._hw.get(topic, 0) > lo:
+            # empty closed window but entries were appended beyond lo:
+            # a historical peek below the vacuum horizon — delegate to
+            # the open-range plan so the surviving tail is delivered
+            # (see docstring; wire-plane peeks at the live cursor
+            # never take this branch)
+            return self._batch_read_impl(topic, max_bytes, False, lo, n)
         rows.sort(key=lambda r: r["offset"])
         bad = [int(r["offset"]) for r in rows if not r["crc_ok"]]
         if bad:
@@ -1737,14 +1778,25 @@ class WalrusLog:
         with self._cfl_lock:
             if self._flushed_cursors.get(topic, 0) >= offset:
                 return
-            evt = threading.Event()
-            self._cfl_waiters.append((topic, offset, evt))
-            if self._cfl_thread is None or not self._cfl_thread.is_alive():
-                self._cfl_stop = False
-                self._cfl_thread = threading.Thread(
-                    target=self._cursor_flusher, daemon=True
-                )
-                self._cfl_thread.start()
+            if self._cfl_closed:
+                # closed log: never resurrect the flusher (the old
+                # re-kick reset _cfl_stop and left a worker running
+                # past close) — lead one direct flush instead, which
+                # keeps the durability contract for a straggler
+                # commit racing close()
+                evt = None
+            else:
+                evt = threading.Event()
+                self._cfl_waiters.append((topic, offset, evt))
+                if self._cfl_thread is None or not self._cfl_thread.is_alive():
+                    self._cfl_stop = False
+                    self._cfl_thread = threading.Thread(
+                        target=self._cursor_flusher, daemon=True
+                    )
+                    self._cfl_thread.start()
+        if evt is None:
+            self._direct_cover_flush()
+            return
         self._cfl_wake.set()
         while not evt.wait(timeout=5.0):
             # The flusher is a daemon: if it died (interpreter teardown
@@ -1753,13 +1805,29 @@ class WalrusLog:
             with self._cfl_lock:
                 if self._flushed_cursors.get(topic, 0) >= offset:
                     return
-                if self._cfl_thread is None or not self._cfl_thread.is_alive():
+                closed = self._cfl_closed
+                if not closed and (
+                    self._cfl_thread is None or not self._cfl_thread.is_alive()
+                ):
                     self._cfl_stop = False
                     self._cfl_thread = threading.Thread(
                         target=self._cursor_flusher, daemon=True
                     )
                     self._cfl_thread.start()
+            if closed:
+                self._direct_cover_flush()
+                return
             self._cfl_wake.set()
+
+    def _direct_cover_flush(self) -> None:
+        """Leader-flush fallback for a closed log: flush the sidecar
+        and fold the snapshot into the coverage map without touching
+        the (stopped) flusher thread."""
+        snap = self._flush_cursors()
+        with self._cfl_lock:
+            for t, o in snap.items():
+                if o > self._flushed_cursors.get(t, 0):
+                    self._flushed_cursors[t] = o
 
     def _cursor_flusher(self) -> None:
         """Consume-plane group-flush worker: while waiters are parked,
@@ -1769,17 +1837,31 @@ class WalrusLog:
         while True:
             self._cfl_wake.wait(timeout=1.0)
             with self._cfl_lock:
-                if self._cfl_stop:
-                    # wake everything rather than strand a reply on a
-                    # closing log; their offsets were flushed by
-                    # close()'s final _flush_cursors or are moot
-                    for _t, _o, e in self._cfl_waiters:
-                        e.set()
+                stopping = self._cfl_stop
+                if stopping:
+                    drained = list(self._cfl_waiters)
                     self._cfl_waiters.clear()
-                    return
-                if not self._cfl_waiters:
+                elif not self._cfl_waiters:
                     self._cfl_wake.clear()
                     continue
+            if stopping:
+                # The stop branch is itself DURABLE (r12 advisor):
+                # close() orders its final flush before the flag, but
+                # this thread must not rely on that ordering — a
+                # parked offset gets a covering flush HERE before its
+                # event fires, so the reply can never leave
+                # un-covered. Every parked offset is ≤ the in-memory
+                # cursor (waiters park only after their commit
+                # landed), so one snapshot covers them all.
+                if drained:
+                    snap = self._flush_cursors()
+                    with self._cfl_lock:
+                        for t, o in snap.items():
+                            if o > self._flushed_cursors.get(t, 0):
+                                self._flushed_cursors[t] = o
+                for _t, _o, e in drained:
+                    e.set()
+                return
             snap = self._flush_cursors()
             with self._cfl_lock:
                 for t, o in snap.items():

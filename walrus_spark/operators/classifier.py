@@ -95,9 +95,16 @@ def linear_classifier_score(
         )
     if tok_arrays is not None:
         wlit = F.array(*[F.lit(float(w)) for w in weights])
+        # NULL token arrays must score like the explode+join path
+        # (bias-only sigmoid, n_features=0), not propagate null
+        # through transform/aggregate — coalesce to empty first
+        # (r12 advisor).
+        ts_col = F.coalesce(
+            F.col("ts"), F.array().cast("array<string>")
+        )
         bs = F.sort_array(
             F.transform(
-                F.filter(F.col("ts"), lambda x: x != ""),
+                F.filter(ts_col, lambda x: x != ""),
                 lambda x: feature_bucket(x, nb),
             )
         )

@@ -297,8 +297,12 @@ def index_cache_path(
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     # "pos1": artifact schema generation (positional postings, r10) —
-    # bumping it makes stale pre-positions cached artifacts MISS
-    sig = [os.path.abspath(sf_dir), text_col, id_col, "pos1"]
+    # bumping it makes stale pre-positions cached artifacts MISS.
+    # "ts1" (r13): manifests must carry commit-time metadata — the
+    # gate's at_timestamp branch resolves the base snapshot by its
+    # wall-clock ts, so artifacts cached by pre-r12 builds (no ts)
+    # must MISS and rebuild rather than fail resolution.
+    sig = [os.path.abspath(sf_dir), text_col, id_col, "pos1", "ts1"]
     try:
         if os.path.isdir(src):
             for f in sorted(os.listdir(src)):

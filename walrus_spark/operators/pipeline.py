@@ -777,6 +777,12 @@ def corpus_filter(
     return out
 
 
+# The 'semantic' branch oracle re-derives the SemDeDup prune set
+# RELATIONALLY — the same quantized k-means chain sim_ann_ivf's
+# 'semdedup' branch already proves (integer Lloyd, k=8, 2 rounds,
+# first-8 seeding), then the within-cluster exact-cosine drop set —
+# so the composed keep-set is hash-checked end to end, not just the
+# base conjuncts (r12 verdict directive #5).
 _FILTER_ORACLE = """
 WITH s AS (
   SELECT doc_id,
@@ -789,24 +795,140 @@ WITH s AS (
   FROM documents
 ), canon AS (
   SELECT min(doc_id) AS doc_id FROM s GROUP BY fp
+), filt AS (
+  SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.punct_ratio,
+         round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) AS dup_word_frac
+  FROM s JOIN canon USING (doc_id)
+  WHERE s.n_tokens >= 10 AND s.punct_ratio <= 0.2
+    AND round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) <= 0.3
+), nrm AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+             AS nv
+  FROM embeddings
+), kq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT) + 10000) AS qv
+  FROM embeddings
+), km0 AS (
+  SELECT vec_id AS cluster, qv AS m FROM kq ORDER BY vec_id LIMIT 8
+), ka1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km0.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km0.m[i]) * (kq.qv[i] - km0.m[i]))),
+             km0.cluster) AS rn
+    FROM kq CROSS JOIN km0
+  ) t WHERE rn = 1
+), ku1 AS (
+  SELECT a.cluster, i.i AS dim_i, count(*) AS n, sum(kq.qv[i.i]) AS s
+  FROM ka1 a JOIN kq USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+), km1 AS (
+  SELECT cluster,
+         array_agg(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY dim_i) AS m
+  FROM ku1 GROUP BY 1
+), ka2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km1.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km1.m[i]) * (kq.qv[i] - km1.m[i]))),
+             km1.cluster) AS rn
+    FROM kq CROSS JOIN km1
+  ) t WHERE rn = 1
+), ku2 AS (
+  SELECT a.cluster, i.i AS dim_i, count(*) AS n, sum(kq.qv[i.i]) AS s
+  FROM ka2 a JOIN kq USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+), km2 AS (
+  SELECT cluster,
+         array_agg(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY dim_i) AS m
+  FROM ku2 GROUP BY 1
+), ka3 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT kq.vec_id, km2.cluster,
+           row_number() OVER (PARTITION BY kq.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(kq.qv)),
+               i -> (kq.qv[i] - km2.m[i]) * (kq.qv[i] - km2.m[i]))),
+             km2.cluster) AS rn
+    FROM kq CROSS JOIN km2
+  ) t WHERE rn = 1
+), sdd AS (
+  SELECT DISTINCT a.vec_id
+  FROM ka3 a JOIN ka3 b USING (cluster)
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE b.vec_id < a.vec_id
+    AND list_sum(list_transform(generate_series(1, len(na.v)),
+                 i -> na.v[i] * nb.v[i])) / (na.nv * nb.nv) >= 0.4
 )
-SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.punct_ratio,
-       round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) AS dup_word_frac
-FROM s JOIN canon USING (doc_id)
-WHERE s.n_tokens >= 10 AND s.punct_ratio <= 0.2
-  AND round(1 - s.n_distinct * 1.0 / s.n_tokens, 6) <= 0.3
-ORDER BY s.doc_id
+SELECT 'base' AS src, doc_id, n_tokens, punct_ratio, dup_word_frac
+FROM filt
+UNION ALL
+SELECT 'semantic', f.doc_id, f.n_tokens, f.punct_ratio, f.dup_word_frac
+FROM filt f WHERE NOT EXISTS (SELECT 1 FROM sdd WHERE sdd.vec_id = f.doc_id)
+ORDER BY src, doc_id
 """
 
 
 @register("pipeline_corpus_filter", oracle=_FILTER_ORACLE)
 def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate entry: the composed keep-set over the documents fixture,
+    """Gate entry, tagged (merged — registry pinned at 50):
+
+    'base' rows: the composed quality/repetition/exact-dedup keep-set,
     hash-checked signal-by-signal (any drift in tokenization, punct
     counting, dup-word math, fingerprinting, or canonical election
-    flips the hash)."""
-    return corpus_filter(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
+    flips the hash).
+    'semantic' rows (r12): the SAME keep-set with the SemDeDup
+    semantic_drop conjunct applied — the prune set comes from
+    semantic_dedup over the aligned embeddings table (vec_id and
+    doc_id share the fixture id space, standing in for the
+    embedding-per-document join a production pipeline has), reusing
+    the session's fitted quantizer (shared_kmeans_fit) and composed
+    as the broadcast anti-join corpus_filter documents. The oracle
+    recomputes the prune set relationally, so the conjunct's exact
+    membership is hash-checked, not just its row count."""
+    from walrus_spark.operators.similarity import (
+        semantic_dedup,
+        shared_kmeans_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = corpus_filter(docs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _state = shared_kmeans_fit(spark, sf_dir, emb)
+    sem_drop = (
+        semantic_dedup(spark, emb, assigned=assigned)
+        .where(~F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    # the semantic branch is the base keep-set minus the prune set —
+    # identical to corpus_filter(docs, semantic_drop=sem_drop) (the
+    # anti-join applies after the base conjuncts) without paying the
+    # base scan twice
+    sem = base.join(
+        F.broadcast(sem_drop.distinct()), "doc_id", "left_anti"
+    )
+
+    def tag(df: DataFrame, s: str) -> DataFrame:
+        return df.select(
+            F.lit(s).alias("src"),
+            "doc_id",
+            "n_tokens",
+            "punct_ratio",
+            "dup_word_frac",
+        )
+
+    return (
+        tag(base, "base")
+        .unionByName(tag(sem, "semantic"))
+        .orderBy("src", "doc_id")
     )
 
 

@@ -1521,6 +1521,36 @@ WITH w AS (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
     FROM perqd)
   WHERE rank <= {_BM25B_K}
+), wqe AS (
+  SELECT doc_id, word AS term FROM w WHERE word <> '' AND doc_id % 2 = 0
+), dl2e AS (
+  SELECT doc_id, count(*) AS dl FROM wqe GROUP BY doc_id
+), g2e AS (
+  SELECT count(*) AS N2, sum(dl) AS S2 FROM dl2e
+), postingse AS (
+  SELECT doc_id, term, count(*) AS tf FROM wqe
+  WHERE term IN (SELECT term FROM qdd)
+  GROUP BY doc_id, term
+), tstatse AS (
+  SELECT term, count(*) AS df FROM postingse GROUP BY term
+), contribt AS (
+  SELECT q.query_id, p.doc_id, q.term, {_BM25B_SQL_CONTRIB} AS c
+  FROM qdd q
+  JOIN tstatse tstats USING (term)
+  JOIN postingse p USING (term)
+  JOIN dl2e dl2 ON dl2.doc_id = p.doc_id, g2e g2
+), perqt AS (
+  SELECT query_id, doc_id,
+         round(CAST(list_reduce(list(c ORDER BY term), (x, y) -> x + y)
+                    AS DOUBLE), 6) AS score
+  FROM contribt GROUP BY query_id, doc_id
+), bm25t AS (
+  SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM perqt)
+  WHERE rank <= {_BM25B_K}
 ), ptoks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1547,6 +1577,10 @@ UNION ALL
 SELECT 'bm25d', NULL, NULL, NULL, doc_id, score, query_id,
        CAST(rank AS BIGINT)
 FROM bm25d
+UNION ALL
+SELECT 'bm25t', NULL, NULL, NULL, doc_id, score, query_id,
+       CAST(rank AS BIGINT)
+FROM bm25t
 UNION ALL
 SELECT 'phrase', NULL, CAST(n AS BIGINT), NULL, doc_id,
        CAST(NULL AS DOUBLE), query_id, NULL
@@ -1597,6 +1631,15 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings + the post-append stats must equal a from-scratch build,
     double-for-double — the delta read path is hash-proven, not just
     pytest-pinned.
+
+    'bm25t' rows (r13 — gates the r12 at_timestamp time-travel path
+    per the round directive) — the bm25d query set served from the
+    delta artifact's HISTORICAL base snapshot addressed by commit
+    wall-clock (resolve_at_timestamp, newest-≤-t). The base holds the
+    even doc_ids only, so the oracle recomputes over doc_id % 2 = 0:
+    the hash proves instant→version resolution AND that the resolved
+    read serves the historic postings/doc_lengths/stats, not the
+    current ones.
 
     'phrase' rows (r10 — gates the positional-postings path per the
     r9 directive) — exact-phrase occurrence counts for the fixed
@@ -1693,9 +1736,10 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rank").cast("long").alias("rank"),
     )
+    dpath = ensure_index_with_delta(spark, sf_dir)
     bm25d = bm25_topk_indexed(
         spark,
-        ensure_index_with_delta(spark, sf_dir),
+        dpath,
         _BM25D_QUERIES,
         k=_BM25B_K,
         k1=_BM25_K1,
@@ -1703,6 +1747,45 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_sum=True,
     ).select(
         F.lit("bm25d").alias("src"),
+        _null_s.alias("word"),
+        _null_l.alias("tf"),
+        _null_l.alias("df"),
+        "doc_id",
+        "score",
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    # 'bm25t' (r13 — gates the r12 at_timestamp time-travel path per
+    # the round directive): the SAME query set served from the delta
+    # artifact's HISTORICAL base snapshot, addressed by its commit
+    # wall-clock (resolve_at_timestamp: newest-snapshot-≤-t, the
+    # Iceberg rule). The base was built from the even doc_ids only, so
+    # the oracle recomputes scoring over `doc_id % 2 = 0` — a correct
+    # answer REQUIRES the timestamp to resolve to v_base and the read
+    # to serve v_base's postings/doc_lengths/stats; serving the
+    # current (full) snapshot, or mis-resolving the instant, flips
+    # every df/dl/N and the hash with it. Snapshot discovery is
+    # manifest-metadata only (index_snapshots — a driver-side JSON
+    # read, no job).
+    from walrus_spark.operators.index import index_snapshots
+
+    snaps = [
+        s for s in index_snapshots(dpath) if s["committed_at"] is not None
+    ]
+    base_ts = min(
+        (s for s in snaps), key=lambda s: s["version"]
+    )["committed_at"]
+    bm25t = bm25_topk_indexed(
+        spark,
+        dpath,
+        _BM25D_QUERIES,
+        k=_BM25B_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        ordered_sum=True,
+        at_timestamp=base_ts,
+    ).select(
+        F.lit("bm25t").alias("src"),
         _null_s.alias("word"),
         _null_l.alias("tf"),
         _null_l.alias("df"),
@@ -1730,6 +1813,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm25b)
         .unionByName(bm25i)
         .unionByName(bm25d)
+        .unionByName(bm25t)
         .unionByName(phrase)
         .orderBy("src", "word", "query_id", "rank", "doc_id")
     )

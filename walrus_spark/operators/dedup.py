@@ -329,7 +329,9 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     32767 shingles (the simhash 16-bit lane bound; only pathological
     multi-megabyte single documents hit it)."""
     return (
-        _spread(docs)
+        # shingling is BLAS/regex-heavy per row: full fan-out pays off
+        # even on 5k-row fixtures (per_part_rows=64 -> 32 parts there)
+        _spread(docs, per_part_rows=64)
         .select(
             "doc_id",
             F.explode(
@@ -1282,7 +1284,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float noise
     can't affect the hash)."""
     return embedding_cosine_pairs(
-        spark, _spread(load_table(spark, sf_dir, "embeddings"))
+        spark,
+        _spread(load_table(spark, sf_dir, "embeddings"), per_part_rows=64),
     )
 
 
@@ -1491,7 +1494,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the broadcast-matmul operator, the approximate side from
     the banded sketch; a regression in either flips a flag and fails
     the hash check."""
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings"), per_part_rows=64
+    )
     found = (
         embedding_lsh_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
         .select("vec_a", "vec_b")

@@ -795,7 +795,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the probe-side matmul is the cost; a single-file scan
     # would run it 1-2 wide (catalog.spread, r12)
     return knn_join(
-        spark, spread(load_table(spark, sf_dir, "embeddings"))
+        spark,
+        spread(load_table(spark, sf_dir, "embeddings"), per_part_rows=64),
     )
 
 

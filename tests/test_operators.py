@@ -2619,14 +2619,18 @@ def test_ivf_batch_topk_and_recall(spark):
         ]
         assert [v for _, v in sorted(got[q])] == single, f"query {q}"
 
-    rec = {
-        r["query_vec_id"]: r["recall"]
-        for r in ann_recall_at_k(
-            emb, qids, k=5, n_centroids=8, n_probe=3
-        ).collect()
-    }
+    rec_rows = ann_recall_at_k(
+        emb, qids, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    rec = {r["query_vec_id"]: r["recall"] for r in rec_rows}
     assert set(rec) == set(qids)
     assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # r14: the integral counts are the hash-checkable form of the same
+    # verdict — recall must be exactly n_hit/n_true with n_true = k
+    for r in rec_rows:
+        assert r["n_true"] == 5
+        assert 0 <= r["n_hit"] <= r["n_true"]
+        assert r["recall"] == r["n_hit"] / r["n_true"]
     # full-probe IVF degenerates to exact search -> recall 1 everywhere
     rec_full = {
         r["query_vec_id"]: r["recall"]

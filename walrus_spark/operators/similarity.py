@@ -45,6 +45,13 @@ from walrus_spark.queries.registry import register
 N_CENTROIDS = 16
 N_PROBE = 4
 
+# Fixed serving batch for the gate's 'ivfb'/'recall' branches (r14):
+# a mix of quantizer members (< N_CENTROIDS) and ordinary vectors, all
+# present at every fixture scale (vec_id is contiguous from 0 and ≥500
+# rows at sf0.001; tools/make_sf.py only extends the range upward).
+ANN_QUERY_BATCH = [1, 2, 5, 9, 13, 33, 157, 411]
+ANN_BATCH_K = 10
+
 
 def _dbl(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -437,6 +444,49 @@ WITH n AS (
   WHERE b.vec_id < a.vec_id
     AND list_sum(list_transform(generate_series(1, len(na.v)),
                  i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) >= 0.4
+), qb AS (
+  SELECT unnest([1, 2, 5, 9, 13, 33, 157, 411]) AS query_vec_id
+), qn AS (
+  SELECT qb.query_vec_id, n.v AS qv, n.nrm AS qnrm
+  FROM qb JOIN n ON n.vec_id = qb.query_vec_id
+), bprobe AS (
+  SELECT query_vec_id, cluster FROM (
+    SELECT qn.query_vec_id, c.cluster,
+           row_number() OVER (PARTITION BY qn.query_vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(c.cv)),
+                      i -> c.cv[i] * qn.qv[i])) / (c.cnrm * qn.qnrm) DESC,
+             c.cluster) AS rn
+    FROM qn CROSS JOIN c
+  ) t WHERE rn <= 4
+), bcand AS (
+  SELECT qn.query_vec_id, n.vec_id,
+         list_sum(list_transform(generate_series(1, len(n.v)),
+                  i -> n.v[i] * qn.qv[i])) / (n.nrm * qn.qnrm) AS cos
+  FROM n
+  JOIN asgn USING (vec_id)
+  JOIN bprobe ON asgn.cluster = bprobe.cluster
+  JOIN qn ON qn.query_vec_id = bprobe.query_vec_id
+), ivfb AS (
+  SELECT query_vec_id, vec_id, rank FROM (
+    SELECT query_vec_id, vec_id,
+           row_number() OVER (PARTITION BY query_vec_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM bcand
+  ) t WHERE rank <= 10
+), bex AS (
+  SELECT query_vec_id, vec_id FROM (
+    SELECT qn.query_vec_id, n.vec_id,
+           row_number() OVER (PARTITION BY qn.query_vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * qn.qv[i])) / (n.nrm * qn.qnrm) DESC,
+             n.vec_id) AS rank
+    FROM n CROSS JOIN qn
+  ) t WHERE rank <= 10
+), brec AS (
+  SELECT e.query_vec_id, count(*) AS n_true, count(b.vec_id) AS n_hit
+  FROM bex e LEFT JOIN ivfb b
+    ON b.query_vec_id = e.query_vec_id AND b.vec_id = e.vec_id
+  GROUP BY 1
 )
 SELECT 'ivf' AS src, vec_id, CAST(NULL AS BIGINT) AS cluster,
        CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS dim_i,
@@ -452,6 +502,10 @@ UNION ALL
 SELECT 'semdedup', k.vec_id, k.cluster, NULL, NULL,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
 FROM ka3 k LEFT JOIN sdd d USING (vec_id)
+UNION ALL
+SELECT 'ivfb', vec_id, query_vec_id, rank, NULL, NULL FROM ivfb
+UNION ALL
+SELECT 'recall', NULL, query_vec_id, n_true, NULL, n_hit FROM brec
 ORDER BY src, vec_id, cluster, dim_i
 """
 
@@ -598,7 +652,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     'semdedup' rows (r11): SemDeDup cluster-then-prune over the SAME
     fitted clusters — every vector's kept/dropped verdict (m=1/0)
     hash-checked against the oracle's within-cluster exact-cosine
-    recomputation."""
+    recomputation.
+    'ivfb' rows (r14): the batched serving plane — ivf_batch_topk for
+    the fixed ANN_QUERY_BATCH, every (query → neighbor, rank) edge
+    hash-checked against the oracle's per-query IVF recompute
+    (cluster = query_vec_id, n = rank).
+    'recall' rows (r14): ann_recall_at_k of that same batch vs exact
+    brute force — per query, n = |exact top-k| and m = |approx ∩
+    exact| (cluster = query_vec_id); the integral counts make the
+    recall computation exactly hash-checkable (recall = m/n)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ivf = ivf_topk(emb, query_vec_id=1, model_key=sf_dir).select(
         F.lit("ivf").alias("src"),
@@ -643,10 +705,34 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("dim_i"),
         F.col("kept").cast("long").alias("m"),
     )
+    batch = ivf_batch_topk(
+        emb, ANN_QUERY_BATCH, k=ANN_BATCH_K, model_key=sf_dir
+    )
+    ivfb = batch.select(
+        F.lit("ivfb").alias("src"),
+        "vec_id",
+        F.col("query_vec_id").alias("cluster"),
+        F.col("rank").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("dim_i"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    rec = ann_recall_at_k(
+        emb, ANN_QUERY_BATCH, k=ANN_BATCH_K, model_key=sf_dir,
+        approx=batch,
+    ).select(
+        F.lit("recall").alias("src"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.col("query_vec_id").alias("cluster"),
+        F.col("n_true").alias("n"),
+        F.lit(None).cast("long").alias("dim_i"),
+        F.col("n_hit").alias("m"),
+    )
     return (
         ivf.unionByName(km_assign)
         .unionByName(km_cent)
         .unionByName(sd)
+        .unionByName(ivfb)
+        .unionByName(rec)
         .orderBy("src", "vec_id", "cluster", "dim_i")
     )
 
@@ -895,14 +981,21 @@ def ann_recall_at_k(
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
     model_key=None,
+    approx: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF index against exact brute force, per query
     — the eval harness every ANN deployment runs before trusting its
     index (probe/recall trade tuning). One batched plan per side
     (ivf_batch_topk vs the same cosine ranked WITHOUT the cluster
     filter), one join: recall = |approx ∩ exact| / |exact|. Returns
-    (query_vec_id, recall) with recall in [0, 1]; macro-average on
-    the caller's side is one tiny agg away.
+    (query_vec_id, n_hit, n_true, recall) with recall in [0, 1] —
+    the integral hit/true counts make the result exactly
+    hash-checkable and macro-averaging a one-agg follow-up.
+
+    ``approx`` lets a caller that already built the batched top-k
+    (e.g. the gate entry, which reports BOTH the serving answer and
+    its recall) reuse that frame instead of paying ivf_batch_topk's
+    candidate scan twice.
 
     Exact side note: brute force here scans the corpus once for ALL
     queries (broadcast query matrix, window top-k) — O(n·Q) cosines,
@@ -910,9 +1003,10 @@ def ann_recall_at_k(
     which is exactly how recall eval is done at scale."""
     from pyspark.sql import Window
 
-    approx = ivf_batch_topk(
-        emb, query_vec_ids, k, n_centroids, n_probe, model_key
-    )
+    if approx is None:
+        approx = ivf_batch_topk(
+            emb, query_vec_ids, k, n_centroids, n_probe, model_key
+        )
     qvecs = broadcast(
         emb.where(
             F.col("vec_id").isin([int(q) for q in query_vec_ids])
@@ -943,6 +1037,10 @@ def ann_recall_at_k(
         totals.join(hits, "query_vec_id", "left")
         .select(
             "query_vec_id",
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.col("n_true").cast("long").alias("n_true"),
             (
                 F.coalesce(F.col("n_hit"), F.lit(0))
                 / F.col("n_true")

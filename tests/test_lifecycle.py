@@ -140,6 +140,90 @@ def test_close_quiesces_thread_family(spark, tmp_path, family):
         log.close()
 
 
+def test_close_reports_wedged_prefetch(spark, tmp_path):
+    """r13 verdict #3: a prefetch whose Spark action wedges past the
+    join timeout must be REPORTED by close() — job group cancelled and
+    a RuntimeWarning naming the survivor — never silently left alive
+    (that would resurrect exactly the spark.stop() race the close
+    contract exists to prevent). close() itself still returns."""
+    from walrus_spark.log.commands import _TopicReadAhead
+
+    log = WalrusLog(spark, str(tmp_path / "wedge"))
+    try:
+        log.multi_append({"t": [b"a", b"b"]})
+        ra = _TopicReadAhead(log, "t")
+        entered = threading.Event()
+        release = threading.Event()
+        real_peek = log.peek_range
+
+        def slow_peek(*a, **k):
+            entered.set()
+            release.wait(timeout=30)
+            return real_peek(*a, **k)
+
+        log.peek_range = slow_peek
+        try:
+            with ra.lock:
+                ra._spawn_prefetch(0)
+            pft = ra._pf_thread
+            assert pft is not None and entered.wait(timeout=10)
+            ra.JOIN_TIMEOUT = 0.2  # instance attr shadows the bound
+            with pytest.warns(RuntimeWarning, match="still alive"):
+                ra.close()
+            assert ra._closed and ra._pf_thread is None
+        finally:
+            release.set()
+            log.peek_range = real_peek
+        pft.join(timeout=10)
+        assert not pft.is_alive()
+        # the happy path stays warning-free: a second close is a no-op
+        ra.close()
+    finally:
+        log.close()
+
+
+def test_close_reports_wedged_committer(spark, tmp_path):
+    """Same contract for the write-side drain: a commit wedged past
+    the join bound makes close() warn loudly instead of returning as
+    if the plane were quiesced."""
+    from walrus_spark.log.commands import _GroupCommitter
+
+    log = WalrusLog(spark, str(tmp_path / "wedgec"))
+    try:
+        log.multi_append({"t": [b"seed"]})
+        entered = threading.Event()
+        release = threading.Event()
+        real_multi = log.multi_append
+
+        def slow_multi(batches):
+            entered.set()
+            release.wait(timeout=30)
+            return real_multi(batches)
+
+        log.multi_append = slow_multi
+        gc = _GroupCommitter(log)
+        try:
+            gc.JOIN_TIMEOUT = 0.2
+            sub = threading.Thread(
+                target=lambda: gc.submit("t", b"x"), daemon=True
+            )
+            sub.start()
+            assert entered.wait(timeout=10)
+            with pytest.warns(RuntimeWarning, match="still alive"):
+                gc.close()
+        finally:
+            release.set()
+            log.multi_append = real_multi
+        gc._thread.join(timeout=10)
+        assert not gc._thread.is_alive()
+        sub.join(timeout=10)
+        # the waiter's entry still landed (drain finished after the
+        # release): reply discipline held even through the wedge
+        assert log.topic_entry_count("t") == 2
+    finally:
+        log.close()
+
+
 def test_get_to_half_drain_then_shutdown_no_thread_survives(spark, tmp_path):
     """The r12 verdict-#1 'done' scenario verbatim: serve GETs to
     half-drain (prefetch outstanding mid-serve), shut the server down,

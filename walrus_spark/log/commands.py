@@ -96,6 +96,11 @@ class _TopicReadAhead:
     ever double-delivered through this path.
     """
 
+    # close() join bound: a peek job mid-flight must finish (it holds
+    # no locks; worst case one single-stage scan). Class attr so tests
+    # can wedge a prefetch and exercise the timeout path in ms.
+    JOIN_TIMEOUT = 60.0
+
     def __init__(self, log, topic: str) -> None:
         self.log = log
         self.topic = topic
@@ -118,20 +123,49 @@ class _TopicReadAhead:
         # the one outstanding thread; _closed gates any new spawn.
         self._pf_thread: threading.Thread | None = None
         self._closed = False
+        # job-group tag for the prefetch's Spark action: lets close()
+        # cancel a WEDGED peek instead of returning with a live thread
+        # (job groups are thread-local, so tagging inside run() scopes
+        # the cancel to exactly this buffer's job)
+        self._job_group = f"walrus-wire-prefetch-{topic}-{id(self):x}"
 
     def close(self) -> None:
         """Quiesce: no new prefetch can spawn, and the outstanding one
         (if any) is joined — its Spark job completes BEFORE this
         returns, so a subsequent spark.stop() finds no in-flight
-        action from this buffer. Idempotent."""
+        action from this buffer. Idempotent.
+
+        A join that times out is REPORTED, never swallowed (r13
+        verdict #3): a wedged peek would otherwise let close() return
+        with a live thread and resurrect exactly the spark.stop() race
+        this contract exists to prevent — so the thread's job group is
+        cancelled (unwedging a stuck Spark action) and a loud
+        RuntimeWarning names the survivor."""
         with self.lock:
             self._closed = True
             self._prefetch = None  # result, if any, is never claimed
             t, self._pf_thread = self._pf_thread, None
         if t is not None:
-            # generous: a peek job mid-flight must finish (it holds no
-            # locks; worst case one single-stage scan)
-            t.join(timeout=60)
+            t.join(timeout=self.JOIN_TIMEOUT)
+            if t.is_alive():
+                import warnings
+
+                try:
+                    self.log.spark.sparkContext.cancelJobGroup(
+                        self._job_group
+                    )
+                except Exception:  # noqa: BLE001 — context may be gone
+                    pass
+                warnings.warn(
+                    f"_TopicReadAhead.close({self.topic!r}): prefetch "
+                    f"thread {t.name} still alive after "
+                    f"{self.JOIN_TIMEOUT:g}s; cancelled job group "
+                    f"{self._job_group!r} — do not stop the Spark "
+                    "session until it exits",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                t.join(timeout=5)  # give the cancel a moment to land
 
     def _spawn_prefetch(self, start: int) -> None:
         # caller holds self.lock, so this check is ordered with close()
@@ -141,6 +175,14 @@ class _TopicReadAhead:
         self._prefetch = pf
 
         def run() -> None:
+            try:
+                self.log.spark.sparkContext.setJobGroup(
+                    self._job_group,
+                    f"wire GET prefetch for topic {self.topic!r}",
+                    interruptOnCancel=True,
+                )
+            except Exception:  # noqa: BLE001 — tagging is best-effort
+                pass
             try:
                 pf["rows"] = self.log.peek_range(
                     self.topic,
@@ -253,6 +295,9 @@ class _GroupCommitter:
     # cap a drained batch well under multi_append's 2000-entry/topic
     # limit so one drain can never trip it
     MAX_DRAIN = 1000
+    # close() join bound; class attr so tests can wedge a commit and
+    # exercise the timeout path in ms
+    JOIN_TIMEOUT = 120.0
 
     def __init__(self, log) -> None:
         self.log = log
@@ -280,8 +325,23 @@ class _GroupCommitter:
         self._wake.set()
         # generous: a drain in flight must finish (waiters are blocked
         # on it) — returning early would let a commit land after the
-        # caller thinks the plane is quiesced
-        self._thread.join(timeout=120)
+        # caller thinks the plane is quiesced. A timed-out join is
+        # REPORTED (r13 verdict #3): no cancel here — interrupting a
+        # commit mid-manifest-write is worse than naming the survivor
+        # (multi_append is atomic, but the waiters deserve the drain).
+        self._thread.join(timeout=self.JOIN_TIMEOUT)
+        if self._thread.is_alive():
+            import warnings
+
+            warnings.warn(
+                f"_GroupCommitter.close(): drain thread "
+                f"{self._thread.name} still alive after "
+                f"{self.JOIN_TIMEOUT:g}s — a commit may land after "
+                "quiesce; do not stop the Spark session or close the "
+                "log until it exits",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def _run(self) -> None:
         while True:

@@ -140,6 +140,40 @@ def test_close_quiesces_thread_family(spark, tmp_path, family):
         log.close()
 
 
+def test_sidecar_straggler_racing_close_syncs_inline(
+    spark, tmp_path, monkeypatch
+):
+    """r13 advisor finding: a _write_sidecar caller that observed the
+    stop flag UNSET could lose the registration race to close()'s
+    final sweep — a respawned worker then sees stop set and exits
+    without sweeping, leaving the sidecar rename-visible but never
+    fsynced. The registration now re-checks stop under _fsync_lock and
+    a loser syncs inline; no worker is ever resurrected post-close."""
+    from walrus_spark.log import wal as walmod
+
+    log = WalrusLog(spark, str(tmp_path / "race"))  # milliseconds(200)
+    log.append("t", b"x")
+
+    real = walmod._atomic_write_json
+    fired = {"done": False}
+
+    def hooked(path, obj, durable):
+        real(path, obj, durable=durable)
+        # close() lands exactly between rename-visibility and dirty
+        # registration — the advisor's interleaving, made deterministic
+        if not durable and not fired["done"]:
+            fired["done"] = True
+            log.close()
+
+    monkeypatch.setattr(walmod, "_atomic_write_json", hooked)
+    before = log.fsync_count
+    log._write_sidecar(log._cursor_path, {"t": 7})
+    assert fired["done"]
+    assert log._fsync_thread is None  # no resurrected worker
+    assert log.fsync_count > before  # the straggler synced INLINE
+    assert not log._fsync_dirty  # nothing left rename-visible-unsynced
+
+
 def test_close_reports_wedged_prefetch(spark, tmp_path):
     """r13 verdict #3: a prefetch whose Spark action wedges past the
     join timeout must be REPORTED by close() — job group cancelled and

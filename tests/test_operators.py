@@ -2433,6 +2433,138 @@ def test_index_delta_matches_legacy_base_schema(spark, tmp_path):
     assert _postings_schema_gen(legacy, comp["postings"]) == "pre"
 
 
+def test_index_mixed_dl_component_reads_correctly_and_heals(
+    spark, tmp_path
+):
+    """r13 advisor finding: a postings component mixing dl-denormalized
+    and pre-dl parts resolves a PLAIN read footer-order dependently —
+    pre-dl rows could surface dl as NULL and silently null scores.
+    Contract now: bm25_topk_indexed never trusts the sniffed column on
+    'mixed' (falls back to the doc_lengths join — correct for every
+    row), append_index_delta refuses to extend the mix, and
+    compact_index upgrades it to uniform dl."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from walrus_spark.operators.index import (
+        _postings_col_state,
+        _publish_manifest,
+        _read_manifest,
+        append_index_delta,
+        bm25_topk_indexed,
+        build_inverted_index,
+        compact_index,
+    )
+
+    def docs_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(ids),
+                    "text": [f"apple banana doc{i} apple" for i in ids],
+                }
+            )
+        )
+
+    idx = str(tmp_path / "mixed_dl_idx")
+    build_inverted_index(docs_of(range(0, 4)), idx, partitions=2)
+    append_index_delta(docs_of(range(4, 6)), idx, "d1")
+    comp = {
+        k: list(v) for k, v in _read_manifest(idx)["components"].items()
+    }
+    assert _postings_col_state(idx, comp["postings"], "dl") == "all"
+    # manufacture the mix: strip dl from the BASE postings part (what
+    # a pre-dl1 artifact's base looks like) and republish
+    base_dir = comp["postings"][0]
+    predl = "postings_predl_v97"
+    spark.read.parquet(os.path.join(idx, base_dir)).drop(
+        "dl"
+    ).write.mode("overwrite").parquet(os.path.join(idx, predl))
+    comp["postings"] = [predl] + comp["postings"][1:]
+    _publish_manifest(idx, comp)
+    comp = _read_manifest(idx)["components"]
+    assert _postings_col_state(idx, comp["postings"], "dl") == "mixed"
+
+    # the mixed read must still score every row correctly (fallback
+    # join), matching a fresh full build bit-for-bit
+    full = str(tmp_path / "full_dl_idx")
+    build_inverted_index(docs_of(range(0, 6)), full, partitions=2)
+    q = [("q0", "apple")]
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, idx, q, k=10).collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, full, q, k=10).collect()
+    )
+    assert got == want
+
+    # appending onto the mix is refused with the heal instruction
+    with pytest.raises(RuntimeError, match="mixes dl-denormalized"):
+        append_index_delta(docs_of(range(6, 8)), idx, "d2")
+
+    # compact upgrades to uniform dl; answers intact; appends resume
+    compact_index(spark, idx, partitions=2)
+    comp = _read_manifest(idx)["components"]
+    assert _postings_col_state(idx, comp["postings"], "dl") == "all"
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, idx, q, k=10).collect()
+    )
+    assert got == want
+    append_index_delta(docs_of(range(6, 8)), idx, "d2")
+    comp = _read_manifest(idx)["components"]
+    assert _postings_col_state(idx, comp["postings"], "dl") == "all"
+
+
+def test_manifest_ts_strictly_monotone_across_clock_step(
+    spark, tmp_path, monkeypatch
+):
+    """r13 advisor finding: manifest ts was max(now, prev_ts) — a
+    backwards clock step made a delta commit SHARE the base's ts, and
+    resolve_at_timestamp (newest ≤ t, current-first) then served the
+    delta snapshot for the base's own commit instant. ts must be
+    strictly monotone so every snapshot's commit instant resolves to
+    that snapshot."""
+    import time as _time
+
+    import pandas as pd
+
+    from walrus_spark.operators.index import (
+        _read_manifest,
+        append_index_delta,
+        build_inverted_index,
+        resolve_at_timestamp,
+    )
+
+    def docs_of(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(ids),
+                    "text": [f"apple banana doc{i}" for i in ids],
+                }
+            )
+        )
+
+    idx = str(tmp_path / "mono_idx")
+    build_inverted_index(docs_of(range(0, 4)), idx, partitions=2)
+    base = _read_manifest(idx)
+    # clock steps BACKWARD 5 s before the delta commit
+    monkeypatch.setattr(_time, "time", lambda: base["ts"] - 5.0)
+    append_index_delta(docs_of(range(4, 6)), idx, "d1")
+    man = _read_manifest(idx)
+    assert man["version"] == base["version"] + 1
+    assert man["ts"] > base["ts"]  # strictly monotone despite the step
+    # the base's own commit instant resolves to the BASE snapshot
+    assert resolve_at_timestamp(idx, base["ts"]) == base["version"]
+    # ...and anything at/after the delta's ts resolves to the delta
+    assert resolve_at_timestamp(idx, man["ts"]) == man["version"]
+
+
 def test_index_time_travel(spark, tmp_path):
     """at_version reads (r11): a query against snapshot N answers
     exactly as a reader holding snapshot N's manifest did — after an

@@ -748,12 +748,23 @@ class WalrusLog:
         _atomic_write_json(path, obj, durable=False)
         if ms > 0:
             with self._fsync_lock:
-                self._fsync_dirty.add(path)
-                if self._fsync_thread is None:
-                    self._fsync_thread = threading.Thread(
-                        target=self._fsync_worker, daemon=True
-                    )
-                    self._fsync_thread.start()
+                # stop re-checked UNDER the lock (r13 advisor): a
+                # writer that observed stop unset above may lose the
+                # race to close() — whose final sweep drains the dirty
+                # set under this same lock — and a worker respawned
+                # after that sees stop set and exits WITHOUT sweeping,
+                # leaving this sidecar rename-visible but unsynced.
+                if not self._fsync_stop.is_set():
+                    self._fsync_dirty.add(path)
+                    if self._fsync_thread is None:
+                        self._fsync_thread = threading.Thread(
+                            target=self._fsync_worker, daemon=True
+                        )
+                        self._fsync_thread.start()
+                    return
+            # straggler lost the race: sync inline (file + parent dir,
+            # the sweep's exact durability) — never resurrect a worker
+            self._fsync_path(path)
 
     def _fsync_worker(self) -> None:
         """Dedicated flush thread: one pass every `milliseconds` fsyncs
@@ -766,20 +777,26 @@ class WalrusLog:
         with self._fsync_lock:
             dirty, self._fsync_dirty = self._fsync_dirty, set()
         for path in sorted(dirty):
+            self._fsync_path(path)
+
+    def _fsync_path(self, path: str) -> None:
+        """Fsync one sidecar (file + parent dir) — the sweep's
+        per-path durability, also used inline by a _write_sidecar
+        straggler that lost the registration race with close()."""
+        try:
+            fd = os.open(path, os.O_RDONLY)
             try:
-                fd = os.open(path, os.O_RDONLY)
-                try:
-                    os.fsync(fd)
-                finally:
-                    os.close(fd)
-                dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-                try:
-                    os.fsync(dfd)
-                finally:
-                    os.close(dfd)
-                self.fsync_count += 1
-            except FileNotFoundError:
-                pass  # replaced mid-sweep; next sweep syncs the successor
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            self.fsync_count += 1
+        except FileNotFoundError:
+            pass  # replaced mid-sweep; a newer rename's writer syncs it
 
     def _maintenance_worker(self) -> None:
         """Scheduled reclamation (the background worker of

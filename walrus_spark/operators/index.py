@@ -166,11 +166,15 @@ def _publish_manifest(
         # commit-time metadata (r12, r11 verdict directive #6): what
         # at_timestamp resolves against -- an eval job can pin "the
         # index as of Tuesday's run" without recording version numbers
-        # out of band (Iceberg snapshot timestamp semantics). Never
-        # earlier than the snapshot it replaces: a clock step backward
-        # would otherwise make newest-<=-t resolution ambiguous.
+        # out of band (Iceberg snapshot timestamp semantics). STRICTLY
+        # later than the snapshot it replaces (r13 advisor finding): a
+        # clock step backward under plain max() would let two snapshots
+        # SHARE a ts, and newest-<=-t resolution (current-first) would
+        # then resolve the older snapshot's own commit instant to the
+        # newer one -- at_timestamp reads must never be ambiguous.
         "ts": max(
-            time.time(), float(cur.get("ts", 0.0)) if cur else 0.0
+            time.time(),
+            (float(cur.get("ts", 0.0)) + 1e-6) if cur else 0.0,
         ),
         "retention": int(retention),
         # previous snapshot's dirs, kept on disk this publish
@@ -826,8 +830,19 @@ def append_index_delta(
     # same uniformity discipline for the denormalized dl column (r13):
     # a pre-dl base gets a pre-dl delta, so a plain read of the
     # component never resolves footer-order dependently; compact
-    # upgrades a pre-dl artifact by re-deriving dl from tf
-    if _postings_col_state(path, comp["postings"], "dl") == "none":
+    # upgrades a pre-dl artifact by re-deriving dl from tf. A MIXED
+    # component is refused rather than extended (r13 advisor finding —
+    # the schema-gen precedent above): appending onto it would
+    # perpetuate the footer-order hazard for every future reader.
+    dl_state = _postings_col_state(path, comp["postings"], "dl")
+    if dl_state == "mixed":
+        raise RuntimeError(
+            f"append_index_delta: postings component at {path} mixes "
+            "dl-denormalized and pre-dl parts; run compact_index "
+            "(which re-derives dl from tf and folds to the uniform "
+            "schema), then retry"
+        )
+    if dl_state == "none":
         delta_postings = delta_postings.drop("dl")
     (
         delta_postings.sortWithinPartitions("term", "doc_id")
@@ -1056,9 +1071,31 @@ def bm25_topk_indexed(
     # dl denormalized into postings (r13) makes the read plan
     # join-free on the document axis: the doc_lengths component is
     # only read (and joined — corpus-scale: one row per document) for
-    # pre-dl artifacts. The sniff is a plan-metadata column check, no
-    # job.
-    has_dl = "dl" in postings.columns
+    # pre-dl artifacts. State comes from the per-dir footer sniff, NOT
+    # from the plain read's resolved schema (r13 advisor finding): a
+    # MIXED component (dl-era parts + pre-dl parts) resolves the plain
+    # read footer-order dependently, and pre-dl rows would surface
+    # dl as NULL — silently nulling scores. On 'mixed' the dl column
+    # is never trusted: fall back to the doc_lengths join, which is
+    # correct for every row (compact_index upgrades the artifact to
+    # uniform dl).
+    if at_version is not None:
+        _pdirs = _components_at(path, at_version).get("postings", [])
+    else:
+        _pdirs = [
+            os.path.basename(p) for p in _part_paths(path, "postings")
+        ]
+    _dl_state = _postings_col_state(path, _pdirs, "dl")
+    has_dl = _dl_state == "all"
+    if _dl_state == "mixed" and (
+        _read_component(spark, path, "doc_lengths", at_version) is None
+    ):
+        raise RuntimeError(
+            f"bm25_topk_indexed: postings component at {path} mixes "
+            "dl-denormalized and pre-dl parts and no doc_lengths "
+            "component exists to fall back on; run compact_index to "
+            "upgrade the artifact to the uniform dl schema"
+        )
     dl = (
         None
         if has_dl

@@ -199,17 +199,21 @@ def shared_cursor_stream(
             )
         batch_df = batch_df.persist()
         try:
-            stats = (
-                batch_df.groupBy("topic")
-                .agg(F.max("offset").alias("hi"), F.count("*").alias("n"))
-                .collect()
-            )
             # Order is the at-least-once contract: the sink must SEE a
             # batch before the shared cursor records it as consumed. A
             # crash after sink but before checkpoint → bounded
             # re-delivery; the reverse order would let a sink failure
             # skip entries forever (a gap, which the contract forbids).
+            # The cursor stats run AFTER the sink (r14): they are only
+            # USED after it, and aggregating first meant a crashing
+            # sink paid a full batch materialization for results the
+            # crash discards.
             sink(batch_df, batch_id)
+            stats = (
+                batch_df.groupBy("topic")
+                .agg(F.max("offset").alias("hi"), F.count("*").alias("n"))
+                .collect()
+            )
             for r in stats:
                 # sidecar persistence per ReadConsistency.persist_every
                 log._checkpoint_read(r["topic"], int(r["hi"]), int(r["n"]))

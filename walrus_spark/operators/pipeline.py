@@ -42,6 +42,8 @@ def seq_packing(
     docs: DataFrame,
     context_window: int = CONTEXT_WINDOW,
     bucket_span: int = PACK_BUCKET_SPAN,
+    tokens_col: str | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Assign every document its token offset in the concatenated
     corpus stream and the context windows it spans.
@@ -64,10 +66,25 @@ def seq_packing(
     Output: doc_id, n_tokens, start_tok (exclusive prefix sum),
     first_window / last_window (integer div by context_window; empty
     docs occupy zero windows and report first=last=the window their
-    offset falls in)."""
+    offset falls in).
+
+    ``tokens_col`` names a pre-tokenized array column to count instead
+    of re-tokenizing ``text`` — pass the session's cached tokenized
+    frame (text.shared_doc_tokens) and the two consumers of ``d``
+    below (the bucket agg and the join probe) both read the cache
+    instead of regex-scanning the corpus twice; at 100 TB that frame
+    is the materialized tokenized corpus a multi-operator pipeline
+    persists once. ``sorted_output=False`` elides the final global
+    sort for order-insensitive consumers (the gate hash; any groupBy
+    downstream)."""
+    n_toks = (
+        F.size(F.col(tokens_col))
+        if tokens_col
+        else F.size(_text.tokens(F.col("text")))
+    )
     d = docs.select(
         "doc_id",
-        F.size(_text.tokens(F.col("text"))).alias("n_tokens"),
+        n_toks.alias("n_tokens"),
         (F.col("doc_id") / bucket_span).cast("long").alias("bucket"),
     )
     bw = (
@@ -92,7 +109,7 @@ def seq_packing(
     start = F.col("bucket_base") + F.coalesce(
         F.sum("n_tokens").over(w), F.lit(0)
     )
-    return (
+    out = (
         d.join(F.broadcast(bases), "bucket")
         .withColumn("start_tok", start)
         .select(
@@ -112,8 +129,8 @@ def seq_packing(
             .cast("long")
             .alias("last_window"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 _PACK_ORACLE = f"""
@@ -166,8 +183,12 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture docs produce multi-chunk cases). chunk_text itself is in
     the hash, so slicing/joining/overlap arithmetic is value-checked
     verbatim."""
-    docs = load_table(spark, sf_dir, "documents")
-    pack = seq_packing(docs).select(
+    # both branches read the ONE session-cached tokenized frame
+    # (text.shared_doc_tokens) — the pack branch used to tokenize the
+    # corpus twice (bucket agg + join probe) and the chunk branch a
+    # third time; the r14 A/B numbers live in the commit/PERF_r14
+    docs = _text.shared_doc_tokens(spark, sf_dir)
+    pack = seq_packing(docs, tokens_col="ts", sorted_output=False).select(
         F.lit("pack").alias("src"),
         "doc_id",
         "n_tokens",
@@ -179,7 +200,9 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_chunk_tokens"),
         F.lit(None).cast("string").alias("chunk_text"),
     )
-    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+    chunks = chunk_documents(
+        docs, chunk_tokens=64, overlap=16, tokens_col="ts"
+    ).select(
         F.lit("chunk").alias("src"),
         "doc_id",
         F.lit(None).cast("long").alias("n_tokens"),
@@ -191,7 +214,10 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunk_tokens").cast("long"),
         "chunk_text",
     )
-    return pack.unionByName(chunks).orderBy("src", "doc_id", "chunk_idx")
+    # no final global sort: the gate hash is order-insensitive, and
+    # sorting ~n_chunks rows of chunk_text strings was ~30% of the
+    # entry wall at sf1 (the text_vocab sorted_output precedent)
+    return pack.unionByName(chunks)
 
 
 # Knuth multiplicative hash: doc_id (≤ ~2^40 at any plausible corpus
@@ -258,6 +284,7 @@ def chunk_documents(
     overlap: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into fixed-size token chunks with overlap — the
     pretraining/RAG chunking step. Output: one row per chunk with
@@ -274,10 +301,15 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     # whitespace-only text splits to [''] — treat as zero tokens so
-    # empty docs yield zero chunks, not one empty chunk
+    # empty docs yield zero chunks, not one empty chunk. tokens_col
+    # (same contract as seq_packing) reads a pre-tokenized array —
+    # the session cache — instead of re-running the regex scan.
+    raw_toks = (
+        F.col(tokens_col) if tokens_col else _text.tokens(F.col(text_col))
+    )
     toks = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-    ).otherwise(_text.tokens(F.col(text_col)))
+    ).otherwise(raw_toks)
     d = docs.select(
         F.col(id_col),
         toks.alias("_toks"),

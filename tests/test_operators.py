@@ -2817,6 +2817,25 @@ def test_session_memos_match_fresh_computation(spark, tmp_path):
     a1c, s1c = shared_kmeans_fit(spark, sf, emb)
     assert a1c is not a1 and s1c == s1
 
+    # r14: the serving-plane batch memo is a handle to identical rows
+    from walrus_spark.operators.similarity import (
+        ANN_BATCH_K,
+        ANN_QUERY_BATCH,
+        ivf_batch_topk,
+        shared_ivf_batch,
+    )
+
+    b1 = shared_ivf_batch(spark, sf, emb, ANN_QUERY_BATCH, ANN_BATCH_K)
+    b2 = ivf_batch_topk(emb, ANN_QUERY_BATCH, k=ANN_BATCH_K, model_key=sf)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(b1) == key(b2)
+    assert shared_ivf_batch(
+        spark, sf, emb, ANN_QUERY_BATCH, ANN_BATCH_K
+    ) is b1  # memo hit returns the same handle
+    release_session_caches(spark)
+    b3 = shared_ivf_batch(spark, sf, emb, ANN_QUERY_BATCH, ANN_BATCH_K)
+    assert b3 is not b1 and key(b3) == key(b2)
+
     docs = load_table(spark, sf, "documents")
     img_m, wav_m = shared_media(spark, sf)
 

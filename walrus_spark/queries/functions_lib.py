@@ -43,7 +43,7 @@ from walrus_spark.queries.registry import register
     "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t1, "
     "CAST(NULL AS BIGINT) AS a1, CAST(NULL AS VARCHAR) AS a2, "
     "CAST(NULL AS VARCHAR) AS a3, CAST(NULL AS BIGINT) AS a4 "
-    "FROM orders ORDER BY src, key",
+    "FROM orders",
 )
 def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function families (string + math + array/higher-order
@@ -103,7 +103,9 @@ def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("a3"),
         F.lit(None).cast("long").alias("a4"),
     )
-    return part_side.unionByName(orders_side).orderBy("src", "key")
+    # unsorted: order-insensitive gate hash (driver stub contract);
+    # the part+orders-scale presentation sort is elided
+    return part_side.unionByName(orders_side)
 
 
 @register(
@@ -112,7 +114,7 @@ def dq21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
     "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed, "
     "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket "
-    "FROM events ORDER BY event_id",
+    "FROM events",
 )
 def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode — the relational-layer step that turns the
@@ -130,7 +132,7 @@ def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         parsed.getField("k").alias("k_typed"),
         (parsed.getField("k") % 10).alias("k_bucket"),
-    ).orderBy("event_id")
+    )  # unsorted: order-insensitive gate hash; events-scale sort elided
 
 
 @register(
@@ -138,7 +140,7 @@ def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT n_name, round(sum(s_acctbal), 2) AS acctbal_sum, "
     "count(*) AS suppliers FROM supplier s "
     "JOIN nation n ON s.s_nationkey = n.n_nationkey "
-    "GROUP BY n_name ORDER BY n_name",
+    "GROUP BY n_name",
 )
 def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + agg over `supplier` (completes fixture-table
@@ -152,8 +154,7 @@ def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("acctbal_sum"),
             F.count("*").alias("suppliers"),
         )
-        .orderBy("n_name")
-    )
+    )  # unsorted (gate hash)
 
 
 @register(
@@ -177,8 +178,7 @@ def dq25_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(count(c.user_id) AS BIGINT) "
     "FROM e LEFT JOIN c ON c.user_id = e.user_id "
     "AND c.ts >= e.ts - INTERVAL 1 DAY AND c.ts < e.ts "
-    "GROUP BY e.event_id "
-    "ORDER BY src, event_id",
+    "GROUP BY e.event_id",
 )
 def dq22_23_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both temporal-join operators in one tagged entry (merged
@@ -251,7 +251,8 @@ def dq22_23_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clicks_before", F.lit(0)).alias("n"),
         )
     )
-    return asof_rows.unionByName(range_rows).orderBy("src", "event_id")
+    # unsorted: order-insensitive gate hash; events-scale sort elided
+    return asof_rows.unionByName(range_rows)
 
 
 @register(
@@ -263,8 +264,7 @@ def dq22_23_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
     "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
-    "round(sum(value), 4) AS total_value FROM s GROUP BY user_id, sid "
-    "ORDER BY user_id, session_start",
+    "round(sum(value), 4) AS total_value FROM s GROUP BY user_id, sid",
 )
 def dq26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user activity sessions closed by a 5-minute
@@ -285,8 +285,7 @@ def dq26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "session_start")
-    )
+    )  # unsorted: order-insensitive gate hash; sessions-scale sort elided
 
 
 # dq23's range join is merged into dq22_23_temporal_joins above.

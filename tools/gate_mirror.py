@@ -20,7 +20,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.oracle_util import _norm_cell, duckdb_run  # noqa: E402
+from tests.oracle_util import compare_detailed  # noqa: E402
 from walrus_spark.session import get_spark  # noqa: E402
 
 
@@ -33,30 +33,25 @@ def main() -> None:
     divergent: list[str] = []
     for name in sorted(ORACLES):
         try:
+            # one comparator (tests.oracle_util) for the mirror AND the
+            # pytest oracle checks — identical normalization, column-
+            # name equality enforced, case alignment handled in one
+            # place (r14 advisor finding)
             df = QUERIES[name](spark, sf_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
-            d_cols, d_rows = duckdb_run(ORACLES[name], sf_dir)
-            idx_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-            idx_d = sorted(
-                range(len(d_cols)), key=lambda i: d_cols[i].lower()
+            problems, order_ok, n = compare_detailed(
+                df, ORACLES[name], sf_dir
             )
-            sn = [
-                tuple(repr(_norm_cell(r[i])) for i in idx_s) for r in s_rows
-            ]
-            dn = [
-                tuple(repr(_norm_cell(r[i])) for i in idx_d) for r in d_rows
-            ]
-            ok = sorted(sn) == sorted(dn)
+            ok = not problems
             if not ok:
                 bad.append(name)
-            elif sn != dn:
+            elif not order_ok:
                 divergent.append(name)
-            print(
-                f"{name}: n={len(sn)} match={ok}"
-                + ("" if sn == dn else " (order differs — fine)"),
-                flush=True,
-            )
+            note = ""
+            if not ok:
+                note = f" {problems}"
+            elif not order_ok:
+                note = " (order differs — fine)"
+            print(f"{name}: n={n} match={ok}{note}", flush=True)
         except Exception as e:  # noqa: BLE001
             bad.append(name)
             print(f"{name}: ERR {type(e).__name__}: {e}", flush=True)

@@ -656,12 +656,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reassembly) is the entry's only remaining per-execution
     # corpus-scale stage, and a real pipeline materializes the cleaned
     # corpus once. Cached AFTER the md5 projection, so the resident
-    # frame is 4 slim columns per doc, never the cleaned text itself.
+    # frame is 3 slim columns per doc, never the cleaned text itself.
     clean_fp = _shared_pair_table(
         spark,
         f"{dataset_key(sf_dir, 'documents')}|cleanfp",
         lambda: substring_dedup_dropspans(
-            docs, window_tokens=SUBSTR_WINDOW, positions=pos
+            docs,
+            window_tokens=SUBSTR_WINDOW,
+            positions=pos,
+            sorted_output=False,  # entry output is unsorted (gate hash)
         ).select(
             F.col("doc_id").alias("doc_a"),
             F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
@@ -1947,6 +1950,7 @@ def substring_dedup_dropspans(
     text_col: str = "text",
     id_col: str = "doc_id",
     positions: tuple[DataFrame, DataFrame] | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Exact-substring SPAN REMOVAL — the policy half of long-exact-
     match dedup (the "deduplicating training data" recipe: when a
@@ -2011,7 +2015,7 @@ def substring_dedup_dropspans(
     n_removed = removed.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens_removed")
     )
-    return (
+    out = (
         base.select("doc_id", F.size("ts").alias("n_tokens"))
         .join(clean, "doc_id", "left")
         .join(n_removed, "doc_id", "left")
@@ -2023,4 +2027,7 @@ def substring_dedup_dropspans(
             ),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
-    )  # unsorted: order-insensitive gate hash; docs-scale sort elided
+    )
+    # sorted_output=False (the registry entry) skips the docs-scale
+    # presentation sort — the gate hash is order-insensitive
+    return out.orderBy("doc_id") if sorted_output else out

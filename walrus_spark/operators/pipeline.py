@@ -518,6 +518,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     frac_threshold: float = 0.5,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Per-train-document overlap with the eval set's shingle inventory.
 
@@ -552,7 +553,7 @@ def decontaminate(
     )
     m = ex.join(F.broadcast(ev), F.xxhash64("s") == F.col("ev64"), "left")
     frac = F.col("n_overlap") / F.nullif(F.col("n_shingles"), F.lit(0))
-    return (
+    out = (
         m.groupBy("doc_id")
         .agg(
             F.first("n_shingles").alias("n_shingles"),
@@ -567,7 +568,10 @@ def decontaminate(
             F.round(frac, 6).alias("overlap_frac"),
             (frac >= frac_threshold).alias("contaminated"),
         )
-    )  # unsorted: order-insensitive gate hash; docs-scale sort elided
+    )
+    # sorted_output=False (the registry entry) skips the docs-scale
+    # presentation sort — the gate hash is order-insensitive
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 _DECON_ORACLE = f"""
@@ -616,6 +620,7 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         d.where(F.col("split") == "train").drop("split"),
         d.where(F.col("split") == "val").drop("split"),
+        sorted_output=False,  # entry output is unsorted (gate hash)
     )
 
 

@@ -788,6 +788,7 @@ def knn_join(
     k: int = KNN_K,
     reference: DataFrame | None = None,
     max_reference_rows: int = MAX_KNN_REFERENCE_ROWS,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Top-k nearest neighbors for EVERY probe vector — the similarity
     JOIN (vs cosine_topk's single-query lookup): dedup clustering seeds,
@@ -885,10 +886,10 @@ def knn_join(
             StructField("cos", DoubleType()),
         ]
     )
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(topk, out_schema)
-    )  # unsorted: order-insensitive gate hash; corpus-scale sort elided
+    out = emb.select("vec_id", "embedding").mapInPandas(topk, out_schema)
+    # sorted_output=False (the registry entry) skips the corpus-scale
+    # presentation sort — the gate hash is order-insensitive
+    return out.orderBy("vec_id", "rank") if sorted_output else out
 
 
 _KNN_ORACLE = f"""
@@ -923,6 +924,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(
         spark,
         spread(load_table(spark, sf_dir, "embeddings"), per_part_rows=64),
+        sorted_output=False,  # entry output is unsorted (gate hash)
     )
 
 

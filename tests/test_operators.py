@@ -634,6 +634,56 @@ def test_simhash_auto_budget_and_narrow_override(spark):
     assert narrow  # the fixture has Hamming≤3 pairs; vacuity check
 
 
+def test_salted_join_plan_shape(spark):
+    """The scale contract behind the dq15 'salted:*' gate branch: with
+    broadcast off (the regime salting exists for — the small side fits
+    k-fold replication but not a broadcast), the physical plan must
+    show (a) the k-fold salt fan-out as a Generate/explode on the small
+    side, (b) a shuffle join keyed on (key, _salt) — i.e. an Exchange
+    on each side whose partitioning includes _salt, spreading a hot
+    key over k reducers — and (c) no BroadcastHashJoin."""
+    import pyspark.sql.functions as F
+
+    from walrus_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1))
+        .otherwise(F.col("id") % 5 + 2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "k long, name string"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE off so the pre-execution plan string is the final shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = salted_join(fact, dim, "k", n_salts=4)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "Generate explode" in plan, plan  # the k-fold fan-out
+        # both sides shuffle on the SALTED key: every hashpartitioning
+        # in the join's exchanges carries _salt next to k
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        salted_parts = [p for p in parts if "_salt" in p and "k#" in p]
+        assert len(salted_parts) >= 2, plan
+        # and the values still equal the plain join under this regime
+        plain = {
+            (r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect()
+        }
+        assert {
+            (r["k"], r["v"], r["name"]) for r in j.collect()
+        } == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def test_salted_join_rejects_small_side_outer(spark):
     """right/full outer would emit n_salts null-padded rows per
     unmatched small-side row — salted_join must refuse loudly rather

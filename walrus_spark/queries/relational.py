@@ -137,13 +137,28 @@ def dq14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 'anti' AS part, count(*) AS cnt FROM customer c "
     "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
     "UNION ALL SELECT 'semi' AS part, count(*) AS cnt FROM customer c "
-    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "UNION ALL SELECT 'salted:' || c_mktsegment AS part, count(*) AS cnt "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c_mktsegment",
 )
 def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join and EXISTS → left-semi join, tagged in
     one entry. Spark needs only o_custkey from orders (column pruning),
     so each build side is one slim column; neither join duplicates rows
-    from the many-side."""
+    from the many-side.
+
+    'salted:*' rows (r15, the skew.py gate proof): the orders⋈customer
+    inner join run through salted_join (operators/skew.py) — the fact
+    side carries a per-row salt, the dim side is replicated k-fold, the
+    join key becomes (custkey, salt) — aggregated per mktsegment. The
+    oracle recomputes the PLAIN join: salting must be invisible in the
+    values (exact equality, every segment hash-checked). The plan-shape
+    half of the contract (salt fan-out Generate, both sides shuffled on
+    the salted key when broadcast is off) is pinned by
+    tests/test_operators.py::test_salted_join_plan_shape."""
+    from walrus_spark.operators.skew import salted_join
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     anti = (
@@ -156,7 +171,25 @@ def dq15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.lit("semi").alias("part"), "cnt")
     )
-    return anti.unionByName(semi)  # unsorted (gate hash)
+    # the salt hashes the whole fact row, so keep a second column
+    # (orderkey) in the projection — a key-only frame would salt every
+    # row of a hot key identically, defeating the fan-out
+    o2 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c2 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = (
+        salted_join(o2, c2, on="o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(F.lit("salted:"), F.col("c_mktsegment")).alias("part"),
+            "cnt",
+        )
+    )
+    return anti.unionByName(semi).unionByName(salted)  # unsorted (gate hash)
 
 
 @register(

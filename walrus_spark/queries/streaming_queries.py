@@ -116,8 +116,14 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_consume_replay",
-    oracle="SELECT event_type AS topic, count(*) AS delivered, "
-    "true AS replay_bounded FROM events GROUP BY 1 ORDER BY 1",
+    oracle="SELECT 'cursor' AS part, event_type AS topic, "
+    "CAST(NULL AS BIGINT) AS hw, count(*) AS entries, "
+    "CAST(NULL AS BIGINT) AS bytes, true AS replay_bounded "
+    "FROM events GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'tstats', event_type, count(*), count(*), "
+    "CAST(sum(strlen(props)) AS BIGINT), CAST(NULL AS BOOLEAN) "
+    "FROM events GROUP BY 2",
 )
 def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3/§2.4 delivery semantics ACROSS A CONSUMER CRASH, end-to-end
@@ -136,12 +142,28 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. a successor (fresh WalrusLog instance hydrating the sidecar,
          fresh Spark checkpoint) consumes to completion.
 
-    The gate hashes per-topic DISTINCT delivered offsets against the
-    stored counts — proving no loss and no gaps across the crash — and
-    `replay_bounded` asserts total − distinct ≤ persist_every per
-    topic, the AtLeastOnce re-delivery bound (re-delivery is expected
-    here and must stay within the contract; StrictlyAtOnce is the
-    persist_every=1 degenerate case, pinned by pytest).
+    'cursor' rows: the gate hashes per-topic DISTINCT delivered offsets
+    against the stored counts — proving no loss and no gaps across the
+    crash — and `replay_bounded` asserts total − distinct ≤
+    persist_every per topic, the AtLeastOnce re-delivery bound
+    (re-delivery is expected here and must stay within the contract;
+    StrictlyAtOnce is the persist_every=1 degenerate case, pinned by
+    pytest).
+
+    'tstats' rows (r15, the custom-state-store north star —
+    BASELINE.json's headline capability — promoted from pytest-only to
+    hash-checked): per-topic running (high_watermark, entries, bytes)
+    maintained by topic_stats_stream (streaming/stream.py:339 — the
+    WalIndex-analog state, src/wal/runtime/index.rs:6-14) over the SAME
+    committed log, read in ≥2 micro-batches (asserted on query
+    progress, folding state across batches is the semantics under
+    test). The oracle recomputes the totals directly from the source
+    table: hw = per-topic count (offsets contiguous from 1), entries =
+    count, bytes = sum of payload byte lengths (payload =
+    UTF-8-encoded props, so strlen(props) on the oracle side). The
+    backend is transformWithStateInPandas when protobuf is present,
+    applyInPandasWithState otherwise (api="auto") — both folds are
+    pinned identical by tests/test_streaming.py.
 
     Wall-clock note (r13 verdict #4): this harness has NO timed waits —
     every trigger is availableNow. The r14 phase profile at sf0.1
@@ -234,19 +256,90 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q2.awaitTermination()
             successor.close()
+
+            # --- 'tstats': the custom state store over the same log ---
+            import glob as _glob
+            import math
+
+            from walrus_spark.streaming import topic_stats_stream
+            from walrus_spark.streaming.stream import read_log_stream
+
+            n_files = len(
+                _glob.glob(os.path.join(successor._stream_dir, "*", "*"))
+            )
+            # two mirror dirs (one per commit) → ≥2 files; split the
+            # file budget so the fold runs across EXACTLY ~2 batches —
+            # cross-batch state persistence is the semantics under test
+            mftt = max(1, math.ceil(n_files / 2))
+            latest: dict[str, tuple[int, int, int]] = {}
+
+            def tstats_sink(batch: DataFrame, _bid: int) -> None:
+                # update mode emits one running-totals row per topic
+                # seen in the batch; keep the latest (state is
+                # monotone, so last = final). O(topics) driver rows.
+                latest.update(
+                    {
+                        str(r["topic"]): (
+                            int(r["high_watermark"]),
+                            int(r["entries"]),
+                            int(r["bytes"]),
+                        )
+                        for r in batch.collect()
+                    }
+                )
+
+            # the trailing no-data micro-batch only fires timers (none
+            # here: NoTimeout/no TTL) — skip its fixed cost
+            nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+            prev_nd = spark.conf.get(nd_key)
+            spark.conf.set(nd_key, "false")
+            try:
+                q3 = (
+                    topic_stats_stream(
+                        read_log_stream(
+                            spark, successor, max_files_per_trigger=mftt
+                        )
+                    )
+                    .writeStream.outputMode("update")
+                    .foreachBatch(tstats_sink)
+                    .option(
+                        "checkpointLocation", os.path.join(base, "ckpt3")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q3.awaitTermination()
+            finally:
+                spark.conf.set(nd_key, prev_nd)
+            n_batches = len(
+                [p for p in q3.recentProgress if p["numInputRows"] > 0]
+            )
+            if n_batches < 2:
+                raise RuntimeError(
+                    f"tstats folded in {n_batches} micro-batch(es); the "
+                    "cross-batch state contract needs >= 2"
+                )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     rows = [
         (
+            "cursor",
             t,
+            None,
             len(set(offs)),
+            None,
             (len(offs) - len(set(offs))) <= persist_every,
         )
         for t, offs in sorted(seen.items())
+    ] + [
+        ("tstats", t, hw, n, b, None)
+        for t, (hw, n, b) in sorted(latest.items())
     ]
     return spark.createDataFrame(
-        rows, "topic string, delivered long, replay_bounded boolean"
-    ).orderBy("topic")
+        rows,
+        "part string, topic string, hw long, entries long, bytes long, "
+        "replay_bounded boolean",
+    )  # unsorted: order-insensitive gate hash
 
 
 @register(

@@ -323,16 +323,21 @@ _TOPIC_STATS_SCHEMA = (
 
 
 def _fold_topic_stats(state, pdfs):
-    """Shared fold: (hw, entries, bytes) ⊕ one micro-batch's rows."""
+    """Shared fold: (hw, entries, bytes) ⊕ one micro-batch's rows.
+
+    Input rows are the SLIM projection (topic, offset, nbytes) — the
+    payload itself never reaches the Python worker (see
+    topic_stats_stream: stats are control-plane metadata; shuffling
+    value bytes into the state operator just to measure their length
+    is the move-the-data-to-the-control-plane anti-pattern this module
+    already removed from the cursor tier in r10)."""
     hw, n, b = state
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         hw = max(hw, int(pdf["offset"].max()))
         n += len(pdf)
-        b += int(
-            pdf["value"].map(lambda v: len(v) if v is not None else 0).sum()
-        )
+        b += int(pdf["nbytes"].sum())
     return hw, n, b
 
 
@@ -366,6 +371,16 @@ def topic_stats_stream(
 
     if api == "auto":
         api = "tws" if _tws_available() else "legacy"
+
+    # Slim the stateful shuffle to (topic, offset, nbytes) BEFORE the
+    # groupBy: the byte count is computed JVM-side (F.length), so the
+    # payload column never crosses into the Python state operator —
+    # at 100 TB the stats shuffle carries ~24 B/row, not the corpus.
+    stream = stream.select(
+        "topic",
+        "offset",
+        F.coalesce(F.length("value"), F.lit(0)).alias("nbytes"),
+    )
 
     if api == "tws":
         from pyspark.sql.streaming.stateful_processor import (

@@ -1303,6 +1303,10 @@ def test_ingest_unpinned_audit_and_pinned_fallback(spark, tmp_path, monkeypatch)
     to pin away — must discard the staged batch and rerun pinned,
     still committing contiguous offsets exactly once."""
     log = WalrusLog(spark, str(tmp_path / "ingaudit"))
+    # pin the DISTRIBUTED ingest path (r15's sub-10k-row driver fast
+    # path bypasses the audit entirely — it is single-pass by
+    # construction; this test targets the two-pass path's repair)
+    monkeypatch.setattr(WalrusLog, "DRIVER_APPEND_MAX_ROWS", 0)
     df = spark.createDataFrame(
         [(f"t{i % 2}", f"p{i}".encode()) for i in range(20)],
         "topic string, value binary",
@@ -1332,6 +1336,54 @@ def test_ingest_unpinned_audit_and_pinned_fallback(spark, tmp_path, monkeypatch)
     for t in ("t0", "t1"):
         offs = [r["offset"] for r in log.topic_df(t).orderBy("offset").collect()]
         assert offs == list(range(1, 21)), t
+    log.close()
+
+
+def test_ingest_small_commit_driver_path(spark, tmp_path, monkeypatch):
+    """r15 optimization: a sub-10k-row ingest commit writes its part
+    file DRIVER-side (one collect + the pyarrow writer shared with the
+    wire-append path) instead of paying pass 2's Spark job + the
+    offset audit. Offsets, segments and crc-verified roundtrip must be
+    identical to the distributed path, and the audit (a two-pass-path
+    consistency repair) must not run at all."""
+    calls = {"driver": 0, "audit": 0}
+    real_w = WalrusLog._write_batch_driver
+    real_a = WalrusLog._offsets_exact
+
+    def counting_write(self, path, rows):
+        calls["driver"] += 1
+        return real_w(self, path, rows)
+
+    def counting_audit(self, path, ranges):
+        calls["audit"] += 1
+        return real_a(self, path, ranges)
+
+    monkeypatch.setattr(WalrusLog, "_write_batch_driver", counting_write)
+    monkeypatch.setattr(WalrusLog, "_offsets_exact", counting_audit)
+    log = WalrusLog(spark, str(tmp_path / "ingdrv"), max_segment_entries=4)
+    df = spark.createDataFrame(
+        [(f"t{i % 2}", f"p{i}".encode()) for i in range(10)],
+        "topic string, value binary",
+    )
+    log.ingest(df, "topic", "value")
+    assert calls == {"driver": 1, "audit": 0}
+    for t in ("t0", "t1"):
+        rows = log.topic_df(t).orderBy("offset").collect()
+        assert [r["offset"] for r in rows] == list(range(1, 6)), t
+        assert [r["segment"] for r in rows] == [0, 0, 0, 0, 1], t
+    # delivery runs the JVM-side crc check, so a driver-written file
+    # with a wrong XXH64 would fail loudly here
+    assert log.batch_read("t0", checkpoint=False) == [
+        b"p0",
+        b"p2",
+        b"p4",
+        b"p6",
+        b"p8",
+    ]
+    # a second commit continues offsets across the same fast path
+    log.ingest(df, "topic", "value")
+    assert calls == {"driver": 2, "audit": 0}
+    assert log.high_watermark("t1") == 10
     log.close()
 
 

@@ -1276,51 +1276,99 @@ class WalrusLog:
         )
         if not counts:
             return
-        bases: list[Row] = []
-        next_off: dict[str, int] = {}
-        for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
-            t = r["topic"]
-            start = next_off.get(t, self._hw.get(t, 0))
-            bases.append(Row(_pid=r["_pid"], topic=t, _base=start))
-            next_off[t] = start + int(r["n"])
-        ranges = {
-            t: (self._hw.get(t, 0) + 1, last) for t, last in next_off.items()
-        }
-        # Pass 2: assign offsets and write. The row_number window is
-        # partitioned by (_pid, topic) — parallelism = source partitions
-        # × topics, not one task per topic.
-        w = Window.partitionBy("_pid", "topic").orderBy(
-            F.monotonically_increasing_id()
-        )
-        base_df = F.broadcast(self.spark.createDataFrame(bases))
-        staged = (
-            src.withColumn("_rn", F.row_number().over(w))
-            .join(base_df, ["_pid", "topic"])
-            .select(
-                "topic",
-                ((F.col("_base") + F.col("_rn") - 1) / self.max_segment_entries)
-                .cast("long")
-                .alias("segment"),
-                (F.col("_base") + F.col("_rn")).alias("offset"),
-                "value",
-                F.current_timestamp().alias("ts"),
-                F.xxhash64("value").alias("crc"),
-            )
-        )
         batch_id = f"{len(os.listdir(self._manifest_dir)):012d}_{uuid.uuid4().hex[:8]}"
         path = os.path.join(self._data_dir, batch_id)
-        staged.sortWithinPartitions("topic", "offset").write.mode(
-            "overwrite"
-        ).parquet(path)
-        if not pin and not self._offsets_exact(path, ranges):
-            # layout diverged between the passes (nondeterministic
-            # source) — nothing was committed; discard the staged files
-            # and rerun with the batch pinned by localCheckpoint
-            shutil.rmtree(path, ignore_errors=True)
-            self.ingest_pinned_retries += 1
-            return self._ingest_locked(
-                df, topic_col, payload_col, txn, pin=True
+        # r15 small-commit fast path (the streaming micro-batch shape:
+        # many sub-10k-row commits): collect (topic, value) in partition
+        # order — the SAME order pass 2's (_pid, topic) window assigns —
+        # assign offsets driver-side and write with the pyarrow writer
+        # the wire-append path already uses. This replaces pass 2's
+        # Spark job AND the offset-exactness audit: consistency is by
+        # construction, because offsets derive from the rows actually
+        # written (one materialization, the same property pin=True
+        # buys). Large commits keep the distributed path — the driver
+        # must not hold corpus-scale payload bytes (guide §5); an
+        # oversized collect trips spark.driver.maxResultSize and falls
+        # back.
+        collected = None
+        if not pin and sum(int(r["n"]) for r in counts) <= self.DRIVER_APPEND_MAX_ROWS:
+            try:
+                collected = src.select("topic", "value").collect()
+                if any(r["value"] is None for r in collected):
+                    collected = None  # NULL payloads: keep JVM semantics
+            except Exception:  # noqa: BLE001  # maxResultSize guard etc.
+                collected = None
+        if collected is not None:
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            next_off: dict[str, int] = {}
+            rows: list[Row] = []
+            for r in collected:
+                t = r["topic"]
+                off = next_off.get(t, self._hw.get(t, 0)) + 1
+                next_off[t] = off
+                rows.append(
+                    Row(
+                        topic=t,
+                        segment=(off - 1) // self.max_segment_entries,
+                        offset=off,
+                        value=bytes(r["value"]),
+                        ts=now,
+                    )
+                )
+            ranges = {
+                t: (self._hw.get(t, 0) + 1, last)
+                for t, last in next_off.items()
+            }
+            self._write_batch_driver(path, rows)
+        else:
+            bases: list[Row] = []
+            next_off = {}
+            for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
+                t = r["topic"]
+                start = next_off.get(t, self._hw.get(t, 0))
+                bases.append(Row(_pid=r["_pid"], topic=t, _base=start))
+                next_off[t] = start + int(r["n"])
+            ranges = {
+                t: (self._hw.get(t, 0) + 1, last)
+                for t, last in next_off.items()
+            }
+            # Pass 2: assign offsets and write. The row_number window is
+            # partitioned by (_pid, topic) — parallelism = source
+            # partitions × topics, not one task per topic.
+            w = Window.partitionBy("_pid", "topic").orderBy(
+                F.monotonically_increasing_id()
             )
+            base_df = F.broadcast(self.spark.createDataFrame(bases))
+            staged = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .join(base_df, ["_pid", "topic"])
+                .select(
+                    "topic",
+                    (
+                        (F.col("_base") + F.col("_rn") - 1)
+                        / self.max_segment_entries
+                    )
+                    .cast("long")
+                    .alias("segment"),
+                    (F.col("_base") + F.col("_rn")).alias("offset"),
+                    "value",
+                    F.current_timestamp().alias("ts"),
+                    F.xxhash64("value").alias("crc"),
+                )
+            )
+            staged.sortWithinPartitions("topic", "offset").write.mode(
+                "overwrite"
+            ).parquet(path)
+            if not pin and not self._offsets_exact(path, ranges):
+                # layout diverged between the passes (nondeterministic
+                # source) — nothing was committed; discard the staged
+                # files and rerun with the batch pinned by
+                # localCheckpoint
+                shutil.rmtree(path, ignore_errors=True)
+                self.ingest_pinned_retries += 1
+                return self._ingest_locked(
+                    df, topic_col, payload_col, txn, pin=True
+                )
         rec = {
             "batch": batch_id,
             "path": path,

@@ -341,9 +341,9 @@ def dq22_23_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set(nd_key, prev_nd)
-    ijs_rows = spark.createDataFrame(
-        spark.table(name).collect(), "event_id long, click_id long"
-    ).select(
+    # memory-sink rows are driver-resident (LocalTableScan): read the
+    # table directly instead of collect + re-upload (r15)
+    ijs_rows = spark.table(name).select(
         F.lit("ijs").alias("src"),
         "event_id",
         F.col("click_id").alias("matched_id"),

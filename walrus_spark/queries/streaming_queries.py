@@ -60,7 +60,7 @@ def _state_partitions(spark: SparkSession, n: int):
 @register(
     "stream_windowed_counts",
     oracle="SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n "
-    "FROM events GROUP BY 1,2 ORDER BY 1,2",
+    "FROM events GROUP BY 1,2",
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts run AS A STREAM (file source,
@@ -94,23 +94,32 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window="1 hour", watermark="2 hours", key_col="event_type"
     )
     name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark, 8):  # ~3.6k window keys, not 200k
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.table(name)
-        .select(
-            "event_type",
-            F.col("w.start").cast("timestamp_ntz").alias("w"),
-            "n",
-        )
-        .orderBy("event_type", "w")
+    # r15: the trailing no-data micro-batch is disabled scoped to the
+    # entry — in COMPLETE mode it re-emits the identical state (the
+    # memory sink is replaced with the same rows), so it is a pure
+    # fixed cost here; watermark eviction timing stays pinned by
+    # tests/test_streaming.py::test_watermark_drops_late_data. The
+    # presentation sort is elided on both engines (order-insensitive
+    # gate hash, 5d25d5e contract).
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(nd_key)
+    spark.conf.set(nd_key, "false")
+    try:
+        with _state_partitions(spark, 8):  # ~3.6k window keys, not 200k
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(nd_key, prev_nd)
+    return spark.table(name).select(
+        "event_type",
+        F.col("w.start").cast("timestamp_ntz").alias("w"),
+        "n",
     )
 
 
@@ -348,8 +357,7 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w AS (SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n "
     "FROM events GROUP BY 1, 2) "
     "SELECT event_type, w, n FROM w, m "
-    "WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR "
-    "ORDER BY event_type, w",
+    "WHERE w + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR",
 )
 def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time eviction, driver-verified: append-mode windowed counts
@@ -364,31 +372,63 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
           eviction pass run with the now-known watermark, emitting every
           closed window (its own window never closes, so it is invisible
           in the output);
-      c — every fixture row shifted 1000 hours into the past: all far
-          older than the watermark → every row dropped by the late-event
-          filter (measured on Spark 4.1: the filter uses the watermark
-          lagged one batch — SPARK-42376's late-events watermark — which
-          is why the nudge batch b must sit between data and late data).
+      c — a deterministic 2% slice (every 50th row) shifted 1000 hours
+          into the past: all far older than the watermark → every row
+          dropped by the late-event filter (measured on Spark 4.1: the
+          filter uses the watermark lagged one batch — SPARK-42376's
+          late-events watermark — which is why the nudge batch b must
+          sit between data and late data). WHICH rows land in 'c' is
+          immaterial to the output (they are all provably below the
+          watermark), so the slice is an index stride.
 
     The memory sink then holds exactly the windows with
     window_end <= max(ts) − 2h (boundary verified emitted at equality),
     computed by a REAL streaming execution with bounded state; the
     oracle recomputes that set relationally. Windows still open at
     end-of-stream are correctly withheld — availableNow termination
-    does not flush open state in append mode."""
-    import glob as _glob
+    does not flush open state in append mode.
 
+    r15 (guide §1.2: remove work, then per-task cost): ALL staging is
+    driver-side pyarrow over the ~MB fixture file (the max-ts pass and
+    the slice write were two Spark jobs ~0.45 s; now ~0.01 s — the
+    r13 hardlink lesson finished), and the trailing NO-DATA
+    micro-batch is disabled scoped to the entry: the watermark is
+    lagged one batch (SPARK-42376), so after batch c it still reads
+    max(ts)−2h and the trailing batch emits nothing — A/B'd identical
+    3585-row multiset at sf0.1, −0.6 s. Late-data eviction timing
+    stays pinned by tests/test_streaming.py. The final presentation
+    sort is elided on both engines (order-insensitive gate hash)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path).select("event_type", "ts")
     ts_raw = dict(raw.dtypes)["ts"]
-    # one column-pruned agg; everything else below stays in the RAW ts
-    # type so batch 'a' can be the fixture file ITSELF (hardlink/copy —
-    # no corpus rewrite; r13 verdict #4: the staging writes, not the
-    # stream, dominated this harness) and 'b'/'c' match its schema
-    mx = raw.agg(F.max("ts")).collect()[0][0]
+    # driver-side staging: one pyarrow read of the two staged columns;
+    # everything stays in the RAW ts type so batch 'a' can be the
+    # fixture file ITSELF (hardlink/copy — no corpus rewrite) and
+    # 'b'/'c' match its schema
+    tbl = pq.read_table(path, columns=["event_type", "ts"])
+    ts_col = tbl.column("ts")
+    # 1000 h in the column's own tick unit (ns for TIMESTAMP(NANOS)
+    # fixtures read as bigint, us for plain timestamps)
+    ticks_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+        ts_col.type.unit
+    ]
+    shift = 3_600_000 * ticks_per_s  # 1000 h × 3600 s/h
+    ts_int = pc.cast(ts_col, pa.int64())
+    c_ts = pc.subtract(ts_int, shift)
+    if ts_raw == "bigint":  # TIMESTAMP(NANOS) read as long
+        mx = pc.max(ts_int).as_py()
+        b_ts = pa.array([int(mx)], type=pa.int64())
+    else:
+        mx = pc.max(ts_col).as_py()
+        c_ts = pc.cast(c_ts, ts_col.type)
+        if ts_raw == "timestamp_ntz":
+            b_ts = pa.array([mx], type=pa.timestamp("us"))
+        else:
+            b_ts = pa.array([mx], type=pa.timestamp("us", tz="UTC"))
     base = tempfile.mkdtemp(prefix="walrus_late_")
     ind = os.path.join(base, "in")
     os.makedirs(ind)
@@ -401,31 +441,21 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             shutil.copyfile(path, a_dst)
         # b — one nudge row, written driver-side (1 row needs no job)
-        if ts_raw == "bigint":
-            b_ts = pa.array([int(mx)], type=pa.int64())
-        elif ts_raw == "timestamp_ntz":
-            b_ts = pa.array([mx], type=pa.timestamp("us"))
-        else:
-            b_ts = pa.array([mx], type=pa.timestamp("us", tz="UTC"))
         pq.write_table(
             pa.table({"event_type": pa.array(["__nudge__"]), "ts": b_ts}),
             os.path.join(ind, "b.parquet"),
         )
-        # c — a deterministic 2% slice shifted 1000 h into the past
-        # (every row of it must be dropped, so its size proves nothing
-        # extra), shifted in the raw unit so the file matches 'a'
-        if ts_raw == "bigint":  # TIMESTAMP(NANOS) read as long
-            late = F.col("ts") - F.lit(3_600_000_000_000_000)  # 1000 h ns
-        else:
-            late = F.col("ts") - F.expr("INTERVAL 1000 HOURS")
-        c = (
-            raw.where(F.xxhash64("ts") % 50 == 0)
-            .withColumn("ts", late)
+        # c — the 2% stride slice, shifted, written driver-side
+        idx = pa.array(range(0, tbl.num_rows, 50))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": tbl.column("event_type").take(idx),
+                    "ts": c_ts.take(idx),
+                }
+            ),
+            os.path.join(ind, "c.parquet"),
         )
-        stage = os.path.join(base, "stage_c")
-        c.coalesce(1).write.parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
-        shutil.move(part, os.path.join(ind, "c.parquet"))
         for i, tag in enumerate(("a", "b", "c")):  # mtime = batch order
             os.utime(
                 os.path.join(ind, f"{tag}.parquet"),
@@ -448,35 +478,41 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
         name = f"stream_late_{uuid.uuid4().hex[:8]}"
-        with _state_partitions(spark, 8):  # ~3.6k window keys in state
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        # materialize before the tempdir vanishes (memory sink rows are
-        # driver-resident, but collect defensively against lazy plans)
-        out = spark.createDataFrame(
-            spark.table(name)
-            .select(
-                "event_type",
-                F.col("w.start").cast("timestamp_ntz").alias("w"),
-                "n",
-            )
-            .collect(),
-            "event_type string, w timestamp_ntz, n long",
-        )
+        # trailing no-data micro-batch disabled scoped to the entry —
+        # see docstring (watermark lagged one batch → it emits nothing;
+        # A/B'd identical multiset)
+        nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        prev_nd = spark.conf.get(nd_key)
+        spark.conf.set(nd_key, "false")
+        try:
+            with _state_partitions(spark, 8):  # ~3.6k window keys in state
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            spark.conf.set(nd_key, prev_nd)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return out.orderBy("event_type", "w")
+    # the memory sink's rows are driver-resident (LocalTableScan), so
+    # the frame survives the tempdir removal; returning it directly
+    # avoids a collect + re-upload of the result. Unsorted: the gate
+    # hash is order-insensitive and the oracle's ORDER BY was elided
+    # symmetrically (5d25d5e contract).
+    return spark.table(name).select(
+        "event_type",
+        F.col("w.start").cast("timestamp_ntz").alias("w"),
+        "n",
+    )
 
 
 @register(
     "stream_dedup",
-    oracle="SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    oracle="SELECT event_id, event_type, value FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: the events fixture is streamed
@@ -508,15 +544,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deduped = src().union(src()).dropDuplicates(["event_id"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    # 8 store partitions carry ~12k keys each at sf0.1 — real state,
-    # but far below the per-store overhead crossover of 32 partitions
-    with _state_partitions(spark, 8):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).orderBy("event_id")
+    # r15: no watermark → the trailing no-data micro-batch has no
+    # timers/eviction to run and emits nothing; disabled scoped to the
+    # entry. The events-scale presentation sort (a RangePartitioner
+    # sampling job + sort over ~10^5 driver-resident sink rows) is
+    # elided on both engines (order-insensitive gate hash).
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(nd_key)
+    spark.conf.set(nd_key, "false")
+    try:
+        # 8 store partitions carry ~12k keys each at sf0.1 — real state,
+        # but far below the per-store overhead crossover of 32 partitions
+        with _state_partitions(spark, 8):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(nd_key, prev_nd)
+    return spark.table(name)

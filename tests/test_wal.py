@@ -1387,6 +1387,78 @@ def test_ingest_small_commit_driver_path(spark, tmp_path, monkeypatch):
     log.close()
 
 
+def test_ingest_distributed_arrow_pass2_zero_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """r15 optimization round: distributed-ingest pass 2 assigns
+    offsets with a per-partition Arrow pass (mapInArrow + pass-1 bases
+    broadcast) instead of a row_number window over (_pid, topic). Two
+    contracts: (a) the staged plan carries NO Exchange — payload bytes
+    never shuffle, _pid IS the partition id so each task numbers its
+    own rows locally; (b) the assignment is bit-equal to the old
+    window semantics — per-topic offsets contiguous from the high
+    watermark, rows numbered in (partition, within-partition scan
+    order), i.e. the order monotonically_increasing_id sorted."""
+    import pyspark.sql.functions as F
+
+    monkeypatch.setattr(WalrusLog, "DRIVER_APPEND_MAX_ROWS", 0)
+    log = WalrusLog(
+        spark, str(tmp_path / "ingarrow"), max_segment_entries=1000
+    )
+    n = 5000
+    df = (
+        spark.range(n)
+        .repartition(7)  # multi-partition source, topics interleaved
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % 3)).alias("topic"),
+            F.col("id").cast("string").cast("binary").alias("value"),
+        )
+    )
+    src = df.withColumn("_pid", F.spark_partition_id())
+    # (a) plan shape of the staged pass-2 frame
+    counts = (
+        src.groupBy("_pid", "topic").agg(F.count("*").alias("n")).collect()
+    )
+    bases: dict[tuple[int, str], int] = {}
+    next_off: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
+        start = next_off.get(r["topic"], 0)
+        bases[(int(r["_pid"]), r["topic"])] = start
+        next_off[r["topic"]] = start + int(r["n"])
+    plan = (
+        log._assign_offsets_arrow(src, bases)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only Exchange is the test source's own repartition(7); the
+    # pass-2 machinery itself adds none (the old shape added an
+    # Exchange hashpartitioning(_pid, topic) carrying every payload)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    )
+    assert "MapInArrow" in plan
+    # (b) exact assignment: expected per-topic value sequence is the
+    # rows in (partition, scan-order) — which collect() preserves
+    expected_seq: dict[str, list[bytes]] = {}
+    for r in src.select("topic", "value").collect():
+        expected_seq.setdefault(r["topic"], []).append(bytes(r["value"]))
+    log.ingest(df, "topic", "value")
+    assert log.ingest_pinned_retries == 0  # audit accepted pass 2
+    for t in ("t0", "t1", "t2"):
+        rows = sorted(
+            log.topic_df(t).collect(), key=lambda r: r["offset"]
+        )
+        assert [r["offset"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        ), t
+        assert [bytes(r["value"]) for r in rows] == expected_seq[t], t
+    # crc-verified delivery path over the Arrow-staged files
+    assert len(log.batch_read("t0", checkpoint=False)) > 0
+    log.close()
+
+
 def test_offsets_exact_audit_rejects_bad_layouts(spark, tmp_path):
     """The pre-commit audit itself: exact interval cover passes;
     duplicate-offset (with a compensating gap), wrong-bounds, and

@@ -1241,8 +1241,6 @@ class WalrusLog:
         txn: str | None = None,
         pin: bool = False,
     ) -> None:
-        from pyspark.sql.window import Window
-
         if txn is not None and txn in self._txns:
             return  # replayed micro-batch: already committed
         src = df.select(
@@ -1321,41 +1319,21 @@ class WalrusLog:
             }
             self._write_batch_driver(path, rows)
         else:
-            bases: list[Row] = []
+            bases_map: dict[tuple[int, str], int] = {}
             next_off = {}
             for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
                 t = r["topic"]
                 start = next_off.get(t, self._hw.get(t, 0))
-                bases.append(Row(_pid=r["_pid"], topic=t, _base=start))
+                bases_map[(int(r["_pid"]), t)] = start
                 next_off[t] = start + int(r["n"])
             ranges = {
                 t: (self._hw.get(t, 0) + 1, last)
                 for t, last in next_off.items()
             }
-            # Pass 2: assign offsets and write. The row_number window is
-            # partitioned by (_pid, topic) — parallelism = source
-            # partitions × topics, not one task per topic.
-            w = Window.partitionBy("_pid", "topic").orderBy(
-                F.monotonically_increasing_id()
-            )
-            base_df = F.broadcast(self.spark.createDataFrame(bases))
-            staged = (
-                src.withColumn("_rn", F.row_number().over(w))
-                .join(base_df, ["_pid", "topic"])
-                .select(
-                    "topic",
-                    (
-                        (F.col("_base") + F.col("_rn") - 1)
-                        / self.max_segment_entries
-                    )
-                    .cast("long")
-                    .alias("segment"),
-                    (F.col("_base") + F.col("_rn")).alias("offset"),
-                    "value",
-                    F.current_timestamp().alias("ts"),
-                    F.xxhash64("value").alias("crc"),
-                )
-            )
+            # Pass 2: assign offsets and write — zero-exchange (see
+            # _assign_offsets_arrow; payloads never leave the node
+            # that scanned them).
+            staged = self._assign_offsets_arrow(src, bases_map)
             staged.sortWithinPartitions("topic", "offset").write.mode(
                 "overwrite"
             ).parquet(path)
@@ -1394,6 +1372,97 @@ class WalrusLog:
                 self._hw[topic] = max(self._hw.get(topic, 0), last)
                 self.mark_topic_dirty(topic, flush=False)
             self._flush_meta()
+
+    # Base sentinel for a (partition, topic) group pass 1 never saw —
+    # a nondeterministic source changed layout between the passes. The
+    # resulting offsets land wildly outside the expected ranges, so the
+    # pre-commit offset-exactness audit rejects the staged files and
+    # the ingest reruns pinned (the same divergence funnel the old
+    # inner-join shape fell through: there, unseen groups were DROPPED
+    # by the join and the audit caught the missing rows instead).
+    _DIVERGED_BASE = -(1 << 41)
+
+    def _assign_offsets_arrow(
+        self, src: DataFrame, bases: dict[tuple[int, str], int]
+    ) -> DataFrame:
+        """Distributed-ingest pass 2 without the payload exchange.
+
+        The pre-r15 shape assigned offsets with a row_number window
+        partitioned by (_pid, topic): correct, but its Exchange
+        hash-partitioned EVERY payload byte just to number rows each
+        task could have numbered locally — _pid IS the partition id,
+        so with pass 1's per-(partition, topic) bases broadcast, a
+        per-partition Arrow pass assigns the identical offsets (rows
+        arrive in scan order, exactly the order the window's
+        monotonically_increasing_id sort produced) while payloads stay
+        on the node that scanned them. Only (_pid, topic, value) cross
+        the Arrow boundary; value passes through as untouched Arrow
+        buffers, the per-batch counting is vectorized (factorize +
+        grouped cumcount), and ts/crc stay JVM-side expressions."""
+        import pyarrow as pa
+
+        max_seg = self.max_segment_entries
+        sentinel = self._DIVERGED_BASE
+        bases_bc = self.spark.sparkContext.broadcast(bases)
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            seen: dict = {}
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                pid = b.column("_pid")[0].as_py()
+                codes, uniques = pd.factorize(
+                    b.column("topic").to_pandas(), use_na_sentinel=False
+                )
+                # factorize surfaces a NULL topic as nan; pass 1's
+                # groupBy keyed it as None — normalize so the base
+                # lookup agrees with the JVM side
+                uniques = [
+                    None if (u is None or u != u) else u for u in uniques
+                ]
+                base_arr = np.fromiter(
+                    (
+                        bases_bc.value.get((pid, u), sentinel)
+                        + seen.get(u, 0)
+                        for u in uniques
+                    ),
+                    dtype=np.int64,
+                    count=len(uniques),
+                )
+                s = pd.Series(codes)
+                cum = s.groupby(s, sort=False).cumcount().to_numpy()
+                off = base_arr[codes] + cum + 1
+                sizes = np.bincount(codes, minlength=len(uniques))
+                for j, u in enumerate(uniques):
+                    seen[u] = seen.get(u, 0) + int(sizes[j])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column("topic"),
+                        pa.array((off - 1) // max_seg, pa.int64()),
+                        pa.array(off, pa.int64()),
+                        b.column("value"),
+                    ],
+                    names=["topic", "segment", "offset", "value"],
+                )
+
+        return (
+            src.select("_pid", "topic", "value")
+            .mapInArrow(
+                assign,
+                "topic string, segment long, offset long, value binary",
+            )
+            .select(
+                "topic",
+                "segment",
+                "offset",
+                "value",
+                F.current_timestamp().alias("ts"),
+                F.xxhash64("value").alias("crc"),
+            )
+        )
 
     # ------------------------------------------------------------------
     # read path (O3/O4)

@@ -1310,6 +1310,7 @@ def embedding_lsh_pairs(
     n_planes: int = N_HYPERPLANES,
     bands: int = EMB_LSH_BANDS,
     verify: str = "bucket",
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs — the 100 TB path when no
     side fits in a broadcast (`embedding_cosine_pairs`' limit).
@@ -1425,12 +1426,16 @@ def embedding_lsh_pairs(
                 }
             )
 
-        return (
+        out = (
             bucketed.repartition("band", "bv")
             .mapInPandas(part_verify, "vec_a long, vec_b long")
             .distinct()
-            .orderBy("vec_a", "vec_b")
         )
+        # sorted_output=True is the interactive-use default (COVERAGE.md
+        # output-order contract); compositions that re-shuffle anyway
+        # (joins, the gate's order-insensitive hash) opt out and skip
+        # the global range sort
+        return out.orderBy("vec_a", "vec_b") if sorted_output else out
 
     bucketed = sk.select("vec_id", band_arr).select(
         "vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
@@ -1469,13 +1474,13 @@ def embedding_lsh_pairs(
     out_schema = StructType(
         [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
     )
-    return (
+    out = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", "e_a", "e_b")
         .mapInPandas(pair_verify, out_schema)
-        .orderBy("vec_a", "vec_b")
     )
+    return out.orderBy("vec_a", "vec_b") if sorted_output else out
 
 
 EMB_LSH_CONTRACT_COS = 0.45  # banding recall is certain here on the fixtures
@@ -1507,7 +1512,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), per_part_rows=64
     )
     found = (
-        embedding_lsh_pairs(spark, emb, threshold=EMB_LSH_CONTRACT_COS)
+        embedding_lsh_pairs(
+            spark, emb, threshold=EMB_LSH_CONTRACT_COS, sorted_output=False
+        )  # feeds a join that re-shuffles anyway; the sort would be dead
         .select("vec_a", "vec_b")
         .withColumn("lsh_found", F.lit(True))
     )

@@ -482,6 +482,7 @@ def shared_exact_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             JACCARD_THRESHOLD,
             sets=shared_shingle_sets(spark, sf_dir),
+            sorted_output=False,  # cached memo; consumers re-shuffle
         ),
     )
 
@@ -497,6 +498,7 @@ def shared_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: simhash_pairs(
             load_table(spark, sf_dir, "documents"),
             sets=shared_shingle_sets(spark, sf_dir),
+            sorted_output=False,  # cached memo; consumers re-shuffle
         ),
     )
 
@@ -515,6 +517,7 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"),
             JACCARD_THRESHOLD,
             sets=shared_shingle_sets(spark, sf_dir),
+            sorted_output=False,  # cached memo; consumers re-shuffle
         ),
     )
 
@@ -537,6 +540,7 @@ def shared_minhash_cross_pairs(
             docs.where(F.col("doc_id") % 2 == 0),
             sets_new=sets.where(F.col("doc_id") % 2 == 1),
             sets_corpus=sets.where(F.col("doc_id") % 2 == 0),
+            sorted_output=False,  # cached memo; consumers re-shuffle
         )
 
     return _shared_pair_table(spark, key, build)
@@ -556,6 +560,7 @@ def exact_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     sets: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs, single-pass.
 
@@ -582,11 +587,14 @@ def exact_jaccard_pairs(
         F.col("b.n").alias("nb"),
     ).agg(F.count("*").alias("inter"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        agg.where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    out = agg.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+    # sorted_output=True is the interactive-use default (COVERAGE.md
+    # output-order contract); the session memo opts out — its cache
+    # materialization would pay the range sampling's re-execution of
+    # the last aggregate stage for an order no consumer reads
+    return out.orderBy("doc_a", "doc_b") if sorted_output else out
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -639,7 +647,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (vocab 0.45 vs 0.55 s), not for this one.
     pos = shared_substring_positions(spark, sf_dir, SUBSTR_WINDOW)
     sub = substring_dedup_pairs(
-        docs, window_tokens=SUBSTR_WINDOW, positions=pos
+        docs,
+        window_tokens=SUBSTR_WINDOW,
+        positions=pos,
+        sorted_output=False,  # union branch; gate hash is unordered
     ).select(
         F.lit("substr").alias("src"),
         "doc_a",
@@ -781,6 +792,7 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     sets: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -825,13 +837,16 @@ def minhash_lsh_pairs(
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+    # memo builds opt out: the range sampling re-runs the verify join
+    # (array_intersect over the shingle arrays) for a presentation
+    # order the cached pair table's consumers never read
+    return out.orderBy("doc_a", "doc_b") if sorted_output else out
 
 
 def minhash_lsh_cross(
@@ -840,6 +855,7 @@ def minhash_lsh_cross(
     threshold: float = JACCARD_THRESHOLD,
     sets_new: DataFrame | None = None,
     sets_corpus: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Cross-corpus near-dedup — the incremental-ingest shape: which
     NEW documents near-duplicate something already in the CORPUS
@@ -891,15 +907,15 @@ def minhash_lsh_cross(
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = inter / (F.size("hs_a") + F.size("hs_b") - inter)
-    return (
+    out = (
         cand.join(sa, "doc_new")
         .join(sb, "doc_corpus")
         .where(jac >= threshold)
         .select(
             "doc_new", "doc_corpus", F.round(jac, 6).alias("jaccard")
         )
-        .orderBy("doc_new", "doc_corpus")
     )
+    return out.orderBy("doc_new", "doc_corpus") if sorted_output else out
 
 
 _MINHASH_ENTRY_ORACLE = _JACCARD_CTES + """
@@ -1047,6 +1063,7 @@ def simhash_pairs(
     max_hamming: int | None = None,
     sets: DataFrame | None = None,
     n_docs: int | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -1163,12 +1180,12 @@ def simhash_pairs(
             }
         )
 
-    return (
+    out = (
         chunked.repartition("ci", "cv")
         .mapInPandas(part_verify, "doc_a long, doc_b long, hamming long")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sorted_output else out
 
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
@@ -1781,6 +1798,7 @@ def substring_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     positions: tuple[DataFrame, DataFrame] | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Pairs of docs sharing >= 1 verbatim run of ``window_tokens``
     consecutive tokens, with the shared-window count and the LONGEST
@@ -1830,14 +1848,11 @@ def substring_dedup_pairs(
         .groupBy("doc_a", "doc_b", "d", "grp")
         .agg(F.count("*").alias("chain"))
     )
-    return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum("chain").alias("n_shared_windows"),
-            (F.max("chain") + F.lit(w - 1)).alias("max_run_tokens"),
-        )
-        .orderBy("doc_a", "doc_b")
+    out = runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("chain").alias("n_shared_windows"),
+        (F.max("chain") + F.lit(w - 1)).alias("max_run_tokens"),
     )
+    return out.orderBy("doc_a", "doc_b") if sorted_output else out
 
 
 def _shared_window_positions(

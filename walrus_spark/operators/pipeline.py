@@ -629,6 +629,7 @@ def stratified_sample(
     stratum_col: str = "lang",
     n_per_stratum: int = 50,
     id_col: str = "doc_id",
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Deterministic exact-N sample per stratum: rank rows inside each
     stratum by the Knuth hash of their id and keep the first N. Same
@@ -690,12 +691,14 @@ def stratified_sample(
             break
         over *= 2  # unreachable in practice; exactness guard
     w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
-    return (
+    out = (
         surv.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_per_stratum)
         .select(id_col, stratum_col, F.col("rn").cast("long").alias("rn"))
-        .orderBy(stratum_col, "rn")
     )
+    # sorted_output=True is the interactive default; the registry
+    # entry opts out (order-insensitive gate hash, 5d25d5e contract)
+    return out.orderBy(stratum_col, "rn") if sorted_output else out
 
 
 _STRAT_ORACLE = f"""
@@ -706,13 +709,17 @@ SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
            ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}, doc_id
          ) AS rn
   FROM documents
-) WHERE rn <= 50 ORDER BY lang, rn
+) WHERE rn <= 50
 """
 
 
 @register("pipeline_stratified_sample", oracle=_STRAT_ORACLE)
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stratified_sample(load_table(spark, sf_dir, "documents"))
+    # unsorted: order-insensitive gate hash (oracle ORDER BY dropped
+    # symmetrically — the 5d25d5e elision contract)
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"), sorted_output=False
+    )
 
 
 def corpus_filter(

@@ -760,7 +760,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = ann_recall_at_k(
         emb, ANN_QUERY_BATCH, k=ANN_BATCH_K, model_key=sf_dir,
-        approx=batch,
+        approx=batch, sorted_output=False,  # union branch, unordered
     ).select(
         F.lit("recall").alias("src"),
         F.lit(None).cast("long").alias("vec_id"),
@@ -1039,6 +1039,7 @@ def ann_recall_at_k(
     n_probe: int = N_PROBE,
     model_key=None,
     approx: DataFrame | None = None,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Recall@k of the IVF index against exact brute force, per query
     — the eval harness every ANN deployment runs before trusting its
@@ -1097,18 +1098,14 @@ def ann_recall_at_k(
     totals = exact.groupBy("query_vec_id").agg(
         F.count("*").alias("n_true")
     )
-    return (
-        totals.join(hits, "query_vec_id", "left")
-        .select(
-            "query_vec_id",
-            F.coalesce(F.col("n_hit"), F.lit(0))
-            .cast("long")
-            .alias("n_hit"),
-            F.col("n_true").cast("long").alias("n_true"),
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0))
-                / F.col("n_true")
-            ).alias("recall"),
-        )
-        .orderBy("query_vec_id")
+    out = totals.join(hits, "query_vec_id", "left").select(
+        "query_vec_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.col("n_true").cast("long").alias("n_true"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")
+        ).alias("recall"),
     )
+    # sorted_output=True is the interactive default; the gate entry's
+    # union branch opts out (order-insensitive hash)
+    return out.orderBy("query_vec_id") if sorted_output else out

@@ -2355,6 +2355,18 @@ def test_runtime_confs_applied_per_session(spark):
         fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     )
 
+    # BLAS pin retrofit (r15): externally-created sessions get the
+    # per-task thread pin through sc.environment (read at every
+    # Python-function pickle, so it reaches workers the driver's
+    # plain session forks later). setdefault semantics: an explicit
+    # user sizing must survive.
+    import os
+
+    from walrus_spark.session import _BLAS_ENV_KEYS
+
+    for k in _BLAS_ENV_KEYS:
+        assert spark.sparkContext.environment.get(k) == os.environ[k]
+
 
 def test_index_delta_matches_legacy_base_schema(spark, tmp_path):
     """r10 advisor finding: appending onto a PRE-POSITIONAL (pre-pos1)
@@ -2756,6 +2768,40 @@ def test_semantic_dedup_matches_numpy_recompute(spark):
     # exactly its smallest same-cluster representative
     fam = [i for i in (0, 11, 23) if clusters[i] == clusters[0]]
     assert got[fam[0]][1] and all(not got[i][1] for i in fam[1:])
+
+    # n_clusters (the scoped BLAS-raise hint, r15) is advisory only:
+    # verdicts are bit-identical with and without it, including an
+    # over-stated k (boost floors at 1) — threading never changes
+    # which pairs clear the threshold
+    for k_hint in (8, 10_000):
+        boosted = {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                spark, emb, threshold=th, n_clusters=k_hint
+            ).collect()
+        }
+        assert boosted == got, f"n_clusters={k_hint} changed verdicts"
+
+
+def test_blas_thread_fns_set_restore():
+    """The scoped BLAS raise helper: resolves the loaded OpenBLAS (or
+    degrades to (None, None) without raising), and set/get round-trip
+    so the prune stage's finally-restore genuinely puts the worker's
+    thread pin back for the next task."""
+    from walrus_spark.operators.similarity import _blas_thread_fns
+
+    get_t, set_t = _blas_thread_fns()
+    if set_t is None:
+        return  # non-OpenBLAS backend: helper must degrade silently
+    before = get_t()
+    try:
+        set_t(2)
+        assert get_t() == 2
+        set_t(1)
+        assert get_t() == 1
+    finally:
+        set_t(before)
+    assert get_t() == before
 
 
 def test_ivf_batch_topk_and_recall(spark):

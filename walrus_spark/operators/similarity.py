@@ -604,6 +604,50 @@ SEMDEDUP_THRESHOLD = 0.4
 # k fails LOUDLY here rather than OOMing an executor.
 SEMDEDUP_MAX_CLUSTER_ROWS = 200_000
 
+# session.py pins library BLAS threading to spark.task.cpus (1) so the
+# saturating Arrow stages don't oversubscribe — the right default
+# everywhere EXCEPT a stage whose task count is bounded below the core
+# count by the ALGORITHM (semantic_dedup: exactly n_clusters pairwise
+# tasks). There the per-task matmuls may reclaim the provably idle
+# slots (guide §2.6 idle capacity), scoped to the matmul and restored
+# before the task yields the worker back to the reuse pool.
+_BLAS_CTL: list = []  # resolved once per (worker) process
+
+
+def _blas_thread_fns():
+    """(get_num_threads, set_num_threads) of the OpenBLAS already
+    loaded into this process by numpy, or (None, None) when the
+    backend is not OpenBLAS / not introspectable (non-linux, MKL …) —
+    callers then simply keep the process-wide pin."""
+    if _BLAS_CTL:
+        return _BLAS_CTL[0]
+    get_fn = set_fn = None
+    try:
+        import ctypes
+        import os
+
+        import numpy  # noqa: F401  -- ensures the BLAS .so is mapped
+
+        path = None
+        with open("/proc/self/maps") as f:
+            for line in f:
+                p = line.rstrip("\n").split(" ")[-1]
+                if "openblas" in os.path.basename(p).lower():
+                    path = p
+                    break
+        if path:
+            lib = ctypes.CDLL(path)
+            for suffix in ("64_", ""):  # ILP64-suffixed builds first
+                g = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+                s = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+                if g is not None and s is not None:
+                    get_fn, set_fn = g, s
+                    break
+    except Exception:  # noqa: BLE001
+        get_fn = set_fn = None
+    _BLAS_CTL.append((get_fn, set_fn))
+    return _BLAS_CTL[0]
+
 
 def semantic_dedup(
     spark: SparkSession,
@@ -611,6 +655,7 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     assigned: DataFrame | None = None,
     max_cluster_rows: int = SEMDEDUP_MAX_CLUSTER_ROWS,
+    n_clusters: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): k-means the embedding space,
@@ -627,7 +672,11 @@ def semantic_dedup(
     on cluster. Clusters exceeding ``max_cluster_rows`` raise loudly:
     the fix is a larger k (or sub-splitting the hot cluster), never a
     silent OOM. ``assigned`` lets callers reuse a fitted quantizer
-    (shared_kmeans_fit) instead of re-running Lloyd."""
+    (shared_kmeans_fit) instead of re-running Lloyd; pass the fit's
+    ``n_clusters`` with it so the prune stage can size its BLAS
+    threading to the idle capacity its bounded task count leaves
+    (cores/k, floor 1 — at production scale k ≫ cores so this is 1
+    and the session-wide single-thread pin stands unchanged)."""
     import numpy as np
     import pandas as pd
 
@@ -635,6 +684,14 @@ def semantic_dedup(
         from walrus_spark.operators.cluster import kmeans_quantized
 
         assigned, _ = kmeans_quantized(emb)
+    # This stage runs exactly min(n_clusters, slots) tasks; when the
+    # algorithm bounds that BELOW the core count, per-task GEMM may
+    # use the idle cores. Worker-side set/restore keeps the raise
+    # scoped to this matmul (workers are reused across stages).
+    blas_boost = 1
+    if n_clusters:
+        par = spark.sparkContext.defaultParallelism
+        blas_boost = max(1, min(8, par // max(1, int(n_clusters))))
     a = assigned.select("vec_id", "cluster").join(
         emb.select("vec_id", _dbl("embedding").alias("e")), "vec_id"
     )
@@ -656,11 +713,24 @@ def semantic_dedup(
         dropped = np.zeros(n, dtype=bool)
         blk = max(1, (1 << 25) // max(n, 1))  # ~256 MB sims scratch
         rows = np.arange(n)[:, None]
-        for lo in range(0, n, blk):
-            hi = min(lo + blk, n)
-            sims = E @ E[lo:hi].T  # (n, b)
-            m = (sims >= threshold) & (rows < np.arange(lo, hi)[None, :])
-            dropped[lo:hi] = m.any(axis=0)
+        get_t, set_t = (
+            _blas_thread_fns() if blas_boost > 1 else (None, None)
+        )
+        prev_t = None
+        if set_t is not None:
+            prev_t = get_t() if get_t is not None else None
+            set_t(blas_boost)
+        try:
+            for lo in range(0, n, blk):
+                hi = min(lo + blk, n)
+                sims = E @ E[lo:hi].T  # (n, b)
+                m = (sims >= threshold) & (
+                    rows < np.arange(lo, hi)[None, :]
+                )
+                dropped[lo:hi] = m.any(axis=0)
+        finally:
+            if set_t is not None and prev_t is not None:
+                set_t(prev_t)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -742,7 +812,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
         )
     )
-    sd = semantic_dedup(spark, emb, assigned=assigned).select(
+    from walrus_spark.operators.cluster import KM_K
+
+    sd = semantic_dedup(
+        spark, emb, assigned=assigned, n_clusters=KM_K
+    ).select(
         F.lit("semdedup").alias("src"),
         "vec_id",
         "cluster",

@@ -79,6 +79,20 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
                 # static conf on this build — leave as-is
                 pass
         spark.conf.set("spark.walrus.runtimeConfsApplied", "true")
+    # BLAS pin for externally-created sessions (e.g. the driver's
+    # plain session): get_spark pins before the JVM launches, but a
+    # session we did not build needs the retrofit. sc.environment is
+    # read every time a Python function is pickled for workers, and
+    # the worker daemon is keyed by its envVars, so this takes effect
+    # for all subsequently-created UDF/Arrow stages. setdefault both
+    # places: an explicit user sizing wins.
+    try:
+        task_cpus = int(spark.conf.get("spark.task.cpus", "1") or "1")
+    except Exception:  # noqa: BLE001
+        task_cpus = 1
+    _pin_blas_threads(task_cpus)
+    for k in _BLAS_ENV_KEYS:
+        sc.environment.setdefault(k, os.environ.get(k, str(task_cpus)))
     if not getattr(sc, "_walrus_pyfiles_shipped", False):
         try:
             import tempfile
@@ -177,6 +191,34 @@ def release_session_caches(spark: SparkSession | None = None) -> None:
             pass
 
 
+# BLAS threads per TASK. Spark's parallelism model already fills every
+# core with tasks, so library-level threading inside each task
+# oversubscribes: numpy's bundled OpenBLAS (wheel lib, MAX_THREADS=64)
+# defaults to ONE THREAD PER CORE per process — 32 concurrent Arrow
+# workers × 32 spin-waiting GEMM threads contend for the same 32
+# cores. Measured at sf1 (min-of-3 warm, same window): sim_knn_join
+# 18.7 → 3.0 s, dedup_embedding_cosine 4.6 → 1.3 s purely from
+# pinning GEMM to 1 thread/task — and the chaotic cross-window swings
+# those entries showed all round were this contention. The correct
+# per-task thread count at ANY scale is spark.task.cpus (default 1):
+# a cluster that allocates 4 cores per task should let BLAS use 4.
+# The one principled exception — a stage whose task count is bounded
+# below the core count by the algorithm — re-raises locally and
+# scoped (similarity._blas_thread_fns / semantic_dedup's prune).
+_BLAS_ENV_KEYS = (
+    "OPENBLAS_NUM_THREADS",  # this numpy's backend (measured)
+    "OMP_NUM_THREADS",  # OpenMP-built BLAS / sklearn portability
+    "MKL_NUM_THREADS",  # MKL-built numpy portability
+)
+
+
+def _pin_blas_threads(n: int) -> None:
+    """setdefault, not overwrite: an operator or user that explicitly
+    sized library threading keeps their setting."""
+    for k in _BLAS_ENV_KEYS:
+        os.environ.setdefault(k, str(n))
+
+
 def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkSession:
     """Create (or get) a tuned local SparkSession.
 
@@ -186,6 +228,10 @@ def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkS
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    task_cpus = int(os.environ.get("SPARK_TASK_CPUS", "1"))
+    # before the JVM launches: local-mode Python workers fork from a
+    # daemon that inherits the driver's environment
+    _pin_blas_threads(task_cpus)
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -193,7 +239,14 @@ def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.task.cpus", str(task_cpus))
     )
+    # cluster path: executors don't inherit the driver env, so ship
+    # the same per-task thread budget as executorEnv
+    for k in _BLAS_ENV_KEYS:
+        b = b.config(
+            f"spark.executorEnv.{k}", os.environ.get(k, str(task_cpus))
+        )
     for k, v in {**RUNTIME_CONFS, **BUILDER_CONFS}.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1939,3 +1939,50 @@ def test_cursor_flusher_rekick_after_thread_death(spark, tmp_path):
     log2 = WalrusLog(spark, str(tmp_path / "rekick"))
     assert log2.cursor("t") == 2
     log2.close()
+
+
+def test_ingest_null_topic_distributed_path(spark, tmp_path):
+    """r16 (r15 advisor): NULL-topic rows must not crash ingest. The
+    driver fast path declines them (its (topic, offset) sort key is
+    not None-safe), and the distributed path — base sort and the
+    offset-exactness audit — must be None-safe end to end. Non-NULL
+    topics in the same batch keep contiguous offsets and read back."""
+    log = WalrusLog(spark, str(tmp_path / "ingnull"))
+    df = spark.createDataFrame(
+        [(None, b"n0"), ("tn", b"v1"), (None, b"n1"), ("tn", b"v2")],
+        "topic string, value binary",
+    )
+    log.ingest(df, "topic", "value")
+    # no pinned retry: the audit handled the NULL group, it didn't
+    # fall through the divergence funnel
+    assert log.ingest_pinned_retries == 0
+    assert log.batch_read("tn", checkpoint=False) == [b"v1", b"v2"]
+    assert log.high_watermark("tn") == 2
+    # byte-bound gate (r15 advisor #1): a small-row batch whose
+    # payload bytes exceed DRIVER_APPEND_MAX_BYTES keeps the
+    # distributed path instead of collecting onto the driver
+    big = b"x" * (2 << 20)
+    df2 = spark.createDataFrame(
+        [("tb", big) for _ in range(40)], "topic string, value binary"
+    )
+    try:
+        orig = WalrusLog.DRIVER_APPEND_MAX_BYTES
+        WalrusLog.DRIVER_APPEND_MAX_BYTES = 1 << 20
+        seen = {"driver": 0}
+        real_w = WalrusLog._write_batch_driver
+
+        def counting_write(self, path, rows):
+            seen["driver"] += 1
+            return real_w(self, path, rows)
+
+        WalrusLog._write_batch_driver = counting_write
+        try:
+            log.ingest(df2, "topic", "value")
+        finally:
+            WalrusLog._write_batch_driver = real_w
+    finally:
+        WalrusLog.DRIVER_APPEND_MAX_BYTES = orig
+    assert seen["driver"] == 0  # byte gate forced the distributed path
+    assert log.high_watermark("tb") == 40
+    assert log.batch_read("tb", max_entries=1, checkpoint=False) == [big]
+    log.close()

@@ -1179,12 +1179,23 @@ class WalrusLog:
         per topic in numpy — microseconds-scale for streaming-sized
         batches, zero Spark jobs."""
         import numpy as np
+        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
         tbl = pads.dataset(path, format="parquet").to_table(
             columns=["topic", "offset"]
         )
-        topics = np.asarray(tbl.column("topic"))
+        # NULL topics (legal in ingest, keyed None in ranges) would
+        # break np.argsort over an object array; substitute a sentinel
+        # string for sorting and map it back at lookup. A real topic
+        # equal to the sentinel keeps its own name (lookup prefers the
+        # literal key), in which case a genuine NULL group would fail
+        # the audit and fall back to the pinned path — safe, not wrong.
+        null_t = "\x00\x00__null_topic__"
+        tcol = tbl.column("topic")
+        if tcol.null_count:
+            tcol = pc.fill_null(tcol, null_t)
+        topics = np.asarray(tcol)
         offsets = np.asarray(tbl.column("offset"))
         seen = set()
         order = np.argsort(topics, kind="stable")
@@ -1196,7 +1207,10 @@ class WalrusLog:
             lo, hi = bounds[i], bounds[i + 1]
             t = str(topics[lo])
             if t not in ranges:
-                return False
+                if t == null_t and None in ranges:
+                    t = None
+                else:
+                    return False
             seen.add(t)
             first, last = ranges[t]
             offs = np.sort(offsets[lo:hi].astype(np.int64))
@@ -1290,10 +1304,33 @@ class WalrusLog:
         # back.
         collected = None
         if not pin and sum(int(r["n"]) for r in counts) <= self.DRIVER_APPEND_MAX_ROWS:
+            # r16 (r15 advisor): the row gate alone let a 10k-row batch
+            # of multi-MB payloads collect up to spark.driver.
+            # maxResultSize (~1 GiB) onto the driver — 16× the byte
+            # bound the sibling wire-append fast path enforces. Probe
+            # the (already known ≤10k-row) batch with one tiny agg for
+            # total payload bytes and NULL payloads/topics BEFORE
+            # collecting: over-bound bytes keep the distributed path
+            # (mirroring _multi_append_locked's DRIVER_APPEND_MAX_BYTES
+            # gate), NULL payloads keep JVM semantics, and NULL topics
+            # keep the distributed path (_write_batch_driver's
+            # (topic, offset) sort key is not None-safe).
             try:
-                collected = src.select("topic", "value").collect()
-                if any(r["value"] is None for r in collected):
-                    collected = None  # NULL payloads: keep JVM semantics
+                probe = src.agg(
+                    F.sum(F.length("value")).alias("nb"),
+                    F.count(F.when(F.col("value").isNull(), 1)).alias(
+                        "nullv"
+                    ),
+                    F.count(F.when(F.col("topic").isNull(), 1)).alias(
+                        "nullt"
+                    ),
+                ).collect()[0]
+                if (
+                    int(probe["nullv"]) == 0
+                    and int(probe["nullt"]) == 0
+                    and int(probe["nb"] or 0) <= self.DRIVER_APPEND_MAX_BYTES
+                ):
+                    collected = src.select("topic", "value").collect()
             except Exception:  # noqa: BLE001  # maxResultSize guard etc.
                 collected = None
         if collected is not None:
@@ -1321,7 +1358,14 @@ class WalrusLog:
         else:
             bases_map: dict[tuple[int, str], int] = {}
             next_off = {}
-            for r in sorted(counts, key=lambda r: (r["topic"], r["_pid"])):
+            # None-safe key: a NULL topic group sorts first instead of
+            # raising (str < None). Any total order works here — the
+            # sort only makes base assignment deterministic per
+            # (topic, _pid); pass 2 normalizes NULL the same way.
+            for r in sorted(
+                counts,
+                key=lambda r: (r["topic"] is not None, r["topic"] or "", r["_pid"]),
+            ):
                 t = r["topic"]
                 start = next_off.get(t, self._hw.get(t, 0))
                 bases_map[(int(r["_pid"]), t)] = start
@@ -1332,21 +1376,34 @@ class WalrusLog:
             }
             # Pass 2: assign offsets and write — zero-exchange (see
             # _assign_offsets_arrow; payloads never leave the node
-            # that scanned them).
-            staged = self._assign_offsets_arrow(src, bases_map)
-            staged.sortWithinPartitions("topic", "offset").write.mode(
-                "overwrite"
-            ).parquet(path)
-            if not pin and not self._offsets_exact(path, ranges):
-                # layout diverged between the passes (nondeterministic
-                # source) — nothing was committed; discard the staged
-                # files and rerun with the batch pinned by
-                # localCheckpoint
-                shutil.rmtree(path, ignore_errors=True)
-                self.ingest_pinned_retries += 1
-                return self._ingest_locked(
-                    df, topic_col, payload_col, txn, pin=True
+            # that scanned them). The bases broadcast is unpersisted
+            # once the staged write (and audit/retry) completes: a
+            # long-lived streaming writer doing many commits must not
+            # accumulate broadcast blocks until GC happens to reclaim
+            # them (r15 advisor).
+            bases_bc = self.spark.sparkContext.broadcast(bases_map)
+            try:
+                staged = self._assign_offsets_arrow(
+                    src, bases_map, bases_bc
                 )
+                staged.sortWithinPartitions("topic", "offset").write.mode(
+                    "overwrite"
+                ).parquet(path)
+                if not pin and not self._offsets_exact(path, ranges):
+                    # layout diverged between the passes
+                    # (nondeterministic source) — nothing was
+                    # committed; discard the staged files and rerun
+                    # with the batch pinned by localCheckpoint
+                    shutil.rmtree(path, ignore_errors=True)
+                    self.ingest_pinned_retries += 1
+                    return self._ingest_locked(
+                        df, topic_col, payload_col, txn, pin=True
+                    )
+            finally:
+                try:
+                    bases_bc.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
         rec = {
             "batch": batch_id,
             "path": path,
@@ -1383,7 +1440,10 @@ class WalrusLog:
     _DIVERGED_BASE = -(1 << 41)
 
     def _assign_offsets_arrow(
-        self, src: DataFrame, bases: dict[tuple[int, str], int]
+        self,
+        src: DataFrame,
+        bases: dict[tuple[int, str], int],
+        bases_bc=None,
     ) -> DataFrame:
         """Distributed-ingest pass 2 without the payload exchange.
 
@@ -1403,7 +1463,8 @@ class WalrusLog:
 
         max_seg = self.max_segment_entries
         sentinel = self._DIVERGED_BASE
-        bases_bc = self.spark.sparkContext.broadcast(bases)
+        if bases_bc is None:  # caller owns (and unpersists) it otherwise
+            bases_bc = self.spark.sparkContext.broadcast(bases)
 
         def assign(batches):
             import numpy as np

@@ -33,6 +33,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # regime stamp (r16, additive): this co-tenant host showed 1.3–4×
+    # single-run swings with the code unchanged, and the r15
+    # round-over-round comparison produced 43 false "regressed" flags
+    # because the two windows' load regimes were incomparable (wire
+    # 683 vs 488 PUT/s). Sampling load1 at start and end lets any
+    # cross-run comparator regime-qualify before attributing deltas to
+    # code. getloadavg is unavailable on some platforms — never let
+    # the stamp break the bench.
+    try:
+        load1_start = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        load1_start = None
     spark = get_spark("walrus-spark-bench")
 
     from walrus_spark.catalog import load_table
@@ -250,6 +262,10 @@ def main() -> None:
                 shutil.rmtree(wroot, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
+    try:
+        load1_end = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        load1_end = None
     line = json.dumps(
         {
             "metric": "total_query_seconds",
@@ -261,6 +277,8 @@ def main() -> None:
             "stream_consume_rows_per_sec": stream_rows_per_sec,
             "wire_put_per_sec": wire_put_per_sec,
             "wire_get_per_sec": wire_get_per_sec,
+            "load1_start": load1_start,
+            "load1_end": load1_end,
             "n_queries": len(timings),
             "measure": "min_of_%d" % min_of if warm else "cold_single",
             "errors": errors,

@@ -214,9 +214,29 @@ _BLAS_ENV_KEYS = (
 
 def _pin_blas_threads(n: int) -> None:
     """setdefault, not overwrite: an operator or user that explicitly
-    sized library threading keeps their setting."""
+    sized library threading keeps their setting.
+
+    The env pin only takes effect for libraries loaded AFTER it —
+    OpenBLAS reads OPENBLAS_NUM_THREADS at .so load — and the driver
+    process has typically already imported numpy by the time a session
+    is created (r15 advisor: the retrofit was a driver-side no-op).
+    So additionally retrofit the pin onto the ALREADY-LOADED OpenBLAS
+    via its ctypes thread control, honoring whatever value the env
+    holds post-setdefault (an explicit user sizing wins). Degrades to
+    a no-op on non-OpenBLAS backends, same as the scoped raise in
+    operators/similarity.py."""
     for k in _BLAS_ENV_KEYS:
         os.environ.setdefault(k, str(n))
+    try:
+        from walrus_spark.operators.similarity import _blas_thread_fns
+
+        get_fn, set_fn = _blas_thread_fns()
+        if set_fn is not None:
+            target = int(os.environ.get("OPENBLAS_NUM_THREADS", str(n)))
+            if int(get_fn()) != target:
+                set_fn(target)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def get_spark(app_name: str = "walrus-spark", cpus: int | None = None) -> SparkSession:

@@ -889,3 +889,59 @@ def test_classifier_refresh_checkpoint_lineage_fence(spark, tmp_path):
     )
     assert n_labeled == 7  # 6 originals + doc 99, no overwrites lost
     log.close()
+
+
+def test_stream_late_drop_staging_contract(tmp_path):
+    """Pin stream_late_drop's staged workload (r15 verdict item 1):
+    the late batch 'c' must carry EXACTLY every LATE_STRIDE-th fixture
+    row shifted LATE_SHIFT_HOURS into the past — shrinking the slice
+    or the shift would be workload reduction inside a timed entry, not
+    an optimization. Batch 'a' must be the fixture verbatim and 'b'
+    one nudge row at max(ts), mtime-ordered a < b < c."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from walrus_spark.queries.streaming_queries import (
+        LATE_SHIFT_HOURS,
+        LATE_STRIDE,
+        _stage_late_drop_inputs,
+    )
+
+    # the entry's timed workload contract — a change here must be an
+    # explicit, recorded decision, not a drive-by edit
+    assert LATE_STRIDE == 50 and LATE_SHIFT_HOURS == 1000
+
+    n = 1003  # not a multiple of the stride: exercises the tail
+    base_us = 1_700_000_000_000_000
+    ts = pa.array(
+        [base_us + i * 60_000_000 for i in range(n)],
+        type=pa.timestamp("us", tz="UTC"),
+    )
+    et = pa.array([f"e{i % 7}" for i in range(n)])
+    fixture = tmp_path / "events.parquet"
+    pq.write_table(pa.table({"event_type": et, "ts": ts}), str(fixture))
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    n_late = _stage_late_drop_inputs(str(fixture), str(ind), "timestamp")
+
+    a = pq.read_table(str(ind / "a.parquet"))
+    b = pq.read_table(str(ind / "b.parquet"))
+    c = pq.read_table(str(ind / "c.parquet"))
+
+    # a: the fixture itself, verbatim
+    assert a.equals(pq.read_table(str(fixture)))
+    # b: exactly one nudge row at max(ts)
+    assert b.num_rows == 1
+    assert b.column("ts")[0].as_py().timestamp() * 1e6 == ts[-1].value
+    # c: every LATE_STRIDE-th row, shifted LATE_SHIFT_HOURS back
+    expect_idx = list(range(0, n, LATE_STRIDE))
+    assert n_late == c.num_rows == len(expect_idx)
+    shift_us = LATE_SHIFT_HOURS * 3600 * 10**6
+    got_ts = [v.value for v in c.column("ts")]
+    assert got_ts == [ts[i].value - shift_us for i in expect_idx]
+    got_et = [v.as_py() for v in c.column("event_type")]
+    assert got_et == [f"e{i % 7}" for i in expect_idx]
+    # mtime ordering drives micro-batch order: a < b < c
+    mt = [(ind / f"{t}.parquet").stat().st_mtime for t in ("a", "b", "c")]
+    assert mt[0] < mt[1] < mt[2]

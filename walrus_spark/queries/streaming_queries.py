@@ -351,6 +351,82 @@ def stream_consume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # unsorted: order-insensitive gate hash
 
 
+# stream_late_drop's late-batch volume, pinned as entry contract (r16,
+# r15 verdict "what's wrong" #1): batch c carries every LATE_STRIDE-th
+# fixture row (a 2% slice at the default), shifted LATE_SHIFT_HOURS
+# into the past so every row is provably below the watermark. The
+# fraction is part of what the entry's time MEANS — shrinking it would
+# be workload reduction inside a timed entry, so it is a named
+# constant asserted by tests/test_streaming.py::
+# test_stream_late_drop_staging_contract, not an inline literal.
+LATE_STRIDE = 50
+LATE_SHIFT_HOURS = 1000
+
+
+def _stage_late_drop_inputs(path: str, ind: str, ts_raw: str) -> int:
+    """Stage the three mtime-ordered micro-batch files for
+    stream_late_drop into ``ind`` (driver-side pyarrow; see the entry
+    docstring) and return the late-batch row count. a = the fixture
+    itself (hardlink/copy), b = one nudge row at max(ts), c = the
+    1/LATE_STRIDE stride slice shifted LATE_SHIFT_HOURS into the
+    past. ``ts_raw`` is the Spark-read dtype of the fixture's ts
+    column ('bigint' for TIMESTAMP(NANOS) under nanosAsLong,
+    'timestamp'/'timestamp_ntz' otherwise) — it decides the staged
+    files' physical ts type so they match the stream's schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["event_type", "ts"])
+    ts_col = tbl.column("ts")
+    # shift in the column's own tick unit (ns for TIMESTAMP(NANOS)
+    # fixtures read as bigint, us for plain timestamps)
+    ticks_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+        ts_col.type.unit
+    ]
+    shift = LATE_SHIFT_HOURS * 3600 * ticks_per_s
+    ts_int = pc.cast(ts_col, pa.int64())
+    c_ts = pc.subtract(ts_int, shift)
+    if ts_raw == "bigint":  # TIMESTAMP(NANOS) read as long
+        b_ts = pa.array([int(pc.max(ts_int).as_py())], type=pa.int64())
+    else:
+        mx = pc.max(ts_col).as_py()
+        c_ts = pc.cast(c_ts, ts_col.type)
+        if ts_raw == "timestamp_ntz":
+            b_ts = pa.array([mx], type=pa.timestamp("us"))
+        else:
+            b_ts = pa.array([mx], type=pa.timestamp("us", tz="UTC"))
+    # a — the full fixture, linked in place (same filesystem) or
+    # copied (cross-device); either way no Spark job
+    a_dst = os.path.join(ind, "a.parquet")
+    try:
+        os.link(path, a_dst)
+    except OSError:
+        shutil.copyfile(path, a_dst)
+    # b — one nudge row, written driver-side (1 row needs no job)
+    pq.write_table(
+        pa.table({"event_type": pa.array(["__nudge__"]), "ts": b_ts}),
+        os.path.join(ind, "b.parquet"),
+    )
+    # c — the pinned stride slice, shifted, written driver-side
+    idx = pa.array(range(0, tbl.num_rows, LATE_STRIDE))
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": tbl.column("event_type").take(idx),
+                "ts": c_ts.take(idx),
+            }
+        ),
+        os.path.join(ind, "c.parquet"),
+    )
+    for i, tag in enumerate(("a", "b", "c")):  # mtime = batch order
+        os.utime(
+            os.path.join(ind, f"{tag}.parquet"),
+            (1_000_000_000 + 100 * i,) * 2,
+        )
+    return len(idx)
+
+
 @register(
     "stream_late_drop",
     oracle="WITH m AS (SELECT max(ts) AS mx FROM events), "
@@ -397,70 +473,19 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(ts)−2h and the trailing batch emits nothing — A/B'd identical
     3585-row multiset at sf0.1, −0.6 s. Late-data eviction timing
     stays pinned by tests/test_streaming.py. The final presentation
-    sort is elided on both engines (order-insensitive gate hash)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    sort is elided on both engines (order-insensitive gate hash).
 
+    r16: the staging lives in _stage_late_drop_inputs with the late
+    fraction pinned by LATE_STRIDE/LATE_SHIFT_HOURS (entry contract;
+    see the module-level comment)."""
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path).select("event_type", "ts")
     ts_raw = dict(raw.dtypes)["ts"]
-    # driver-side staging: one pyarrow read of the two staged columns;
-    # everything stays in the RAW ts type so batch 'a' can be the
-    # fixture file ITSELF (hardlink/copy — no corpus rewrite) and
-    # 'b'/'c' match its schema
-    tbl = pq.read_table(path, columns=["event_type", "ts"])
-    ts_col = tbl.column("ts")
-    # 1000 h in the column's own tick unit (ns for TIMESTAMP(NANOS)
-    # fixtures read as bigint, us for plain timestamps)
-    ticks_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
-        ts_col.type.unit
-    ]
-    shift = 3_600_000 * ticks_per_s  # 1000 h × 3600 s/h
-    ts_int = pc.cast(ts_col, pa.int64())
-    c_ts = pc.subtract(ts_int, shift)
-    if ts_raw == "bigint":  # TIMESTAMP(NANOS) read as long
-        mx = pc.max(ts_int).as_py()
-        b_ts = pa.array([int(mx)], type=pa.int64())
-    else:
-        mx = pc.max(ts_col).as_py()
-        c_ts = pc.cast(c_ts, ts_col.type)
-        if ts_raw == "timestamp_ntz":
-            b_ts = pa.array([mx], type=pa.timestamp("us"))
-        else:
-            b_ts = pa.array([mx], type=pa.timestamp("us", tz="UTC"))
     base = tempfile.mkdtemp(prefix="walrus_late_")
     ind = os.path.join(base, "in")
     os.makedirs(ind)
     try:
-        # a — the full fixture, linked in place (same filesystem) or
-        # copied (cross-device); either way no Spark job
-        a_dst = os.path.join(ind, "a.parquet")
-        try:
-            os.link(path, a_dst)
-        except OSError:
-            shutil.copyfile(path, a_dst)
-        # b — one nudge row, written driver-side (1 row needs no job)
-        pq.write_table(
-            pa.table({"event_type": pa.array(["__nudge__"]), "ts": b_ts}),
-            os.path.join(ind, "b.parquet"),
-        )
-        # c — the 2% stride slice, shifted, written driver-side
-        idx = pa.array(range(0, tbl.num_rows, 50))
-        pq.write_table(
-            pa.table(
-                {
-                    "event_type": tbl.column("event_type").take(idx),
-                    "ts": c_ts.take(idx),
-                }
-            ),
-            os.path.join(ind, "c.parquet"),
-        )
-        for i, tag in enumerate(("a", "b", "c")):  # mtime = batch order
-            os.utime(
-                os.path.join(ind, f"{tag}.parquet"),
-                (1_000_000_000 + 100 * i,) * 2,
-            )
+        _stage_late_drop_inputs(path, ind, ts_raw)
         stream = (
             spark.readStream.schema(raw.schema)
             .option("maxFilesPerTrigger", 1)

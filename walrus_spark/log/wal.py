@@ -1305,34 +1305,32 @@ class WalrusLog:
         collected = None
         if not pin and sum(int(r["n"]) for r in counts) <= self.DRIVER_APPEND_MAX_ROWS:
             # r16 (r15 advisor): the row gate alone let a 10k-row batch
-            # of multi-MB payloads collect up to spark.driver.
-            # maxResultSize (~1 GiB) onto the driver — 16× the byte
-            # bound the sibling wire-append fast path enforces. Probe
-            # the (already known ≤10k-row) batch with one tiny agg for
-            # total payload bytes and NULL payloads/topics BEFORE
-            # collecting: over-bound bytes keep the distributed path
-            # (mirroring _multi_append_locked's DRIVER_APPEND_MAX_BYTES
-            # gate), NULL payloads keep JVM semantics, and NULL topics
-            # keep the distributed path (_write_batch_driver's
+            # of multi-MB payloads stay driver-side unbounded; enforce
+            # the sibling wire-append path's DRIVER_APPEND_MAX_BYTES
+            # bound and guard NULLs. Checked AFTER the collect, in one
+            # driver pass over the <= 10k rows, NOT with a pre-collect
+            # probe job: a separate agg job per small commit is a
+            # steady-state cost on the streaming micro-commit path
+            # (measured ~0.1 s per commit at sf0.1), while the
+            # pathological over-bound batch is transient — it is
+            # capped by spark.driver.maxResultSize (the except
+            # fallback), immediately discarded here, and takes the
+            # distributed path. NULL payloads keep JVM semantics; NULL
+            # topics keep the distributed path (_write_batch_driver's
             # (topic, offset) sort key is not None-safe).
             try:
-                probe = src.agg(
-                    F.sum(F.length("value")).alias("nb"),
-                    F.count(F.when(F.col("value").isNull(), 1)).alias(
-                        "nullv"
-                    ),
-                    F.count(F.when(F.col("topic").isNull(), 1)).alias(
-                        "nullt"
-                    ),
-                ).collect()[0]
-                if (
-                    int(probe["nullv"]) == 0
-                    and int(probe["nullt"]) == 0
-                    and int(probe["nb"] or 0) <= self.DRIVER_APPEND_MAX_BYTES
-                ):
-                    collected = src.select("topic", "value").collect()
+                collected = src.select("topic", "value").collect()
             except Exception:  # noqa: BLE001  # maxResultSize guard etc.
                 collected = None
+            if collected is not None:
+                nb = 0
+                for r in collected:
+                    if r["topic"] is None or r["value"] is None:
+                        collected = None
+                        break
+                    nb += len(r["value"])
+                if collected is not None and nb > self.DRIVER_APPEND_MAX_BYTES:
+                    collected = None
         if collected is not None:
             now = datetime.now(timezone.utc).replace(tzinfo=None)
             next_off: dict[str, int] = {}

@@ -1700,7 +1700,12 @@ def connected_components(
             .agg(F.min("lab").alias("nlab"))
         )
         # old and new label meet in this one join, so the convergence
-        # flag rides along and the change count reads materialized data
+        # flag rides along and the change count reads materialized data.
+        # LAZY checkpoint (r16): the count() below is the round's first
+        # action and materializes the checkpoint blocks as a side
+        # effect — eager=True ran a separate materialization job per
+        # round before the count re-read the blocks, i.e. two driver-
+        # gated jobs per round where one does the same work.
         stepped = (
             labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
             .select(
@@ -1712,7 +1717,7 @@ def connected_components(
                     "chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("id", F.col("new_lab").alias("lab"))
         if stepped.where("chg").count() == 0:

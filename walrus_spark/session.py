@@ -30,6 +30,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # keep shuffle output files bounded; AQE coalesces small partitions
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # Spark 4.1 writes a checksum companion for EVERY checkpoint file
+    # (offset log, commit log, each state-store delta — verified by
+    # listing a probe checkpoint: 2 extra files per store per
+    # micro-batch, each its own create+rename round trip; on object
+    # stores each is a billable PUT). That roughly doubles the
+    # checkpoint file ops of every stateful micro-batch to detect a
+    # corruption class Spark <= 4.0 never detected either; the WAL/
+    # state recovery semantics are unchanged. Restore the 4.0 write
+    # profile (r16; guide §5 — the stateful-stream fixed floor is
+    # checkpoint I/O).
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 # STATIC confs — session-builder only (CANNOT_MODIFY_STATIC_CONFIG at

@@ -3345,3 +3345,65 @@ def test_spread_is_row_aware(spark, tmp_path):
     # non-file frame: row count unknowable without a job -> full fan-out
     nf = spread(spark.createDataFrame([(i,) for i in range(10)], "id long"))
     assert nf.rdd.getNumPartitions() == target
+
+
+def test_doc_entry_spread_is_layout_invariant(spark, tmp_path):
+    """r16: sketch_bloom_decontam / pipeline_decontamination /
+    pipeline_corpus_filter spread() the documents scan before their
+    scan-stage shingle/signal compute (guide §2.5 — on a single-split
+    fixture the whole probe otherwise runs in ONE task at any core
+    count; measured sf1: sketch_bloom 15.9 s serial -> 7.7 s spread).
+    Two pinned properties, on the two documents-only entries:
+
+      (a) the spread exchange actually fires on a single-split input
+          big enough to split (RoundRobinPartitioning in the plan),
+          and does NOT fire when the input already arrives in enough
+          splits (the production no-op contract);
+      (b) entry output is a layout-independent multiset — identical
+          between the single-split and pre-split copies of the same
+          rows, which is exactly what makes the repartition safe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from walrus_spark.queries import QUERIES
+
+    rows = 1200  # ceil(1200/512) = 3 -> single-split input spreads to 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(rows), type=pa.int64()),
+            "text": pa.array(
+                " ".join(f"w{(i * 7 + j) % 50}" for j in range(10))
+                for i in range(rows)
+            ),
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    os.makedirs(one / "documents.parquet")
+    os.makedirs(many / "documents.parquet")
+    pq.write_table(tbl, str(one / "documents.parquet" / "part-0.parquet"))
+    for k in range(4):  # 4 files >= want(3): spread must no-op
+        pq.write_table(
+            tbl.slice(k * rows // 4, rows // 4),
+            str(many / "documents.parquet" / f"part-{k}.parquet"),
+        )
+
+    for name in ("pipeline_decontamination", "sketch_bloom_decontam"):
+        a = QUERIES[name](spark, str(one))
+        b = QUERIES[name](spark, str(many))
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b, f"{name}: layout changed the multiset"
+
+    plan_a = (
+        QUERIES["pipeline_decontamination"](spark, str(one))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_b = (
+        QUERIES["pipeline_decontamination"](spark, str(many))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" in plan_a, plan_a
+    assert "RoundRobinPartitioning" not in plan_b, plan_b

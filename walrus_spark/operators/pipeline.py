@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import load_table, spread
 
 # module reference, not a from-import: when the registry package init
 # reaches this module, `text` may still be mid-initialization (it is an
@@ -440,6 +440,10 @@ def pipeline_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's int128 SUM would diverge from Spark's ANSI int64 before
     that). Production consumes shuffle_shards' (shard, pos) columns
     directly — written out as shard files — never this scalar."""
+    # NOT spread (r16 A/B): unlike its siblings, this entry's wall is
+    # the shard-rank exchange, not the scan-stage tokenize — spreading
+    # the docs read measured flat at sf1 c32 (1.09 → 1.08 s) and +10%
+    # at sf0.1 (0.63 → 0.69 s, the added text-carrying exchange).
     docs = load_table(spark, sf_dir, "documents")
     split_side = (
         train_val_split(docs)
@@ -616,7 +620,11 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: the val split (same Knuth-hash arithmetic as
     train_val_split) stands in for the eval benchmark; every train doc
     is scored against it."""
-    d = train_val_split(load_table(spark, sf_dir, "documents"))
+    # spread: both sides shingle (tokenize + slide + explode + hash)
+    # inside the scan stage; on the single-split fixture that work is
+    # otherwise serial regardless of core count (guide §2.5). No-op
+    # once inputs arrive in >= defaultParallelism splits.
+    d = train_val_split(spread(load_table(spark, sf_dir, "documents")))
     return decontaminate(
         d.where(F.col("split") == "train").drop("split"),
         d.where(F.col("split") == "val").drop("split"),
@@ -938,7 +946,12 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_kmeans_fit,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: corpus_filter computes every per-doc signal (tokenize,
+    # array_distinct, punct regex, md5 fingerprint) in the scan stage;
+    # single-split fixture → single task without it (guide §2.5).
+    # Canonical election is unaffected (row_number orders by doc_id
+    # within each fp partition — partition-layout independent).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     base = corpus_filter(docs)
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _state = shared_kmeans_fit(spark, sf_dir, emb)

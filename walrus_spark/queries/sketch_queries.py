@@ -33,7 +33,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import load_table, spread
 from walrus_spark.operators.sketch import (
     BLOOM_K,
     BLOOM_M,
@@ -404,7 +404,14 @@ def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split-hash constants drifted from operators.pipeline"
     )
 
-    d = train_val_split(load_table(spark, sf_dir, "documents"))
+    # spread before the probe: the train side shingles every doc and
+    # computes k md5-derived bloom positions per shingle INSIDE the
+    # scan stage; on the single-split fixture that entire pipeline ran
+    # in one task at any core count (measured sf1: 15.9 s at both 8
+    # and 32 cores — guide §2.5 input skew). Row-aware no-op once the
+    # corpus arrives in >= defaultParallelism splits; every downstream
+    # agg is key-based, so results are partition-independent.
+    d = train_val_split(spread(load_table(spark, sf_dir, "documents")))
     ev_docs = d.where(F.col("split") == "val").drop("split")
     ev_sh = _memo_frame(
         spark,

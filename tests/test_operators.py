@@ -3390,7 +3390,27 @@ def test_doc_entry_spread_is_layout_invariant(spark, tmp_path):
             str(many / "documents.parquet" / f"part-{k}.parquet"),
         )
 
-    for name in ("pipeline_decontamination", "sketch_bloom_decontam"):
+    # dq24 spreads the events scan the same way (scan-stage JSON parse)
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(rows), type=pa.int64()),
+            "props": pa.array('{"k": %d}' % (i % 97) for i in range(rows)),
+        }
+    )
+    os.makedirs(one / "events.parquet")
+    os.makedirs(many / "events.parquet")
+    pq.write_table(ev, str(one / "events.parquet" / "part-0.parquet"))
+    for k in range(4):
+        pq.write_table(
+            ev.slice(k * rows // 4, rows // 4),
+            str(many / "events.parquet" / f"part-{k}.parquet"),
+        )
+
+    for name in (
+        "pipeline_decontamination",
+        "sketch_bloom_decontam",
+        "dq24_json_extract",
+    ):
         a = QUERIES[name](spark, str(one))
         b = QUERIES[name](spark, str(many))
         got_a = sorted(map(tuple, a.collect()))

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from walrus_spark.catalog import load_table
+from walrus_spark.catalog import load_table, spread
 from walrus_spark.operators.asof import asof_join
 from walrus_spark.queries.registry import register
 
@@ -125,7 +125,13 @@ def dq24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     path once the topic schema is known, and what typed_log_view uses).
     A derived column off the struct shows downstream expressions stay
     codegen."""
-    ev = load_table(spark, sf_dir, "events")
+    # spread (r16 §9): the JSON parse is scan-stage work and the
+    # single-file fixture caps the scan at totalBytes/openCost splits
+    # (6 at sf1) — far under the cores. Unlike the dim-table entries
+    # (dq21 A/B'd: spreading part/orders regressed sf0.1 +83%), the
+    # per-row parse here outweighs the added exchange at BOTH measured
+    # scales: sf1 1.34 → 0.74 s, sf0.1 0.46 → 0.25 s (min-of-4, c32).
+    ev = spread(load_table(spark, sf_dir, "events"))
     parsed = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
